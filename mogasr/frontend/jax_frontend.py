@@ -1,0 +1,189 @@
+"""Fused JAX/XLA audio front end operating on padded utterance batches in HBM.
+
+TPU-first design (BASELINE.json north_star: "the audio front end ... becomes a
+single fused JAX/Pallas kernel chain operating on padded utterance batches in
+HBM"):
+
+- The whole chain (pre-emphasis -> framing -> window -> power spectrum -> mel
+  -> log -> DCT -> lifter -> deltas -> CMVN) is ONE jitted function; XLA fuses
+  the elementwise stages into the GEMMs.
+- The DFT is computed as a GEMM against a precomputed [frame_length, n_bins]
+  cos/sin matrix with the analysis window folded in (GEMM-native NDFT; matmuls
+  beat FFT on the MXU — see PAPERS.md, MelT). Zero-padding to n_fft is implicit:
+  only the first frame_length rows of the DFT matrix are nonzero.
+- Mel filterbank and DCT (with the cepstral lifter folded in) are GEMMs too.
+- All parity-critical GEMMs run with Precision.HIGHEST so fp32 parity with the
+  NumPy oracle holds on TPU (SURVEY.md §7 "hard parts" #1).
+- Deltas use per-utterance edge replication via clipped gathers so padded
+  batches match the per-utterance oracle exactly; CMVN is a masked reduction
+  over valid frames only (padding-invariance, SURVEY.md §7 #4).
+
+Static shapes only: the batch is padded to [B, max_samples]; outputs are
+[B, T_max, feat_dim] plus a per-utterance frame count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mogasr.config import FrontendConfig
+from mogasr.frontend import numpy_ref as npref
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class FrontendConsts(NamedTuple):
+    """Precomputed constant matrices for the fused front-end kernel chain."""
+
+    dft_cos_w: jax.Array  # [frame_length, n_bins], window folded in
+    dft_sin_w: jax.Array  # [frame_length, n_bins]
+    mel: jax.Array        # [n_bins, n_mels]
+    dct_lift: jax.Array   # [n_mels, n_ceps], lifter folded in
+    window: jax.Array     # [frame_length] (for the energy path)
+
+
+def build_consts(cfg: FrontendConfig) -> FrontendConsts:
+    L, n_fft = cfg.frame_length, cfg.n_fft
+    n_bins = n_fft // 2 + 1
+    n = np.arange(L, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    win = npref.window_fn(cfg.window, L)
+    dct = npref.dct_matrix(cfg.n_ceps, cfg.n_mels)
+    dct = dct * npref.lifter_coeffs(cfg.n_ceps, cfg.cepstral_lifter)[None, :]
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    return FrontendConsts(
+        dft_cos_w=f32(np.cos(ang) * win[:, None]),
+        dft_sin_w=f32(-np.sin(ang) * win[:, None]),
+        mel=f32(npref.mel_filterbank_matrix(cfg)),
+        dct_lift=f32(dct),
+        window=f32(win),
+    )
+
+
+def _frame_indices(num_samples: int, cfg: FrontendConfig) -> np.ndarray:
+    t_max = max(cfg.num_frames(num_samples), 1)
+    idx = np.arange(t_max)[:, None] * cfg.frame_shift + np.arange(cfg.frame_length)[None, :]
+    return idx.astype(np.int32)
+
+
+def _deltas_batched(feats: jax.Array, n_frames: jax.Array, window: int) -> jax.Array:
+    """Regression deltas with per-utterance edge replication on padded [B,T,D]."""
+    B, T, _ = feats.shape
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    last = jnp.maximum(n_frames - 1, 0)[:, None]  # [B, 1]
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    out = jnp.zeros_like(feats)
+    for i in range(1, window + 1):
+        fwd_idx = jnp.minimum(t + i, last)
+        bwd_idx = jnp.clip(t - i, 0, None)
+        bwd_idx = jnp.minimum(bwd_idx, last)
+        fwd = jnp.take_along_axis(feats, fwd_idx[:, :, None], axis=1)
+        bwd = jnp.take_along_axis(feats, bwd_idx[:, :, None], axis=1)
+        out = out + i * (fwd - bwd)
+    return out / denom
+
+
+def _masked_cmvn(feats: jax.Array, mask: jax.Array, norm_var: bool) -> jax.Array:
+    """Per-utterance CMVN over valid frames only. mask: [B, T] in {0,1}."""
+    m = mask[:, :, None]
+    count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(feats * m, axis=1, keepdims=True) / count
+    out = feats - mean
+    if norm_var:
+        var = jnp.sum((feats - mean) ** 2 * m, axis=1, keepdims=True) / count
+        out = out / jnp.sqrt(jnp.maximum(var, 1e-10))
+    return out * m
+
+
+def make_frontend(cfg: FrontendConfig, max_samples: int):
+    """Build the fused batched front end for a fixed max_samples bucket.
+
+    Returns a jitted ``extract(waves[B, max_samples], num_samples[B]) ->
+    (feats[B, T_max, feat_dim], num_frames[B])``.
+    """
+    consts = build_consts(cfg)
+    idx = jnp.asarray(_frame_indices(max_samples, cfg))  # [T_max, L]
+    t_max = idx.shape[0]
+
+    @jax.jit
+    def extract(waves: jax.Array, num_samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        waves = waves.astype(jnp.float32)
+        B = waves.shape[0]
+        n_frames = jnp.where(
+            num_samples < cfg.frame_length,
+            0,
+            1 + (num_samples - cfg.frame_length) // cfg.frame_shift,
+        ).astype(jnp.int32)
+        n_frames = jnp.minimum(n_frames, t_max)
+
+        # Pre-emphasis on the full padded waveform (Kaldi convention: sample 0
+        # is emphasized against itself).
+        prev = jnp.concatenate([waves[:, :1], waves[:, :-1]], axis=1)
+        emph = waves - cfg.preemphasis * prev
+
+        # Framing: gather [B, T_max, L]. XLA lowers this to an efficient
+        # dynamic-slice/gather; the 2.5x overlap blowup lives only in VMEM tiles
+        # once fused with the DFT GEMM downstream.
+        frames = emph[:, idx]  # [B, T_max, L]
+
+        flat = frames.reshape(B * t_max, cfg.frame_length)
+        # Windowed GEMM-native DFT -> power spectrum. fp32 HIGHEST for parity.
+        re = jnp.dot(flat, consts.dft_cos_w, precision=HIGHEST)
+        im = jnp.dot(flat, consts.dft_sin_w, precision=HIGHEST)
+        pspec = re * re + im * im  # [B*T, n_bins]
+
+        mel = jnp.dot(pspec, consts.mel, precision=HIGHEST)
+        logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+
+        if cfg.feature_type == "fbank":
+            base = logmel.reshape(B, t_max, cfg.n_mels)
+        else:
+            mfcc = jnp.dot(logmel, consts.dct_lift, precision=HIGHEST)
+            if cfg.use_energy:
+                raw = waves[:, idx].reshape(B * t_max, cfg.frame_length)
+                energy = jnp.log(
+                    jnp.maximum(jnp.sum(raw * raw, axis=-1), cfg.log_floor)
+                )
+                mfcc = mfcc.at[:, 0].set(energy)
+            base = mfcc.reshape(B, t_max, cfg.n_ceps)
+
+        feats = [base]
+        prev_f = base
+        for _ in range(cfg.delta_order):
+            prev_f = _deltas_batched(prev_f, n_frames, cfg.delta_window)
+            feats.append(prev_f)
+        out = jnp.concatenate(feats, axis=-1)
+
+        mask = (jnp.arange(t_max)[None, :] < n_frames[:, None]).astype(jnp.float32)
+        if cfg.cmvn == "utterance":
+            out = _masked_cmvn(out, mask, cfg.cmvn_norm_var)
+        else:
+            out = out * mask[:, :, None]
+        return out, n_frames
+
+    return extract
+
+
+@functools.lru_cache(maxsize=32)
+def cached_frontend(cfg: FrontendConfig, max_samples: int):
+    return make_frontend(cfg, max_samples)
+
+
+def extract_features(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """Single-utterance convenience entry point mirroring the reference API.
+
+    ``extract_features(wave, config) -> [T, feat_dim] float32`` (SURVEY.md §1
+    L1 public interface). Batched callers should use :func:`make_frontend`.
+    """
+    wave = np.asarray(wave)
+    n = wave.shape[0]
+    fn = cached_frontend(cfg, n)
+    feats, n_frames = fn(wave[None, :], jnp.asarray([n]))
+    t = int(n_frames[0])
+    return np.asarray(feats[0, :t])

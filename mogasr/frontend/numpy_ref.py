@@ -1,0 +1,183 @@
+"""NumPy oracle implementation of the audio front end.
+
+This is the from-first-principles reference implementation (SURVEY.md §4): it
+serves both as the fp32 parity oracle for the fused JAX/Pallas front end and as
+the single-core CPU baseline that makes the >=50x throughput target falsifiable
+(BASELINE.md). It is deliberately straightforward NumPy, the shape a CPU
+reference implementation of MOG-ASR's front end takes.
+
+Stages: pre-emphasis -> framing -> window -> power spectrum -> mel filterbank
+-> log -> DCT-II (MFCC) -> liftering -> deltas -> CMVN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mogasr.config import FrontendConfig
+
+
+def window_fn(name: str, length: int) -> np.ndarray:
+    n = np.arange(length, dtype=np.float64)
+    if name == "hann":
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * n / (length - 1))
+    elif name == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * n / (length - 1))
+    elif name == "povey":
+        # Kaldi's default window: hann ** 0.85
+        w = (0.5 - 0.5 * np.cos(2 * np.pi * n / (length - 1))) ** 0.85
+    elif name == "rectangular":
+        w = np.ones(length)
+    else:
+        raise ValueError(f"unknown window {name!r}")
+    return w.astype(np.float64)
+
+
+def hz_to_mel(hz: np.ndarray, scale: str = "htk") -> np.ndarray:
+    hz = np.asarray(hz, dtype=np.float64)
+    if scale == "htk":
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+    if scale == "slaney":
+        f_sp = 200.0 / 3
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = np.log(6.4) / 27.0
+        mel = hz / f_sp
+        above = hz >= min_log_hz
+        mel = np.where(above, min_log_mel + np.log(np.maximum(hz, 1e-10) / min_log_hz) / logstep, mel)
+        return mel
+    raise ValueError(f"unknown mel scale {scale!r}")
+
+
+def mel_to_hz(mel: np.ndarray, scale: str = "htk") -> np.ndarray:
+    mel = np.asarray(mel, dtype=np.float64)
+    if scale == "htk":
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+    if scale == "slaney":
+        f_sp = 200.0 / 3
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz / f_sp
+        logstep = np.log(6.4) / 27.0
+        hz = mel * f_sp
+        above = mel >= min_log_mel
+        hz = np.where(above, min_log_hz * np.exp(logstep * (mel - min_log_mel)), hz)
+        return hz
+    raise ValueError(f"unknown mel scale {scale!r}")
+
+
+def mel_filterbank_matrix(cfg: FrontendConfig) -> np.ndarray:
+    """[n_fft//2 + 1, n_mels] triangular mel filterbank matrix."""
+    n_bins = cfg.n_fft // 2 + 1
+    high = cfg.mel_high_hz if cfg.mel_high_hz > 0 else cfg.sample_rate / 2.0
+    mel_lo = hz_to_mel(np.array(cfg.mel_low_hz), cfg.mel_scale)
+    mel_hi = hz_to_mel(np.array(high), cfg.mel_scale)
+    centers_mel = np.linspace(mel_lo, mel_hi, cfg.n_mels + 2)
+    fft_bin_hz = np.arange(n_bins, dtype=np.float64) * cfg.sample_rate / cfg.n_fft
+    fft_bin_mel = hz_to_mel(fft_bin_hz, cfg.mel_scale)
+    left = centers_mel[:-2][None, :]
+    center = centers_mel[1:-1][None, :]
+    right = centers_mel[2:][None, :]
+    m = fft_bin_mel[:, None]
+    up = (m - left) / (center - left)
+    down = (right - m) / (right - center)
+    fbank = np.maximum(0.0, np.minimum(up, down))
+    return fbank.astype(np.float64)  # [n_bins, n_mels]
+
+
+def dct_matrix(n_ceps: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix, [n_mels, n_ceps] (apply as mel @ D)."""
+    k = np.arange(n_ceps, dtype=np.float64)[None, :]
+    n = np.arange(n_mels, dtype=np.float64)[:, None]
+    d = np.cos(np.pi * k * (2 * n + 1) / (2 * n_mels)) * np.sqrt(2.0 / n_mels)
+    d[:, 0] *= 1.0 / np.sqrt(2.0)
+    return d
+
+
+def lifter_coeffs(n_ceps: int, q: float) -> np.ndarray:
+    if q <= 0:
+        return np.ones(n_ceps)
+    return 1.0 + 0.5 * q * np.sin(np.pi * np.arange(n_ceps) / q)
+
+
+def preemphasize(wave: np.ndarray, coeff: float) -> np.ndarray:
+    if coeff == 0.0:
+        return wave.astype(np.float64)
+    w = wave.astype(np.float64)
+    out = np.empty_like(w)
+    out[0] = w[0] - coeff * w[0]  # Kaldi convention: first sample vs itself
+    out[1:] = w[1:] - coeff * w[:-1]
+    return out
+
+
+def frame_signal(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """[T, frame_length] frames (snip_edges convention)."""
+    L, H = cfg.frame_length, cfg.frame_shift
+    T = cfg.num_frames(len(wave))
+    if T <= 0:
+        return np.zeros((0, L))
+    idx = np.arange(T)[:, None] * H + np.arange(L)[None, :]
+    return wave[idx]
+
+
+def power_spectrum(frames: np.ndarray, n_fft: int) -> np.ndarray:
+    """|rfft|^2 of zero-padded frames -> [T, n_fft//2+1]."""
+    spec = np.fft.rfft(frames, n=n_fft, axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2)
+
+
+def compute_deltas(feats: np.ndarray, window: int) -> np.ndarray:
+    """Regression-formula deltas with edge replication, [T, D] -> [T, D]."""
+    T = feats.shape[0]
+    denom = 2.0 * sum(i * i for i in range(1, window + 1))
+    out = np.zeros_like(feats)
+    for i in range(1, window + 1):
+        fwd = feats[np.minimum(np.arange(T) + i, T - 1)]
+        bwd = feats[np.maximum(np.arange(T) - i, 0)]
+        out += i * (fwd - bwd)
+    return out / denom
+
+
+def cmvn_np(feats: np.ndarray, norm_var: bool) -> np.ndarray:
+    mean = feats.mean(axis=0, keepdims=True)
+    out = feats - mean
+    if norm_var:
+        std = np.sqrt(np.maximum(feats.var(axis=0, keepdims=True), 1e-10))
+        out = out / std
+    return out
+
+
+def extract_features_np(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """Full front end on one utterance -> [T, feat_dim] float32.
+
+    The parity-critical entry point (BASELINE.json north_star: public API
+    mirrors the reference's feature-extraction entry points within fp32
+    tolerance on LibriSpeech features).
+    """
+    wave = np.asarray(wave, dtype=np.float64)
+    emph = preemphasize(wave, cfg.preemphasis)
+    frames = frame_signal(emph, cfg)
+    if cfg.use_energy:
+        raw_frames = frame_signal(wave, cfg)
+        energy = np.log(np.maximum((raw_frames ** 2).sum(-1), cfg.log_floor))
+    frames = frames * window_fn(cfg.window, cfg.frame_length)[None, :]
+    pspec = power_spectrum(frames, cfg.n_fft)
+    fbank = mel_filterbank_matrix(cfg)
+    mel = pspec @ fbank
+    logmel = np.log(np.maximum(mel, cfg.log_floor))
+    if cfg.feature_type == "fbank":
+        base = logmel
+    else:
+        mfcc = logmel @ dct_matrix(cfg.n_ceps, cfg.n_mels)
+        mfcc = mfcc * lifter_coeffs(cfg.n_ceps, cfg.cepstral_lifter)[None, :]
+        if cfg.use_energy:
+            mfcc[:, 0] = energy
+        base = mfcc
+    feats = [base]
+    prev = base
+    for _ in range(cfg.delta_order):
+        prev = compute_deltas(prev, cfg.delta_window)
+        feats.append(prev)
+    out = np.concatenate(feats, axis=-1)
+    if cfg.cmvn == "utterance":
+        out = cmvn_np(out, cfg.cmvn_norm_var)
+    return out.astype(np.float32)

@@ -1,0 +1,116 @@
+"""Front-end tests: per-stage golden parity vs the NumPy oracle, CMVN
+properties, padding invariance (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mogasr.config import FrontendConfig
+from mogasr.data.synthetic import synth_utterance
+from mogasr.frontend import jax_frontend as jf
+from mogasr.frontend import numpy_ref as npref
+
+CFG = FrontendConfig()
+
+
+@pytest.fixture(scope="module")
+def wave():
+    return synth_utterance("t0", ["cat", "see", "moon"], seed=3).wave
+
+
+def test_window_matches_hann_power():
+    w = npref.window_fn("povey", 400)
+    hann = npref.window_fn("hann", 400)
+    np.testing.assert_allclose(w, hann ** 0.85, rtol=1e-12)
+
+
+def test_mel_matrix_shape_and_partition():
+    m = npref.mel_filterbank_matrix(CFG)
+    assert m.shape == (CFG.n_fft // 2 + 1, CFG.n_mels)
+    # every filter has positive mass and triangles overlap
+    assert (m.sum(axis=0) > 0).all()
+    assert m.max() <= 1.0 + 1e-12
+
+
+def test_dct_orthonormal():
+    d = npref.dct_matrix(13, 40)
+    # rows of D^T D are identity on the kept coefficients
+    eye = d.T @ d * (40 / 40)
+    np.testing.assert_allclose(eye, np.eye(13), atol=1e-10)
+
+
+def test_frame_count_convention():
+    assert CFG.num_frames(400) == 1
+    assert CFG.num_frames(399) == 0
+    assert CFG.num_frames(560) == 2
+    assert CFG.num_frames(16000) == 1 + (16000 - 400) // 160
+
+
+def test_full_parity_jax_vs_numpy(wave):
+    ref = npref.extract_features_np(wave, CFG)
+    got = jf.extract_features(wave, CFG)
+    assert got.shape == ref.shape
+    # fp32 tolerance gate (BASELINE.json north_star)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_parity_fbank(wave):
+    cfg = FrontendConfig(feature_type="fbank", delta_order=0)
+    ref = npref.extract_features_np(wave, cfg)
+    got = jf.extract_features(wave, cfg)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_parity_no_cmvn_no_deltas(wave):
+    cfg = FrontendConfig(cmvn="none", delta_order=0)
+    ref = npref.extract_features_np(wave, cfg)
+    got = jf.extract_features(wave, cfg)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-4)
+
+
+def test_cmvn_property(wave):
+    feats = jf.extract_features(wave, CFG)
+    np.testing.assert_allclose(feats.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(feats.var(axis=0), 1.0, atol=1e-3)
+
+
+def test_padding_invariance(wave):
+    """Features of an utterance must not change when batch-padded (SURVEY §7 #4)."""
+    n = len(wave)
+    solo = jf.extract_features(wave, CFG)
+
+    padded_len = n + 7013
+    fn = jf.make_frontend(CFG, padded_len)
+    waves = np.zeros((2, padded_len), np.float32)
+    waves[0, :n] = wave
+    other = synth_utterance("t1", ["dog"], seed=9).wave
+    waves[1, : len(other)] = other
+    feats, n_frames = fn(jnp.asarray(waves), jnp.asarray([n, len(other)]))
+    t = int(n_frames[0])
+    assert t == solo.shape[0]
+    np.testing.assert_allclose(np.asarray(feats[0, :t]), solo, atol=2e-4, rtol=2e-4)
+    # padded region is exactly zero
+    assert np.all(np.asarray(feats[0, t:]) == 0.0)
+
+
+def test_batched_matches_per_utterance_oracle():
+    utts = [synth_utterance(f"u{i}", ["cat", "dog"], seed=i).wave for i in range(3)]
+    max_n = max(len(w) for w in utts) + 500
+    fn = jf.make_frontend(CFG, max_n)
+    waves = np.zeros((3, max_n), np.float32)
+    for i, w in enumerate(utts):
+        waves[i, : len(w)] = w
+    feats, n_frames = fn(jnp.asarray(waves), jnp.asarray([len(w) for w in utts]))
+    for i, w in enumerate(utts):
+        ref = npref.extract_features_np(w, CFG)
+        t = int(n_frames[i])
+        assert t == ref.shape[0]
+        np.testing.assert_allclose(np.asarray(feats[i, :t]), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_use_energy(wave):
+    cfg = FrontendConfig(use_energy=True)
+    ref = npref.extract_features_np(wave, cfg)
+    got = jf.extract_features(wave, cfg)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
