@@ -1,0 +1,190 @@
+"""EM training for the GMM acoustic model (Viterbi-style hard EM).
+
+SURVEY.md §1 L4: the E-step takes component posteriors on frames assigned to
+states by forced alignment (the standard GMM-HMM recipe at this scale); the
+M-step is weighted stat accumulation -> new params with variance flooring and
+occupancy-gated mixture splitting (SURVEY.md §7 hard-part #6).
+
+Everything here is jitted masked batched reductions: per-frame component
+posteriors via the same quadratic-form math as the scorer (restricted to each
+frame's assigned state), then ``segment_sum`` scatter-adds into [S, K] stats.
+Stats are a pytree, so data-parallel EM is one ``psum`` away (mogasr.dist).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mogasr.am.gmm import LOG_2PI, GmmSet
+from mogasr.config import GmmConfig
+
+
+class GmmStats(NamedTuple):
+    """Sufficient statistics for the M-step. A pytree (psum-able over chips)."""
+
+    occ: jax.Array   # [S, K] soft occupancy
+    sx: jax.Array    # [S, K, D] weighted sum of x
+    sxx: jax.Array   # [S, K, D] weighted sum of x^2
+    loglik: jax.Array  # [] total data log-likelihood (monotonicity check)
+    n_frames: jax.Array  # [] frames accumulated
+
+
+def zero_stats(S: int, K: int, D: int) -> GmmStats:
+    return GmmStats(
+        occ=jnp.zeros((S, K)),
+        sx=jnp.zeros((S, K, D)),
+        sxx=jnp.zeros((S, K, D)),
+        loglik=jnp.zeros(()),
+        n_frames=jnp.zeros(()),
+    )
+
+
+def add_stats(a: GmmStats, b: GmmStats) -> GmmStats:
+    return jax.tree.map(jnp.add, a, b)
+
+
+@jax.jit
+def accumulate_stats(
+    gmm: GmmSet,
+    feats: jax.Array,   # [N, D] frames (flattened batch)
+    labels: jax.Array,  # [N] assigned pdf/state ids, -1 for padding
+) -> GmmStats:
+    """E-step: component posteriors on each frame's assigned state -> stats."""
+    S, K, D = gmm.means.shape
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+
+    mu = gmm.means[safe]                      # [N, K, D]
+    var = jnp.maximum(gmm.vars[safe], 1e-8)   # [N, K, D]
+    w = jnp.maximum(gmm.weights[safe], 1e-30)  # [N, K]
+    x = feats[:, None, :]                     # [N, 1, D]
+    ll_k = (
+        jnp.log(w)
+        - 0.5 * (D * LOG_2PI + jnp.sum(jnp.log(var), -1))
+        - 0.5 * jnp.sum((x - mu) ** 2 / var, -1)
+    )                                         # [N, K]
+    frame_ll = jax.nn.logsumexp(ll_k, axis=-1)           # [N]
+    gamma = jnp.exp(ll_k - frame_ll[:, None])            # [N, K]
+    gamma = jnp.where(valid[:, None], gamma, 0.0)
+
+    seg = functools.partial(jax.ops.segment_sum, num_segments=S)
+    occ = seg(gamma, safe)
+    sx = seg(gamma[:, :, None] * feats[:, None, :], safe)
+    sxx = seg(gamma[:, :, None] * feats[:, None, :] ** 2, safe)
+    total_ll = jnp.sum(jnp.where(valid, frame_ll, 0.0))
+    return GmmStats(occ, sx, sxx, total_ll, jnp.sum(valid))
+
+
+@functools.partial(jax.jit, static_argnames=("var_floor", "weight_floor", "min_occ"))
+def m_step(
+    gmm: GmmSet,
+    stats: GmmStats,
+    var_floor: float = 1e-3,
+    weight_floor: float = 1e-5,
+    min_occ: float = 1e-2,
+) -> GmmSet:
+    """M-step: re-estimate (w, mu, var) from stats.
+
+    Components with occupancy below min_occ keep their old parameters (their
+    weight decays toward the floor) — the occupancy-threshold guard.
+    """
+    occ = stats.occ                          # [S, K]
+    denom = jnp.maximum(occ[:, :, None], 1e-10)
+    mu_new = stats.sx / denom
+    var_new = stats.sxx / denom - mu_new ** 2
+    keep = occ[:, :, None] < min_occ
+    mu = jnp.where(keep, gmm.means, mu_new)
+    var = jnp.where(keep, gmm.vars, jnp.maximum(var_new, var_floor))
+    state_occ = jnp.maximum(jnp.sum(occ, -1, keepdims=True), 1e-10)
+    w = jnp.maximum(occ / state_occ, weight_floor)
+    w = w / jnp.sum(w, -1, keepdims=True)
+    return GmmSet(w.astype(jnp.float32), mu.astype(jnp.float32), var.astype(jnp.float32))
+
+
+def split_components(gmm: GmmSet, perturb: float = 0.2, seed: int = 0) -> GmmSet:
+    """Double the number of components by splitting each along its std dev.
+
+    Mixture-splitting schedule (SURVEY.md §2 EM trainer row): each component
+    becomes two at mu +/- perturb * sigma with half the weight.
+    """
+    key = jax.random.key(seed)
+    sigma = jnp.sqrt(jnp.maximum(gmm.vars, 1e-8))
+    direction = jax.random.normal(key, gmm.means.shape) * 0.0 + 1.0  # deterministic axis
+    lo = gmm.means - perturb * sigma * direction
+    hi = gmm.means + perturb * sigma * direction
+    means = jnp.concatenate([lo, hi], axis=1)
+    variances = jnp.concatenate([gmm.vars, gmm.vars], axis=1)
+    weights = jnp.concatenate([gmm.weights, gmm.weights], axis=1) * 0.5
+    return GmmSet(weights, means, variances)
+
+
+def init_from_labels(
+    feats: np.ndarray, labels: np.ndarray, n_states: int, var_floor: float = 1e-3
+) -> GmmSet:
+    """Single-component-per-state init from labeled frames (flat start).
+
+    States with no frames fall back to the global mean/var.
+    """
+    feats = np.asarray(feats, np.float64)
+    labels = np.asarray(labels)
+    D = feats.shape[1]
+    valid = labels >= 0
+    g_mean = feats[valid].mean(0)
+    g_var = np.maximum(feats[valid].var(0), var_floor)
+    means = np.tile(g_mean, (n_states, 1))
+    variances = np.tile(g_var, (n_states, 1))
+    for s in range(n_states):
+        sel = labels == s
+        n = sel.sum()
+        if n >= 2:
+            means[s] = feats[sel].mean(0)
+            variances[s] = np.maximum(feats[sel].var(0), var_floor)
+        elif n == 1:
+            means[s] = feats[sel][0]
+    return GmmSet(
+        weights=jnp.ones((n_states, 1), jnp.float32),
+        means=jnp.asarray(means[:, None, :], jnp.float32),
+        vars=jnp.asarray(variances[:, None, :], jnp.float32),
+    )
+
+
+def uniform_alignment_labels(
+    graph_emit_ids: np.ndarray, n_states_used: int, n_frames: int
+) -> np.ndarray:
+    """Equal-duration flat-start alignment of a linear graph over n_frames."""
+    j = np.minimum(
+        (np.arange(n_frames) * n_states_used) // max(n_frames, 1), n_states_used - 1
+    )
+    return graph_emit_ids[j]
+
+
+def estimate_transitions(
+    paths: np.ndarray,        # [B, T] graph-state indices, -1 padding
+    pdf_ids: np.ndarray,      # [B, T] pdf per frame, -1 padding
+    pdf_to_phone: np.ndarray,  # [n_pdfs]
+    n_phones: int,
+    prior_count: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-phone self-loop probability from alignment paths.
+
+    Returns (self_prob[n_phones], counts[n_phones]).
+    """
+    stays = np.zeros(n_phones)
+    moves = np.zeros(n_phones)
+    B, T = paths.shape
+    for b in range(B):
+        for t in range(1, T):
+            if paths[b, t] < 0:
+                break
+            ph = pdf_to_phone[pdf_ids[b, t - 1]]
+            if paths[b, t] == paths[b, t - 1]:
+                stays[ph] += 1
+            else:
+                moves[ph] += 1
+    total = stays + moves + 2 * prior_count
+    return (stays + prior_count) / total, total

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel for batched diagonal-GMM log-likelihood scoring.
+
+The production scorer (BASELINE.json north_star: "a batched Pallas
+matmul-style kernel"). Grid = (frame tiles, state tiles, component chunks);
+each step computes
+
+    scores = X2[TM, R] @ AB_k[R, TS] + c_k     (one MXU dot per component)
+
+and folds it into an *online logsumexp* accumulator held in VMEM scratch
+(running max m and running sum s, flash-attention style), so the [N, S*K]
+score tensor never exists — not in HBM, not even as a single VMEM tile. Only
+the [N, S] loglik is written out. This resolves SURVEY.md §7 hard-part #3
+(S*K columns, tiny reduction dim) with strictly 2-D tiles: Mosaic rejects the
+obvious [TM, TS*K] -> [TM, TS, K] reshape epilogue ("unsupported shape cast"),
+and the online form needs no reshape at all.
+
+Layout: natural params are pre-transposed to AB[K, R, S_pad] (component-major)
+so each grid step DMAs a contiguous [R, TS] panel; the TPU grid iterates the
+last grid dimension fastest, so the accumulator scratch carries (i, j) state
+across the K steps between output writes.
+
+Compute dtype is configurable: float32 (parity) or bfloat16 inputs with fp32
+MXU accumulation (throughput; the logsumexp epilogue always runs fp32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mogasr.am.gmm import GmmSet, natural_params, quadratic_features
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    x = x_ref[:]
+    for kk in range(kc):  # static unroll over the components of this chunk
+        scores = jnp.dot(
+            x, ab_ref[kk], preferred_element_type=jnp.float32, precision=precision
+        ) + c_ref[kk].astype(jnp.float32)
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, scores)
+        s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.exp(scores - m_new)
+        m_scr[:] = m_new
+
+    @pl.when(k == n_kc - 1)
+    def _():
+        out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_states", "n_comp", "tile_m", "tile_s", "kc", "compute_dtype", "interpret"),
+)
+def _gmm_loglik_pallas_impl(
+    x2: jax.Array,      # [N, 2D]
+    ab_t: jax.Array,    # [K, 2D, S] component-major natural params
+    c_t: jax.Array,     # [K, S]
+    n_states: int,
+    n_comp: int,
+    tile_m: int,
+    tile_s: int,
+    kc: int,
+    compute_dtype: str,
+    interpret: bool,
+) -> jax.Array:
+    n, two_d = x2.shape
+    r = _round_up(two_d, 128)
+    n_pad = _round_up(max(n, tile_m), tile_m)
+    s_pad = _round_up(n_states, tile_s)
+    k_pad = _round_up(n_comp, kc)
+    n_kc = k_pad // kc
+    dt = jnp.dtype(compute_dtype)
+
+    x2p = jnp.zeros((n_pad, r), dt).at[:n, :two_d].set(x2.astype(dt))
+    abp = jnp.zeros((k_pad, r, s_pad), dt)
+    abp = abp.at[:n_comp, :two_d, :n_states].set(ab_t.astype(dt))
+    # Padded components get c = -inf so they are identity under logsumexp.
+    cp = jnp.full((k_pad, 1, s_pad), -jnp.inf, jnp.float32)
+    cp = cp.at[:n_comp, 0, :n_states].set(c_t)
+    # Padded states all -inf would yield nan (log 0 ... -inf max): give them c=0.
+    cp = cp.at[:, :, n_states:].set(0.0)
+
+    # f32 inputs get a true-fp32 MXU pass (parity gate, SURVEY.md §7 #1);
+    # bf16 inputs use the fast default.
+    precision = (
+        jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    grid = (n_pad // tile_m, s_pad // tile_s, n_kc)
+    out = pl.pallas_call(
+        functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, r), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, r, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, 1, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_s), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, tile_s), jnp.float32),
+            pltpu.VMEM((tile_m, tile_s), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * r * s_pad * k_pad,
+            bytes_accessed=(n_pad * r + k_pad * r * s_pad + n_pad * s_pad) * dt.itemsize,
+            transcendentals=2 * n_pad * s_pad * k_pad,
+        ),
+        interpret=interpret,
+    )(x2p, abp, cp)
+    return out[:n, :n_states]
+
+
+def transposed_natural_params(gmm: GmmSet, var_floor: float = 1e-3):
+    """Component-major GEMM layout: ab_t[K, 2D, S], c_t[K, S]."""
+    nat = natural_params(gmm, var_floor)
+    S, K, D = gmm.means.shape
+    ab = nat.ab.reshape(2 * D, S, K)
+    return ab.transpose(2, 0, 1), nat.c.reshape(S, K).T
+
+
+def gmm_loglik_pallas(
+    x: jax.Array,
+    gmm: GmmSet,
+    tile_m: int = 256,
+    tile_s: int = 128,
+    kc: int = 8,
+    compute_dtype: str = "float32",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """score(features) -> loglik: [N, D] x GmmSet -> [N, S].
+
+    Drop-in replacement for mogasr.am.gmm.gmm_loglik; runs the fused Pallas
+    kernel on TPU, interpreter mode elsewhere (tests).
+    """
+    S, K, D = gmm.means.shape
+    kc = min(kc, K)
+    if interpret is None:
+        interpret = not _on_tpu()
+    ab_t, c_t = transposed_natural_params(gmm)
+    x2 = quadratic_features(x)
+    return _gmm_loglik_pallas_impl(
+        x2, ab_t, c_t, S, K, tile_m, tile_s, kc, compute_dtype, interpret
+    )
+
+
+def gmm_loglik_batched(
+    feats: jax.Array,   # [B, T, D]
+    gmm: GmmSet,
+    **kwargs,
+) -> jax.Array:
+    """Batched scorer over padded utterance batches: [B, T, D] -> [B, T, S]."""
+    B, T, D = feats.shape
+    out = gmm_loglik_pallas(feats.reshape(B * T, D), gmm, **kwargs)
+    return out.reshape(B, T, -1)

@@ -7,10 +7,17 @@ box. Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon sitecustomize force-registers the TPU plugin with
+# jax_platforms="axon,cpu", overriding the env var — override it back so the
+# test suite runs hermetically on the faked 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

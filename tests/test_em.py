@@ -1,0 +1,120 @@
+"""EM tests: recovery of known GMM params on synthetic data, monotone
+loglik, splitting and flooring behavior (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mogasr.am import em
+from mogasr.am.gmm import GmmSet, gmm_loglik_np
+
+
+def _sample_gmm(rng, weights, means, variances, n):
+    """Sample n points from a single state's GMM."""
+    K, D = means.shape
+    comps = rng.choice(K, size=n, p=weights)
+    return means[comps] + rng.standard_normal((n, D)) * np.sqrt(variances[comps])
+
+
+def test_em_recovers_known_gmm(rng):
+    """Two well-separated components in one state: EM recovers them."""
+    true_mu = np.array([[-2.0, 0.0], [3.0, 1.0]])
+    true_var = np.array([[0.5, 0.3], [0.4, 0.6]])
+    true_w = np.array([0.4, 0.6])
+    x = _sample_gmm(rng, true_w, true_mu, true_var, 4000).astype(np.float32)
+    labels = np.zeros(4000, np.int64)
+
+    g = GmmSet(
+        weights=jnp.array([[0.5, 0.5]]),
+        means=jnp.array([[[-1.0, -1.0], [1.0, 1.0]]]),
+        vars=jnp.ones((1, 2, 2)),
+    )
+    lls = []
+    for _ in range(20):
+        stats = em.accumulate_stats(g, jnp.asarray(x), jnp.asarray(labels))
+        lls.append(float(stats.loglik))
+        g = em.m_step(g, stats)
+    # monotone nondecreasing loglik
+    assert all(b >= a - 1e-3 for a, b in zip(lls, lls[1:])), lls
+    mu = np.asarray(g.means[0])
+    w = np.asarray(g.weights[0])
+    order = np.argsort(mu[:, 0])
+    np.testing.assert_allclose(mu[order], true_mu, atol=0.15)
+    np.testing.assert_allclose(w[order], true_w, atol=0.05)
+    np.testing.assert_allclose(np.asarray(g.vars[0])[order], true_var, atol=0.15)
+
+
+def test_padding_frames_excluded(rng):
+    x = rng.standard_normal((100, 3)).astype(np.float32)
+    labels = np.zeros(100, np.int64)
+    labels[50:] = -1
+    g = GmmSet(jnp.ones((1, 1)), jnp.zeros((1, 1, 3)), jnp.ones((1, 1, 3)))
+    stats = em.accumulate_stats(g, jnp.asarray(x), jnp.asarray(labels))
+    assert float(stats.n_frames) == 50
+    np.testing.assert_allclose(float(stats.occ.sum()), 50, atol=1e-4)
+    # equals stats over only the valid prefix
+    stats2 = em.accumulate_stats(g, jnp.asarray(x[:50]), jnp.asarray(labels[:50]))
+    np.testing.assert_allclose(np.asarray(stats.sx), np.asarray(stats2.sx), atol=1e-4)
+
+
+def test_multi_state_separation(rng):
+    """Frames routed by label to distinct states stay distinct."""
+    xa = rng.standard_normal((200, 2)).astype(np.float32) + np.array([5, 0], np.float32)
+    xb = rng.standard_normal((200, 2)).astype(np.float32) + np.array([-5, 0], np.float32)
+    x = np.concatenate([xa, xb])
+    labels = np.concatenate([np.zeros(200, np.int64), np.ones(200, np.int64)])
+    g = GmmSet(jnp.ones((2, 1)), jnp.zeros((2, 1, 2)), jnp.ones((2, 1, 2)))
+    stats = em.accumulate_stats(g, jnp.asarray(x), jnp.asarray(labels))
+    g = em.m_step(g, stats)
+    assert float(g.means[0, 0, 0]) > 4.0
+    assert float(g.means[1, 0, 0]) < -4.0
+
+
+def test_split_components():
+    g = GmmSet(jnp.ones((2, 1)), jnp.zeros((2, 1, 3)), jnp.ones((2, 1, 3)))
+    g2 = em.split_components(g, perturb=0.2)
+    assert g2.weights.shape == (2, 2)
+    assert g2.means.shape == (2, 2, 3)
+    np.testing.assert_allclose(np.asarray(g2.weights.sum(-1)), 1.0, atol=1e-6)
+    # split means straddle the original
+    assert float(g2.means[0, 0, 0]) < 0 < float(g2.means[0, 1, 0])
+
+
+def test_var_floor():
+    """Degenerate data (all identical) must hit the variance floor, not 0."""
+    x = np.ones((50, 2), np.float32)
+    labels = np.zeros(50, np.int64)
+    g = GmmSet(jnp.ones((1, 1)), jnp.zeros((1, 1, 2)), jnp.ones((1, 1, 2)))
+    stats = em.accumulate_stats(g, jnp.asarray(x), jnp.asarray(labels))
+    g = em.m_step(g, stats, var_floor=1e-3)
+    assert np.all(np.asarray(g.vars) >= 1e-3 - 1e-9)
+
+
+def test_low_occupancy_keeps_old_params():
+    x = np.zeros((1, 2), np.float32)
+    labels = np.array([-1])  # nothing assigned
+    g = GmmSet(jnp.ones((1, 1)), 7.0 * jnp.ones((1, 1, 2)), 2.0 * jnp.ones((1, 1, 2)))
+    stats = em.accumulate_stats(g, jnp.asarray(x), jnp.asarray(labels))
+    g2 = em.m_step(g, stats)
+    np.testing.assert_allclose(np.asarray(g2.means), 7.0)
+    np.testing.assert_allclose(np.asarray(g2.vars), 2.0)
+
+
+def test_init_from_labels(rng):
+    x = np.concatenate(
+        [rng.standard_normal((100, 2)) + 3, rng.standard_normal((100, 2)) - 3]
+    ).astype(np.float32)
+    labels = np.concatenate([np.zeros(100, np.int64), np.ones(100, np.int64)])
+    g = em.init_from_labels(x, labels, n_states=3)
+    assert g.means.shape == (3, 1, 2)
+    assert abs(float(g.means[0, 0, 0]) - 3) < 0.5
+    assert abs(float(g.means[1, 0, 0]) + 3) < 0.5
+    # state 2 unseen -> global stats
+    assert abs(float(g.means[2, 0, 0])) < 0.5
+
+
+def test_stats_are_psummable():
+    a = em.zero_stats(2, 1, 3)
+    b = em.zero_stats(2, 1, 3)
+    c = em.add_stats(a, b)
+    assert c.occ.shape == (2, 1)
