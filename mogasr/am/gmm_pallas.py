@@ -54,14 +54,27 @@ def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: i
         s_scr[:] = jnp.zeros_like(s_scr)
 
     x = x_ref[:]
-    for kk in range(kc):  # static unroll over the components of this chunk
-        scores = jnp.dot(
-            x, ab_ref[kk], preferred_element_type=jnp.float32, precision=precision
-        ) + c_ref[kk].astype(jnp.float32)
-        m_old = m_scr[:]
-        m_new = jnp.maximum(m_old, scores)
-        s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + jnp.exp(scores - m_new)
-        m_scr[:] = m_new
+    # Static unroll: KC dots first, then one chunk-local logsumexp and a single
+    # accumulator merge. This cuts the VPU epilogue from ~9 passes per dot
+    # (naive online update) to ~4 (max, sub, exp, add), which matters because
+    # the kernel is VPU-bound, not MXU-bound (measured: naive online update
+    # plateaus at ~17 TFLOP/s bf16 across all tile shapes).
+    scores = [
+        jnp.dot(x, ab_ref[kk], preferred_element_type=jnp.float32, precision=precision)
+        + c_ref[kk].astype(jnp.float32)
+        for kk in range(kc)
+    ]
+    cmax = scores[0]
+    for kk in range(1, kc):
+        cmax = jnp.maximum(cmax, scores[kk])
+    csum = jnp.exp(scores[0] - cmax)
+    for kk in range(1, kc):
+        csum = csum + jnp.exp(scores[kk] - cmax)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, cmax)
+    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + csum * jnp.exp(cmax - m_new)
+    m_scr[:] = m_new
 
     @pl.when(k == n_kc - 1)
     def _():
@@ -142,9 +155,9 @@ def transposed_natural_params(gmm: GmmSet, var_floor: float = 1e-3):
 def gmm_loglik_pallas(
     x: jax.Array,
     gmm: GmmSet,
-    tile_m: int = 256,
-    tile_s: int = 128,
-    kc: int = 8,
+    tile_m: int = 512,
+    tile_s: int = 256,
+    kc: int = 16,
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
 ) -> jax.Array:

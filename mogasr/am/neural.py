@@ -1,0 +1,104 @@
+"""Neural acoustic models: MLP and LSTM frame classifiers (hybrid NN-HMM).
+
+BASELINE.json configs[3]: "Neural acoustic-model variant forward pass
+(MLP/LSTM frame classifier) with on-device frame-sync decode". Flax linen
+modules lowered to XLA; the LSTM's time recursion is ``nn.RNN`` (lax.scan
+inside — the second sequential hot loop, SURVEY.md §3.4).
+
+Hybrid decoding uses scaled likelihoods: log p(x|s) ~ log p(s|x) - log p(s),
+with state priors estimated from the alignment label counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mogasr.config import TrainConfig
+
+
+def splice_frames(feats: jax.Array, n_frames: jax.Array, context: int) -> jax.Array:
+    """[B, T, D] -> [B, T, (2*context+1)*D] with per-utterance edge clamping."""
+    if context == 0:
+        return feats
+    B, T, D = feats.shape
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    last = jnp.maximum(n_frames - 1, 0)[:, None]
+    cols = []
+    for off in range(-context, context + 1):
+        idx = jnp.clip(t + off, 0, None)
+        idx = jnp.minimum(idx, last)
+        cols.append(jnp.take_along_axis(feats, idx[:, :, None], axis=1))
+    return jnp.concatenate(cols, axis=-1)
+
+
+class MlpAm(nn.Module):
+    """Feed-forward frame classifier over spliced context windows."""
+
+    n_pdfs: int
+    hidden: int = 512
+    layers: int = 3
+    context: int = 4
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
+        x = splice_frames(feats, n_frames, self.context)
+        for _ in range(self.layers):
+            x = nn.Dense(self.hidden)(x)
+            x = nn.LayerNorm()(x)
+            x = nn.relu(x)
+        return nn.Dense(self.n_pdfs)(x)  # [B, T, n_pdfs] logits
+
+
+class LstmAm(nn.Module):
+    """Unidirectional stacked-LSTM frame classifier."""
+
+    n_pdfs: int
+    hidden: int = 512
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
+        x = feats
+        for _ in range(self.layers):
+            x = nn.RNN(nn.OptimizedLSTMCell(self.hidden))(x, seq_lengths=n_frames)
+        return nn.Dense(self.n_pdfs)(x)
+
+
+def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
+    if arch == "mlp":
+        return MlpAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=cfg.nn_layers, context=cfg.nn_context)
+    if arch == "lstm":
+        return LstmAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=max(cfg.nn_layers - 1, 1))
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def frame_ce_loss(
+    logits: jax.Array,   # [B, T, P]
+    labels: jax.Array,   # [B, T] pdf ids, -1 padding
+) -> Tuple[jax.Array, jax.Array]:
+    """Masked frame cross-entropy -> (mean loss, frame accuracy)."""
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
+    n = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n
+    acc = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == safe, False)) / n
+    return loss, acc
+
+
+def state_priors(labels: np.ndarray, n_pdfs: int, smooth: float = 1.0) -> np.ndarray:
+    """log p(s) from alignment label counts (for hybrid decoding)."""
+    counts = np.bincount(labels[labels >= 0].reshape(-1), minlength=n_pdfs) + smooth
+    return np.log(counts / counts.sum()).astype(np.float32)
+
+
+def posteriors_to_loglik(logits: jax.Array, log_priors: jax.Array) -> jax.Array:
+    """Hybrid scaled likelihood: log p(x|s) ∝ log p(s|x) - log p(s)."""
+    return jax.nn.log_softmax(logits, axis=-1) - log_priors[None, None, :]

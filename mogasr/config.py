@@ -101,7 +101,10 @@ class TopologyConfig:
 
 @dataclass(frozen=True)
 class DecodeConfig:
-    beam: float = 16.0
+    # beam is in acoustic_scale-multiplied log units; 0 disables pruning
+    # (exact dense Viterbi — cheap at monophone graph sizes). If you enable a
+    # beam, match it to acoustic_scale: beam ~ 16 suits scale ~ 0.1.
+    beam: float = 0.0
     acoustic_scale: float = 0.1
     word_insertion_penalty: float = 0.0
     max_active: int = 0  # 0 = unlimited (dense Viterbi)

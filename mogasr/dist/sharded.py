@@ -1,0 +1,108 @@
+"""Data-parallel (sharded) pipeline steps: eval, EM, NN training.
+
+SURVEY.md §3.5: the eval/EM entry points are the only ones that cross chips.
+Implementation is idiomatic jit-over-NamedSharding: inputs carry a
+``('data',)``-sharded leading dim, parameters are replicated, and XLA inserts
+the ICI all-reduces where outputs must be replicated (EM stats via the
+segment-sum -> replicated-output contraction; NN grads via the mean loss).
+``shard_map`` is deliberately not needed — there is no manual collective the
+compiler can't derive here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from mogasr.am import em
+from mogasr.am.gmm import GmmSet, gmm_loglik
+from mogasr.am.gmm_pallas import gmm_loglik_batched
+from mogasr.config import FrontendConfig, TrainConfig
+from mogasr.decoder import viterbi as vit
+from mogasr.dist.mesh import data_sharding, replicated
+
+
+def make_sharded_em_step(mesh: Mesh):
+    """(gmm, feats[N,D], labels[N]) -> GmmStats, with N sharded over chips.
+
+    The [S,K] stat outputs are replicated, so XLA emits a psum over ICI for
+    the cross-chip reduction — the EM allreduce of SURVEY.md §3.3.
+    """
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh),
+        out_shardings=rep,
+    )
+    def em_step(gmm: GmmSet, feats: jax.Array, labels: jax.Array) -> em.GmmStats:
+        return em.accumulate_stats(gmm, feats, labels)
+
+    return em_step
+
+
+def make_sharded_align_step(mesh: Mesh, acoustic_scale: float = 1.0):
+    """Batched score+align step with utterances sharded over chips.
+
+    (gmm, feats[B,T,D], n_frames[B], graphs{...[B,J]}) -> ViterbiResult.
+    Each chip aligns its utterance shard; no cross-chip traffic beyond the
+    (replicated) params broadcast.
+    """
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh),
+        out_shardings=dsh,
+        static_argnums=(4,),
+    )
+    def align_step(gmm, feats, n_frames, graphs, use_pallas=False):
+        B, T, D = feats.shape
+        if use_pallas:
+            ll = gmm_loglik_batched(feats, gmm)
+        else:
+            ll = gmm_loglik(feats.reshape(B * T, D), gmm).reshape(B, T, -1)
+        return vit.viterbi(ll, graphs, n_frames, acoustic_scale=acoustic_scale)
+
+    return align_step
+
+
+def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh):
+    """NN train step with the batch sharded and params/opt-state replicated.
+
+    The mean CE loss contracts over the sharded batch dim -> XLA inserts the
+    gradient all-reduce over ICI.
+    """
+    from mogasr.am.train_nn import TrainState, make_optimizer
+    from mogasr.am.neural import frame_ce_loss
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames, labels):
+        def loss_fn(params):
+            logits = model.apply(params, feats, n_frames)
+            return frame_ce_loss(logits, labels)
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "frame_acc": acc,
+        }
+
+    return train_step

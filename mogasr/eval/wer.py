@@ -1,0 +1,90 @@
+"""Word-error-rate scoring (host side).
+
+SURVEY.md §1 L5: Levenshtein distance over words, corpus-level WER — the
+"matched WER" quality gate of BASELINE.json. Pure NumPy dynamic program;
+scoring is measurement, not part of the device hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class WerCounts:
+    substitutions: int = 0
+    deletions: int = 0
+    insertions: int = 0
+    ref_words: int = 0
+
+    @property
+    def errors(self) -> int:
+        return self.substitutions + self.deletions + self.insertions
+
+    @property
+    def wer(self) -> float:
+        return self.errors / max(self.ref_words, 1)
+
+    def __add__(self, other: "WerCounts") -> "WerCounts":
+        return WerCounts(
+            self.substitutions + other.substitutions,
+            self.deletions + other.deletions,
+            self.insertions + other.insertions,
+            self.ref_words + other.ref_words,
+        )
+
+
+def edit_counts(ref: Sequence[str], hyp: Sequence[str]) -> WerCounts:
+    """Levenshtein alignment with (sub, del, ins) breakdown."""
+    R, H = len(ref), len(hyp)
+    # dp[i][j] = (cost, subs, dels, inss) for ref[:i] vs hyp[:j]
+    cost = np.zeros((R + 1, H + 1), np.int32)
+    cost[:, 0] = np.arange(R + 1)
+    cost[0, :] = np.arange(H + 1)
+    op = np.zeros((R + 1, H + 1), np.int8)  # 0=match,1=sub,2=del,3=ins
+    op[1:, 0] = 2
+    op[0, 1:] = 3
+    for i in range(1, R + 1):
+        for j in range(1, H + 1):
+            if ref[i - 1] == hyp[j - 1]:
+                cost[i, j] = cost[i - 1, j - 1]
+                op[i, j] = 0
+            else:
+                sub = cost[i - 1, j - 1] + 1
+                dele = cost[i - 1, j] + 1
+                ins = cost[i, j - 1] + 1
+                best = min(sub, dele, ins)
+                cost[i, j] = best
+                op[i, j] = 1 if best == sub else (2 if best == dele else 3)
+    counts = WerCounts(ref_words=R)
+    i, j = R, H
+    while i > 0 or j > 0:
+        o = op[i, j]
+        if o == 0 or o == 1:
+            counts.substitutions += int(o == 1)
+            i, j = i - 1, j - 1
+        elif o == 2:
+            counts.deletions += 1
+            i -= 1
+        else:
+            counts.insertions += 1
+            j -= 1
+    return counts
+
+
+def corpus_wer(
+    refs: Sequence[Sequence[str]], hyps: Sequence[Sequence[str]]
+) -> Tuple[float, WerCounts]:
+    """wer(refs, hyps) -> (corpus WER, aggregated counts)."""
+    assert len(refs) == len(hyps), (len(refs), len(hyps))
+    total = WerCounts()
+    for r, h in zip(refs, hyps):
+        total = total + edit_counts(list(r), list(h))
+    return total.wer, total
+
+
+def per_utt_wer(refs, hyps) -> List[float]:
+    return [edit_counts(list(r), list(h)).wer for r, h in zip(refs, hyps)]

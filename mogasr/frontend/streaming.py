@@ -1,0 +1,151 @@
+"""Streaming (chunked) front end with exact chunk-boundary handling.
+
+BASELINE.json configs[4]: "streaming chunked front end". Design (SURVEY.md §5
+long-context row): sequence scaling comes from chunked processing with correct
+frame/context overlap — not attention-style SP. The streamer produces features
+*identical to the offline batched front end* (tested), with these rules:
+
+- sample buffering keeps the frame_length-hop overlap across chunk boundaries,
+  plus one trailing sample for pre-emphasis continuity;
+- delta context induces an emission lag of ``delta_order * delta_window``
+  frames; ``finalize()`` flushes the tail with offline edge replication;
+- CMVN: per-utterance CMVN is acausal, so streaming supports ``global``
+  (precomputed stats applied frame-wise), ``none``, or deferred per-utterance
+  normalization applied by the caller after finalize.
+
+The per-chunk spectral pipeline (window+DFT+mel+DCT GEMMs) reuses the same
+fused jitted kernel chain as the offline path, bucketed to a fixed chunk frame
+count so XLA compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mogasr.config import FrontendConfig
+from mogasr.frontend import numpy_ref as npref
+from mogasr.frontend.jax_frontend import HIGHEST, build_consts
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_kernel(cfg: FrontendConfig, max_frames: int):
+    """Jitted windowed-DFT->mel->DCT over [max_frames, frame_length] frames."""
+    consts = build_consts(cfg)
+
+    @jax.jit
+    def run(frames: jax.Array) -> jax.Array:
+        re = jnp.dot(frames, consts.dft_cos_w, precision=HIGHEST)
+        im = jnp.dot(frames, consts.dft_sin_w, precision=HIGHEST)
+        pspec = re * re + im * im
+        mel = jnp.dot(pspec, consts.mel, precision=HIGHEST)
+        logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+        if cfg.feature_type == "fbank":
+            return logmel
+        return jnp.dot(logmel, consts.dct_lift, precision=HIGHEST)
+
+    return run
+
+
+class StreamingFrontend:
+    """Chunked feature extractor; emits [n, feat_dim] arrays incrementally."""
+
+    def __init__(
+        self,
+        cfg: FrontendConfig,
+        chunk_frames: int = 64,
+        cmvn_mean: Optional[np.ndarray] = None,
+        cmvn_istd: Optional[np.ndarray] = None,
+    ):
+        if cfg.use_energy:
+            raise NotImplementedError("streaming use_energy not supported yet")
+        self.cfg = cfg
+        self.chunk_frames = chunk_frames
+        self.kernel = _chunk_kernel(cfg, chunk_frames)
+        self._buf = np.zeros(0, np.float64)   # un-consumed samples
+        self._prev_sample = 0.0               # for pre-emphasis continuity
+        self._first = True
+        self._base: List[np.ndarray] = []     # base (pre-delta) frames so far
+        self._emitted = 0                     # final frames already emitted
+        if cfg.cmvn == "global":
+            assert cmvn_mean is not None and cmvn_istd is not None, (
+                "global CMVN streaming needs precomputed stats"
+            )
+        self.cmvn_mean = cmvn_mean
+        self.cmvn_istd = cmvn_istd
+
+    @property
+    def _lag(self) -> int:
+        return self.cfg.delta_order * self.cfg.delta_window
+
+    def _consume_frames(self) -> None:
+        """Turn buffered samples into base feature frames."""
+        cfg = self.cfg
+        L, H = cfg.frame_length, cfg.frame_shift
+        n = len(self._buf)
+        if n < L:
+            return
+        t = (n - L) // H + 1
+        idx = np.arange(t)[:, None] * H + np.arange(L)[None, :]
+        raw = self._buf[idx]
+        # pre-emphasis with cross-chunk continuity
+        prevs = np.empty((t, L))
+        prevs[:, 1:] = raw[:, :-1]
+        starts = idx[:, 0]
+        prev_of_start = np.where(
+            starts > 0, self._buf[np.maximum(starts - 1, 0)], self._prev_sample
+        )
+        if self._first:
+            # Kaldi convention: very first sample emphasized against itself
+            prev_of_start = np.where(starts == 0, raw[:, 0], prev_of_start)
+        prevs[:, 0] = prev_of_start
+        frames = raw - cfg.preemphasis * prevs
+
+        for i in range(0, t, self.chunk_frames):
+            block = frames[i : i + self.chunk_frames]
+            nb = block.shape[0]
+            padded = np.zeros((self.chunk_frames, L), np.float32)
+            padded[:nb] = block.astype(np.float32)
+            out = np.asarray(self.kernel(jnp.asarray(padded)))[:nb]
+            self._base.append(out)
+        # drop consumed samples; keep from start of next frame, minus one
+        # sample of pre-emphasis history
+        next_start = t * H
+        self._prev_sample = float(self._buf[next_start - 1])
+        self._buf = self._buf[next_start:]
+        self._first = False
+
+    def _deltas_ready(self, t_ready: int, final: bool) -> np.ndarray:
+        """Final features for frames [emitted, t_ready) with full context."""
+        cfg = self.cfg
+        if t_ready <= self._emitted:
+            return np.zeros((0, cfg.feat_dim), np.float32)
+        base = np.concatenate(self._base) if self._base else np.zeros((0, cfg.base_dim))
+        feats = [base]
+        prev = base
+        for _ in range(cfg.delta_order):
+            prev = npref.compute_deltas(prev, cfg.delta_window)
+            feats.append(prev)
+        full = np.concatenate(feats, axis=-1)
+        out = full[self._emitted : t_ready].astype(np.float32)
+        self._emitted = t_ready
+        if self.cfg.cmvn == "global":
+            out = (out - self.cmvn_mean) * self.cmvn_istd
+        return out
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Feed a chunk of audio; returns newly-final [n, feat_dim] features."""
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float64)])
+        self._consume_frames()
+        t_avail = sum(b.shape[0] for b in self._base)
+        return self._deltas_ready(max(t_avail - self._lag, 0), final=False)
+
+    def finalize(self) -> np.ndarray:
+        """Flush remaining frames with end-of-utterance edge replication."""
+        self._consume_frames()
+        t_avail = sum(b.shape[0] for b in self._base)
+        return self._deltas_ready(t_avail, final=True)

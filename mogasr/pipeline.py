@@ -1,0 +1,232 @@
+"""High-level pipeline: featurize -> train (EM) -> align/decode -> evaluate.
+
+The L6 layer under the CLIs (SURVEY.md §1): glues the fused front end, the
+GMM/neural scorers, the on-device Viterbi and the EM trainer into the five
+BASELINE.json workloads. Host code here only orchestrates; every hot loop is
+the jitted device code in the layer modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mogasr.am import em
+from mogasr.am.gmm import GmmSet, gmm_loglik
+from mogasr.am.gmm_pallas import gmm_loglik_batched, _on_tpu
+from mogasr.config import (
+    BatchConfig,
+    DecodeConfig,
+    FrontendConfig,
+    GmmConfig,
+    PipelineConfig,
+    TrainConfig,
+)
+from mogasr.data.batching import Batch, make_batches
+from mogasr.decoder import viterbi as vit
+from mogasr.eval.wer import corpus_wer
+from mogasr.frontend.jax_frontend import cached_frontend
+from mogasr.hmm import graph as gr
+from mogasr.hmm.lexicon import Lexicon
+from mogasr.hmm.topology import Topology, build_topology
+
+
+@dataclasses.dataclass
+class FeatBatch:
+    utt_ids: List[str]
+    feats: jax.Array      # [B, T, D]
+    n_frames: jax.Array   # [B]
+    words: List[List[str]]
+
+    @property
+    def size(self) -> int:
+        return len(self.utt_ids)
+
+
+def featurize(
+    utts: Sequence[Tuple[str, np.ndarray, List[str]]],
+    fcfg: FrontendConfig,
+    bcfg: BatchConfig,
+) -> List[FeatBatch]:
+    """Batch + run the fused front end; one compile per bucket shape."""
+    out = []
+    for batch in make_batches(utts, bcfg, fcfg):
+        fe = cached_frontend(fcfg, batch.waves.shape[1])
+        feats, n_frames = fe(jnp.asarray(batch.waves), jnp.asarray(batch.num_samples))
+        out.append(FeatBatch(batch.utt_ids, feats, n_frames, batch.words))
+    return out
+
+
+def score_batch(feats: jax.Array, gmm: GmmSet, use_pallas: Optional[bool] = None) -> jax.Array:
+    """[B, T, D] -> [B, T, S]; Pallas kernel on TPU, chunked XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    B, T, D = feats.shape
+    if use_pallas:
+        return gmm_loglik_batched(feats, gmm)
+    return gmm_loglik(feats.reshape(B * T, D), gmm).reshape(B, T, -1)
+
+
+def build_align_graphs(
+    batch_words: List[List[str]], lexicon: Lexicon, topo: Topology
+) -> Dict[str, np.ndarray]:
+    gs = [
+        gr.align_graph(topo, lexicon.words_to_phone_ids(w)) if w else gr.align_graph(topo, [lexicon.sil_id])
+        for w in batch_words
+    ]
+    return gr.batch_graphs(gs)
+
+
+def align_batch(
+    fb: FeatBatch,
+    gmm: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+    acoustic_scale: float = 1.0,
+) -> Tuple[vit.ViterbiResult, jax.Array, Dict[str, jax.Array]]:
+    """Force-align a featurized batch -> (result, pdf labels [B,T], graphs)."""
+    graphs_np = build_align_graphs(fb.words, lexicon, topo)
+    graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+    ll = score_batch(fb.feats, gmm)
+    res = vit.viterbi(ll, graphs, fb.n_frames, acoustic_scale=acoustic_scale)
+    labels = vit.path_to_pdfs(res, graphs)
+    return res, labels, graphs
+
+
+def flat_start(
+    batches: Sequence[FeatBatch], lexicon: Lexicon, topo: Topology
+) -> GmmSet:
+    """Uniform-alignment single-component init (SURVEY.md §7 step 3)."""
+    all_feats, all_labels = [], []
+    for fb in batches:
+        feats = np.asarray(fb.feats)
+        nf = np.asarray(fb.n_frames)
+        for b in range(fb.size):
+            g = gr.align_graph(
+                topo,
+                lexicon.words_to_phone_ids(fb.words[b]) if fb.words[b] else [lexicon.sil_id],
+            )
+            t = int(nf[b])
+            if t == 0:
+                continue
+            all_feats.append(feats[b, :t])
+            all_labels.append(em.uniform_alignment_labels(g.emit_id, g.n_states, t))
+    x = np.concatenate(all_feats)
+    y = np.concatenate(all_labels)
+    return em.init_from_labels(x, y, topo.n_pdfs)
+
+
+def train_gmm(
+    batches: Sequence[FeatBatch],
+    lexicon: Lexicon,
+    topo: Topology,
+    gcfg: GmmConfig,
+    tcfg: TrainConfig,
+    logger=None,
+    gmm: Optional[GmmSet] = None,
+) -> Tuple[GmmSet, List[float]]:
+    """EM training with realignment and mixture-splitting schedule.
+
+    Doubles components every few iterations until gcfg.n_components, then
+    keeps refining — the standard monophone recipe shape (SURVEY.md §2 "EM
+    trainer" row).
+    """
+    if gmm is None:
+        gmm = flat_start(batches, lexicon, topo)
+    history: List[float] = []
+    it = 0
+    while it < tcfg.num_em_iters:
+        stats = None
+        for fb in batches:
+            _res, labels, _ = align_batch(fb, gmm, lexicon, topo)
+            flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
+            s = em.accumulate_stats(gmm, flat_feats, labels.reshape(-1))
+            stats = s if stats is None else em.add_stats(stats, s)
+        gmm = em.m_step(
+            gmm, stats, var_floor=gcfg.var_floor, weight_floor=gcfg.weight_floor
+        )
+        ll = float(stats.loglik) / max(float(stats.n_frames), 1.0)
+        history.append(ll)
+        if logger:
+            logger.log({"stage": "em", "iter": it, "K": gmm.n_components, "avg_loglik": ll})
+        it += 1
+        # splitting schedule: double K every 2 iterations until target
+        if gmm.n_components < gcfg.n_components and it % 2 == 0:
+            gmm = em.split_components(gmm, perturb=gcfg.split_perturb, seed=it)
+            if gmm.n_components > gcfg.n_components:
+                gmm = GmmSet(
+                    gmm.weights[:, : gcfg.n_components],
+                    gmm.means[:, : gcfg.n_components],
+                    gmm.vars[:, : gcfg.n_components],
+                )
+    return gmm, history
+
+
+def word_decode_graph(
+    lexicon: Lexicon,
+    topo: Topology,
+    dcfg: DecodeConfig,
+    word_logp: Optional[np.ndarray] = None,
+) -> gr.Graph:
+    """Word-loop decode graph over the full vocabulary + a silence chain."""
+    tokens = [(w, lexicon.word_phone_ids(w)) for w in lexicon.words]
+    tokens.append(("<sil>", [lexicon.sil_id]))
+    if word_logp is None:
+        n = len(lexicon.words)
+        word_logp = np.full(len(tokens), -np.log(n + 1), np.float32)
+    return gr.loop_graph(
+        topo, tokens=tokens, token_logp=word_logp, insertion_penalty=dcfg.word_insertion_penalty
+    )
+
+
+def decode_batch(
+    fb: FeatBatch,
+    scores: jax.Array,
+    graph: gr.Graph,
+    dcfg: DecodeConfig,
+    drop_tokens: Tuple[str, ...] = ("<sil>", "sil"),
+) -> List[List[str]]:
+    """Viterbi-decode scored frames against a shared loop graph -> token seqs."""
+    B = fb.size
+    graphs_np = gr.batch_graphs([graph] * scores.shape[0])
+    graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+    res = vit.viterbi(
+        scores,
+        graphs,
+        fb.n_frames,
+        acoustic_scale=dcfg.acoustic_scale,
+        beam=dcfg.beam,
+    )
+    toks = vit.path_to_tokens(res, graph.labels, graphs_np["chain_id"])
+    return [[t for t in seq if t not in drop_tokens] for seq in toks[:B]]
+
+
+def evaluate(
+    batches: Sequence[FeatBatch],
+    gmm: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+    dcfg: DecodeConfig,
+) -> Dict[str, float]:
+    """Full decode + WER over featurized batches (single-chip path)."""
+    graph = word_decode_graph(lexicon, topo, dcfg)
+    refs, hyps = [], []
+    for fb in batches:
+        scores = score_batch(fb.feats, gmm)
+        out = decode_batch(fb, scores, graph, dcfg)
+        for b in range(fb.size):
+            refs.append([w.lower() for w in fb.words[b]])
+            hyps.append([w.lower() for w in out[b]])
+    wer, counts = corpus_wer(refs, hyps)
+    return {
+        "wer": wer,
+        "sub": counts.substitutions,
+        "del": counts.deletions,
+        "ins": counts.insertions,
+        "ref_words": counts.ref_words,
+        "n_utts": len(refs),
+    }

@@ -1,0 +1,118 @@
+"""Multi-chip tests on the faked 8-device CPU mesh (SURVEY.md §4):
+shard_map-free sharded steps must be bit-identical to single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mogasr.am import em
+from mogasr.am.gmm import GmmSet
+from mogasr.config import MeshConfig, TrainConfig, TopologyConfig
+from mogasr.dist import mesh as M
+from mogasr.dist.sharded import (
+    make_sharded_align_step,
+    make_sharded_em_step,
+    make_sharded_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest should fake 8 CPU devices"
+    return M.make_mesh(MeshConfig())
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+
+
+def test_sharded_em_matches_local(mesh, rng):
+    S, K, D, N = 5, 2, 3, 64
+    g = GmmSet(
+        jnp.asarray(rng.dirichlet(np.ones(K), size=S).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((S, K, D)).astype(np.float32)),
+        jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
+    )
+    feats = rng.standard_normal((N, D)).astype(np.float32)
+    labels = rng.integers(0, S, N).astype(np.int64)
+    labels[-5:] = -1
+
+    local = em.accumulate_stats(g, jnp.asarray(feats), jnp.asarray(labels))
+    step = make_sharded_em_step(mesh)
+    gr = M.replicate(g, mesh)
+    fs, ls = M.shard_batch((feats, labels), mesh)
+    dist = step(gr, fs, ls)
+    np.testing.assert_allclose(np.asarray(dist.occ), np.asarray(local.occ), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist.sx), np.asarray(local.sx), atol=1e-5)
+    np.testing.assert_allclose(float(dist.loglik), float(local.loglik), rtol=1e-6)
+
+
+def test_sharded_align_matches_local(mesh, rng):
+    from mogasr.hmm import graph as gr_mod
+    from mogasr.hmm.lexicon import make_lexicon
+    from mogasr.hmm.topology import build_topology
+    from mogasr.decoder import viterbi as vit
+
+    lex = make_lexicon({"ab": ["a", "b"]})
+    topo = build_topology(lex, TopologyConfig(states_per_phone=1, sil_states=1))
+    B, T = 8, 12
+    g = gr_mod.align_graph(topo, lex.words_to_phone_ids(["ab"]))
+    graphs_np = gr_mod.batch_graphs([g] * B)
+    feats = rng.standard_normal((B, T, 4)).astype(np.float32)
+    gmm = GmmSet(
+        jnp.ones((topo.n_pdfs, 1)),
+        jnp.asarray(rng.standard_normal((topo.n_pdfs, 1, 4)).astype(np.float32)),
+        jnp.ones((topo.n_pdfs, 1, 4)),
+    )
+    n_frames = np.full(B, T, np.int32)
+
+    from mogasr.am.gmm import gmm_loglik
+
+    ll = gmm_loglik(jnp.asarray(feats.reshape(-1, 4)), gmm).reshape(B, T, -1)
+    local = vit.viterbi(ll, {k: jnp.asarray(v) for k, v in graphs_np.items()}, jnp.asarray(n_frames))
+
+    step = make_sharded_align_step(mesh)
+    gmm_r = M.replicate(gmm, mesh)
+    feats_s, nf_s = M.shard_batch((feats, n_frames), mesh)
+    graphs_s = M.shard_batch({k: v for k, v in graphs_np.items()}, mesh)
+    dist = step(gmm_r, feats_s, nf_s, graphs_s)
+    np.testing.assert_allclose(np.asarray(dist.score), np.asarray(local.score), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(dist.path), np.asarray(local.path))
+
+
+def test_sharded_train_step_matches_local(mesh, rng):
+    from mogasr.am.neural import build_model
+    from mogasr.am.train_nn import init_train_state, make_train_step
+
+    cfg = TrainConfig(nn_hidden=16, nn_layers=1, nn_context=1, lr=1e-2, num_nn_steps=10)
+    model = build_model("mlp", 4, cfg)
+    state = init_train_state(model, cfg, 5, jax.random.key(0))
+    feats = rng.standard_normal((8, 6, 5)).astype(np.float32)
+    labels = rng.integers(0, 4, (8, 6)).astype(np.int64)
+    n_frames = np.full(8, 6, np.int32)
+
+    local_step = make_train_step(model, cfg)
+    s_local, m_local = local_step(
+        state, jnp.asarray(feats), jnp.asarray(n_frames), jnp.asarray(labels)
+    )
+
+    dist_step = make_sharded_train_step(model, cfg, mesh)
+    state_r = M.replicate(state, mesh)
+    fs, nfs, ls = M.shard_batch((feats, n_frames, labels), mesh)
+    s_dist, m_dist = dist_step(state_r, fs, nfs, ls)
+    np.testing.assert_allclose(float(m_dist["loss"]), float(m_local["loss"]), rtol=1e-5)
+    # parameters after one step agree
+    flat_l = jax.tree.leaves(s_local.params)
+    flat_d = jax.tree.leaves(s_dist.params)
+    for a, b in zip(flat_l, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pad_to_multiple():
+    a = np.arange(10)
+    p, n = M.pad_to_multiple(a, 8)
+    assert p.shape == (16,) and n == 10
+    p2, n2 = M.pad_to_multiple(a, 5)
+    assert p2.shape == (10,) and n2 == 10

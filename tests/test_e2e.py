@@ -1,0 +1,58 @@
+"""End-to-end integration (SURVEY.md §4): tiny synthetic corpus, full
+featurize -> flat start -> EM(+splitting) -> realign -> decode -> WER."""
+
+import numpy as np
+import pytest
+
+from mogasr import pipeline as pipe
+from mogasr.config import (
+    BatchConfig,
+    DecodeConfig,
+    FrontendConfig,
+    GmmConfig,
+    TopologyConfig,
+    TrainConfig,
+)
+from mogasr.data.synthetic import make_corpus
+from mogasr.hmm.lexicon import synthetic_lexicon
+from mogasr.hmm.topology import build_topology
+
+FCFG = FrontendConfig()
+BCFG = BatchConfig(batch_size=8, bucket_boundaries=(150, 250, 400))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lex = synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    utts = make_corpus(16, words_per_utt=(2, 3), seed=42)
+    triples = [(u.utt_id, u.wave, u.words) for u in utts]
+    batches = pipe.featurize(triples, FCFG, BCFG)
+    return lex, topo, batches
+
+
+def test_featurize_shapes(setup):
+    lex, topo, batches = setup
+    assert sum(fb.size for fb in batches) == 16
+    for fb in batches:
+        assert fb.feats.shape[-1] == FCFG.feat_dim
+        assert fb.feats.shape[0] == len(fb.utt_ids) or fb.feats.shape[0] == BCFG.batch_size
+
+
+def test_full_loop_trains_and_decodes(setup):
+    lex, topo, batches = setup
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
+    tcfg = TrainConfig(num_em_iters=6)
+    gmm, history = pipe.train_gmm(batches, lex, topo, gcfg, tcfg)
+    assert gmm.n_components == 2
+    # loglik improves over training (compare within same-K segments)
+    assert history[1] >= history[0] - 1e-3
+    assert history[-1] > history[0]
+
+    metrics = pipe.evaluate(
+        batches, gmm, lex, topo, DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    )
+    # synthetic phones are nearly separable: decoding its own training corpus
+    # must beat 30% WER by a wide margin
+    assert metrics["wer"] < 0.3, metrics
+    assert metrics["n_utts"] == 16

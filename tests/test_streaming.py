@@ -1,0 +1,62 @@
+"""Streaming front end: chunked output must equal the offline front end
+exactly, for arbitrary chunk sizes (SURVEY.md §7 chunk-boundary correctness)."""
+
+import numpy as np
+import pytest
+
+from mogasr.config import FrontendConfig
+from mogasr.data.synthetic import synth_utterance
+from mogasr.frontend import numpy_ref as npref
+from mogasr.frontend.streaming import StreamingFrontend
+
+CFG = FrontendConfig(cmvn="none")
+
+
+@pytest.fixture(scope="module")
+def wave():
+    return synth_utterance("s0", ["cat", "moon", "tree"], seed=11).wave
+
+
+@pytest.mark.parametrize("chunk", [160, 1600, 4096, 100000])
+def test_streaming_matches_offline(wave, chunk):
+    ref = npref.extract_features_np(wave, CFG)
+    sf = StreamingFrontend(CFG)
+    outs = []
+    for i in range(0, len(wave), chunk):
+        outs.append(sf.process(wave[i : i + chunk]))
+    outs.append(sf.finalize())
+    got = np.concatenate(outs)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_streaming_emits_incrementally(wave):
+    sf = StreamingFrontend(CFG)
+    first = sf.process(wave[:8000])  # 0.5 s
+    assert first.shape[0] > 0  # emits before utterance end
+    rest = np.concatenate([sf.process(wave[8000:]), sf.finalize()])
+    ref = npref.extract_features_np(wave, CFG)
+    np.testing.assert_allclose(np.concatenate([first, rest]), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_streaming_ragged_chunks(wave):
+    ref = npref.extract_features_np(wave, CFG)
+    rng = np.random.default_rng(0)
+    sf = StreamingFrontend(CFG)
+    outs, i = [], 0
+    while i < len(wave):
+        n = int(rng.integers(1, 3000))
+        outs.append(sf.process(wave[i : i + n]))
+        i += n
+    outs.append(sf.finalize())
+    np.testing.assert_allclose(np.concatenate(outs), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_streaming_global_cmvn(wave):
+    cfg = FrontendConfig(cmvn="global")
+    base = npref.extract_features_np(wave, FrontendConfig(cmvn="none"))
+    mean = base.mean(0)
+    istd = 1.0 / np.sqrt(np.maximum(base.var(0), 1e-10))
+    sf = StreamingFrontend(cfg, cmvn_mean=mean, cmvn_istd=istd)
+    out = np.concatenate([sf.process(wave), sf.finalize()])
+    np.testing.assert_allclose(out, (base - mean) * istd, atol=2e-3, rtol=2e-3)
