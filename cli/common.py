@@ -1,0 +1,64 @@
+"""Shared CLI plumbing: corpus loading, config overrides, run dirs."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional, Tuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from mogasr.config import PipelineConfig, override
+from mogasr.hmm.lexicon import Lexicon, load_lexicon, synthetic_lexicon
+from mogasr.utils.metrics import RunLogger
+
+
+def add_corpus_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--librispeech-root", help="LibriSpeech root directory")
+    p.add_argument("--split", default="dev-clean", help="corpus split name")
+    p.add_argument(
+        "--synthetic", type=int, default=0, metavar="N",
+        help="use N synthetic utterances instead of a real corpus",
+    )
+    p.add_argument("--synthetic-seed", type=int, default=0)
+    p.add_argument("--lexicon", help="Kaldi-style lexicon.txt (word phone...)")
+    p.add_argument("--max-utts", type=int, default=0, help="limit corpus size")
+
+
+def add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--run-dir", default="runs/default", help="metrics/ckpt dir")
+    p.add_argument("--profile", action="store_true", help="emit jax profiler trace")
+
+
+def load_corpus(args) -> Tuple[List[Tuple[str, np.ndarray, List[str]]], Lexicon]:
+    """Returns ([(utt_id, wave, words)], lexicon)."""
+    if args.synthetic > 0:
+        from mogasr.data.synthetic import make_corpus
+
+        utts = make_corpus(args.synthetic, seed=args.synthetic_seed)
+        corpus = [(u.utt_id, u.wave, u.words) for u in utts]
+        lex = synthetic_lexicon()
+    elif args.librispeech_root:
+        from mogasr.data.librispeech import LibriSpeech
+
+        ls = LibriSpeech(args.librispeech_root, args.split)
+        corpus = [
+            (utt_id, wave, text.lower().split())
+            for utt_id, wave, text in ls
+        ]
+        if args.lexicon:
+            lex = load_lexicon(args.lexicon)
+        else:
+            raise SystemExit("--lexicon is required with --librispeech-root")
+    else:
+        raise SystemExit("pass --synthetic N or --librispeech-root DIR")
+    if args.max_utts:
+        corpus = corpus[: args.max_utts]
+    return corpus, lex
+
+
+def make_logger(args) -> RunLogger:
+    return RunLogger(args.run_dir)

@@ -1,0 +1,88 @@
+"""Free decode (word-loop or phone-loop) with the GMM or neural AM.
+
+Covers the decode sides of configs [2] and [3]: frame-synchronous Viterbi on
+device, hypotheses + WER if transcripts are available."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from cli.common import add_corpus_args, add_run_args, load_corpus, make_logger
+from cli.score import load_or_random_gmm
+from mogasr.config import BatchConfig, DecodeConfig, FrontendConfig, TopologyConfig
+from mogasr.eval.wer import corpus_wer
+from mogasr.hmm import graph as gr
+from mogasr.hmm.topology import build_topology
+from mogasr.pipeline import decode_batch, featurize, score_batch, word_decode_graph
+from mogasr.utils.metrics import Timer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_corpus_args(p)
+    add_run_args(p)
+    p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
+    p.add_argument("--num-states", type=int, default=0)
+    p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--mode", default="word", choices=["word", "phone"])
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--beam", type=float, default=0.0)
+    p.add_argument("--insertion-penalty", type=float, default=2.0)
+    p.add_argument("--out", help="write hypotheses (jsonl)")
+    args = p.parse_args()
+
+    corpus, lex = load_corpus(args)
+    fcfg = FrontendConfig()
+    topo = build_topology(lex, TopologyConfig())
+    if args.num_states == 0:
+        args.num_states = topo.n_pdfs
+    dcfg = DecodeConfig(
+        acoustic_scale=args.acoustic_scale,
+        beam=args.beam,
+        word_insertion_penalty=args.insertion_penalty,
+    )
+    logger = make_logger(args)
+    batches = featurize(corpus, fcfg, BatchConfig())
+    gmm = load_or_random_gmm(args, fcfg.feat_dim)
+
+    graph = (
+        word_decode_graph(lex, topo, dcfg)
+        if args.mode == "word"
+        else gr.loop_graph(topo)
+    )
+    refs, hyps, ids = [], [], []
+    audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
+    with Timer() as t:
+        for fb in batches:
+            scores = score_batch(fb.feats, gmm)
+            out = decode_batch(fb, scores, graph, dcfg)
+            for b in range(fb.size):
+                ids.append(fb.utt_ids[b])
+                refs.append([w.lower() for w in fb.words[b]])
+                hyps.append([w.lower() for w in out[b]])
+    rec = {
+        "stage": "decode", "mode": args.mode, "utts": len(ids),
+        "wall_sec": t.seconds, "rtf": t.seconds / max(audio_sec, 1e-9),
+        "utts_per_sec": len(ids) / t.seconds,
+    }
+    if any(refs) and args.mode == "word":
+        wer, counts = corpus_wer(refs, hyps)
+        rec.update(wer=wer, sub=counts.substitutions, dels=counts.deletions,
+                   ins=counts.insertions)
+    logger.log(rec)
+    if args.out:
+        with open(args.out, "w") as f:
+            for utt_id, hyp in zip(ids, hyps):
+                f.write(json.dumps({"utt_id": utt_id, "hyp": hyp}) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""config[4]: full eval sweep — decode + WER + throughput, data-parallel.
+
+Shards utterance batches over the ('data',) mesh (all visible chips), decodes
+with the word-loop graph, reports WER, utterances/sec/chip and RTF
+(SURVEY.md §3.5). Per-chunk hypothesis checkpointing makes a preempted sweep
+resumable (SURVEY.md §5 failure-handling row)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from cli.common import add_corpus_args, add_run_args, load_corpus, make_logger
+from cli.score import load_or_random_gmm
+from mogasr.config import BatchConfig, DecodeConfig, FrontendConfig, MeshConfig, TopologyConfig
+from mogasr.eval.wer import corpus_wer
+from mogasr.hmm.topology import build_topology
+from mogasr.pipeline import decode_batch, featurize, score_batch, word_decode_graph
+from mogasr.utils.metrics import Timer, trace
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_corpus_args(p)
+    add_run_args(p)
+    p.add_argument("--gmm-ckpt")
+    p.add_argument("--num-states", type=int, default=0)
+    p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--insertion-penalty", type=float, default=2.0)
+    args = p.parse_args()
+
+    import jax
+
+    from mogasr.dist import mesh as M
+
+    corpus, lex = load_corpus(args)
+    fcfg = FrontendConfig()
+    topo = build_topology(lex, TopologyConfig())
+    if args.num_states == 0:
+        args.num_states = topo.n_pdfs
+    dcfg = DecodeConfig(
+        acoustic_scale=args.acoustic_scale,
+        word_insertion_penalty=args.insertion_penalty,
+    )
+    logger = make_logger(args)
+    mesh = M.make_mesh(MeshConfig())
+    n_chips = mesh.devices.size
+
+    # batch size must divide over chips
+    bcfg = BatchConfig(batch_size=8 * n_chips)
+    batches = featurize(corpus, fcfg, bcfg)
+    gmm = load_or_random_gmm(args, fcfg.feat_dim)
+    gmm = M.replicate(gmm, mesh)
+    graph = word_decode_graph(lex, topo, dcfg)
+
+    resume_path = os.path.join(args.run_dir, "eval_hyps.jsonl")
+    done = set()
+    if os.path.exists(resume_path):
+        with open(resume_path) as f:
+            done = {json.loads(line)["utt_id"] for line in f}
+
+    refs, hyps = [], []
+    audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
+    prof_dir = os.path.join(args.run_dir, "profile") if args.profile else None
+    with trace(prof_dir), Timer() as t:
+        with open(resume_path, "a") as out_f:
+            for fb in batches:
+                if all(u in done for u in fb.utt_ids):
+                    continue
+                feats = jax.device_put(fb.feats, M.data_sharding(mesh))
+                scores = score_batch(feats, gmm)
+                out = decode_batch(fb, scores, graph, dcfg)
+                for b in range(fb.size):
+                    out_f.write(json.dumps({
+                        "utt_id": fb.utt_ids[b],
+                        "ref": fb.words[b], "hyp": out[b],
+                    }) + "\n")
+                out_f.flush()
+
+    with open(resume_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            refs.append([w.lower() for w in rec["ref"]])
+            hyps.append([w.lower() for w in rec["hyp"]])
+    wer, counts = corpus_wer(refs, hyps)
+    logger.log({
+        "stage": "eval", "split": args.split, "n_chips": n_chips,
+        "utts": len(refs), "wer": wer,
+        "sub": counts.substitutions, "dels": counts.deletions,
+        "ins": counts.insertions,
+        "wall_sec": t.seconds,
+        "utts_per_sec_per_chip": len(refs) / t.seconds / n_chips,
+        "rtf": t.seconds / max(audio_sec, 1e-9),
+    })
+
+
+if __name__ == "__main__":
+    main()

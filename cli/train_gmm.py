@@ -1,0 +1,55 @@
+"""config[2] training side: monophone GMM-HMM EM training with realignment.
+
+featurize -> flat start -> EM with mixture splitting -> checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from cli.common import add_corpus_args, add_run_args, load_corpus, make_logger
+from mogasr.config import BatchConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig
+from mogasr.hmm.topology import build_topology
+from mogasr.pipeline import featurize, train_gmm
+from mogasr.utils.checkpoint import save_checkpoint
+from mogasr.utils.metrics import Timer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_corpus_args(p)
+    add_run_args(p)
+    p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--num-iters", type=int, default=10)
+    args = p.parse_args()
+
+    corpus, lex = load_corpus(args)
+    fcfg = FrontendConfig()
+    topo = build_topology(lex, TopologyConfig())
+    gcfg = GmmConfig(
+        n_states=topo.n_pdfs, n_components=args.num_components, feat_dim=fcfg.feat_dim
+    )
+    tcfg = TrainConfig(num_em_iters=args.num_iters)
+    logger = make_logger(args)
+
+    with Timer() as t:
+        batches = featurize(corpus, fcfg, BatchConfig())
+        gmm, history = train_gmm(batches, lex, topo, gcfg, tcfg, logger=logger)
+    logger.log({
+        "stage": "train_gmm_done", "iters": len(history),
+        "final_avg_loglik": history[-1], "wall_sec": t.seconds,
+        "K": gmm.n_components, "S": gmm.n_states,
+    })
+    ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm")
+    save_checkpoint(ckpt, gmm._asdict(), step=len(history))
+    print(f"saved GMM ({gmm.n_states} states x {gmm.n_components} comps) to {ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""config[3] training: neural frame classifier (MLP/LSTM) on GMM alignments.
+
+Bootstrap labels come from forced alignment with a trained (or flat-start)
+GMM; training is CE + AdamW (SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from cli.common import add_corpus_args, add_run_args, load_corpus, make_logger
+from mogasr.config import (
+    BatchConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
+)
+from mogasr.hmm.topology import build_topology
+from mogasr.pipeline import align_batch, featurize, train_gmm
+from mogasr.utils.checkpoint import save_checkpoint
+from mogasr.utils.metrics import Timer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_corpus_args(p)
+    add_run_args(p)
+    p.add_argument("--arch", default="mlp", choices=["mlp", "lstm"])
+    p.add_argument("--hidden", type=int, default=512)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--bootstrap-iters", type=int, default=6,
+                   help="EM iterations for the GMM that produces labels")
+    p.add_argument("--bootstrap-components", type=int, default=4)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mogasr.am.neural import build_model
+    from mogasr.am.train_nn import init_train_state, make_train_step
+
+    corpus, lex = load_corpus(args)
+    fcfg = FrontendConfig()
+    topo = build_topology(lex, TopologyConfig())
+    logger = make_logger(args)
+    batches = featurize(corpus, fcfg, BatchConfig())
+
+    # GMM bootstrap for alignment labels (stack 3.3)
+    gcfg = GmmConfig(
+        n_states=topo.n_pdfs, n_components=args.bootstrap_components,
+        feat_dim=fcfg.feat_dim,
+    )
+    gmm, _hist = train_gmm(
+        batches, lex, topo, gcfg, TrainConfig(num_em_iters=args.bootstrap_iters),
+        logger=logger,
+    )
+    labeled = []
+    for fb in batches:
+        _res, labels, _ = align_batch(fb, gmm, lex, topo)
+        labeled.append((fb, labels))
+
+    tcfg = TrainConfig(
+        nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
+        lr=args.lr, num_nn_steps=args.steps,
+    )
+    model = build_model(args.arch, topo.n_pdfs, tcfg)
+    state = init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(tcfg.seed))
+    step_fn = make_train_step(model, tcfg)
+
+    with Timer() as t:
+        i = 0
+        while i < args.steps:
+            for fb, labels in labeled:
+                state, metrics = step_fn(state, fb.feats, fb.n_frames, labels)
+                i += 1
+                if i % 50 == 0:
+                    logger.log({
+                        "stage": "train_nn", "step": i,
+                        "loss": float(metrics["loss"]),
+                        "frame_acc": float(metrics["frame_acc"]),
+                    })
+                if i >= args.steps:
+                    break
+    logger.log({"stage": "train_nn_done", "steps": i, "wall_sec": t.seconds,
+                "final_loss": float(metrics["loss"]),
+                "final_frame_acc": float(metrics["frame_acc"])})
+    ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_{args.arch}")
+    save_checkpoint(ckpt, {"params": state.params}, step=i)
+    print(f"saved {args.arch} AM to {ckpt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""CLI smoke tests: each entry script runs end-to-end on a tiny synthetic
+corpus (in-process, CPU backend via conftest)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_cli(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module.main()
+
+
+def test_features_cli(tmp_path, monkeypatch):
+    from cli import features
+
+    out = str(tmp_path / "feats.npz")
+    run_cli(
+        features,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--check-parity", "--out", out],
+        monkeypatch,
+    )
+    data = np.load(out)
+    assert len(data.files) == 4
+    for k in data.files:
+        assert data[k].shape[1] == 39
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    parity = [m for m in metrics if m.get("stage") == "parity"]
+    assert parity and parity[0]["pass"]
+
+
+def test_score_cli(tmp_path, monkeypatch):
+    from cli import score
+
+    out = str(tmp_path / "ll.npz")
+    run_cli(
+        score,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-states", "50", "--num-components", "4", "--out", out],
+        monkeypatch,
+    )
+    data = np.load(out)
+    assert len(data.files) == 3
+    for k in data.files:
+        assert data[k].shape[1] == 50
+
+
+def test_align_cli(tmp_path, monkeypatch):
+    from cli import align
+
+    out = str(tmp_path / "ali.jsonl")
+    run_cli(
+        align,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 3
+    assert all(len(l["pdfs"]) == len(l["phones"]) > 0 for l in lines)
+    # alignment starts and ends in silence (edge sil in the align graph)
+    assert lines[0]["phones"][0] == "sil" and lines[0]["phones"][-1] == "sil"
+
+
+def test_decode_cli(tmp_path, monkeypatch):
+    from cli import decode
+
+    out = str(tmp_path / "hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--mode", "phone", "--num-components", "1", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 3
+
+
+def test_eval_cli(tmp_path, monkeypatch):
+    from cli import eval as eval_cli
+
+    run_cli(
+        eval_cli,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4
+    assert "wer" in ev[0] and "utts_per_sec_per_chip" in ev[0]
+    # resume file exists and eval is idempotent on rerun
+    run_cli(
+        eval_cli,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1"],
+        monkeypatch,
+    )
+    metrics2 = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert [m for m in metrics2 if m.get("stage") == "eval"][-1]["utts"] == 4
+
+
+def test_train_gmm_cli(tmp_path, monkeypatch):
+    from cli import train_gmm
+
+    run_cli(
+        train_gmm,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "2", "--num-iters", "3"],
+        monkeypatch,
+    )
+    assert os.path.isdir(tmp_path / "run" / "gmm")
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "train_gmm_done"]
+    assert done and done[0]["iters"] == 3
+
+
+def test_train_nn_cli(tmp_path, monkeypatch):
+    from cli import train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "10",
+         "--bootstrap-iters", "2", "--bootstrap-components", "1"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "train_nn_done"]
+    assert done and done[0]["steps"] == 10
