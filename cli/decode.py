@@ -32,6 +32,11 @@ def main() -> None:
     p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm"],
+                   help="acoustic model: GMM or a trained neural classifier")
+    p.add_argument("--nn-ckpt", help="orbax NN checkpoint dir (from train_nn)")
+    p.add_argument("--nn-hidden", type=int, default=512)
+    p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--beam", type=float, default=0.0)
@@ -51,7 +56,32 @@ def main() -> None:
     )
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
-    gmm = load_or_random_gmm(args, fcfg.feat_dim)
+
+    if args.am == "gmm":
+        gmm = load_or_random_gmm(args, fcfg.feat_dim)
+        scorer = None
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from mogasr.am.neural import build_model
+        from mogasr.am.train_nn import init_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.pipeline import make_nn_scorer
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--nn-ckpt is required with --am mlp/lstm")
+        tcfg = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        model = build_model(args.am, topo.n_pdfs, tcfg)
+        template = {
+            "params": init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(0)).params,
+            "log_priors": jnp.zeros(topo.n_pdfs),
+        }
+        ck = restore_checkpoint(args.nn_ckpt, template)
+        scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
+        gmm = None
 
     graph = (
         word_decode_graph(lex, topo, dcfg)
@@ -62,7 +92,7 @@ def main() -> None:
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
         for fb in batches:
-            scores = score_batch(fb.feats, gmm)
+            scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)
             out = decode_batch(fb, scores, graph, dcfg)
             for b in range(fb.size):
                 ids.append(fb.utt_ids[b])

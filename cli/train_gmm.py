@@ -27,6 +27,8 @@ def main() -> None:
     add_run_args(p)
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--num-iters", type=int, default=10)
+    p.add_argument("--mode", default="viterbi", choices=["viterbi", "baum-welch"],
+                   help="hard (Viterbi) EM or full Baum-Welch soft EM")
     args = p.parse_args()
 
     corpus, lex = load_corpus(args)
@@ -40,7 +42,7 @@ def main() -> None:
 
     with Timer() as t:
         batches = featurize(corpus, fcfg, BatchConfig())
-        gmm, history = train_gmm(batches, lex, topo, gcfg, tcfg, logger=logger)
+        gmm, history = train_gmm(batches, lex, topo, gcfg, tcfg, logger=logger, mode=args.mode)
     logger.log({
         "stage": "train_gmm_done", "iters": len(history),
         "final_avg_loglik": history[-1], "wall_sec": t.seconds,

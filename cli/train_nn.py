@@ -64,6 +64,10 @@ def main() -> None:
     for fb in batches:
         _res, labels, _ = align_batch(fb, gmm, lex, topo)
         labeled.append((fb, labels))
+    import numpy as _np
+    from mogasr.am.neural import state_priors
+    all_labels = _np.concatenate([_np.asarray(l).reshape(-1) for _, l in labeled])
+    log_priors = state_priors(all_labels, topo.n_pdfs)
 
     tcfg = TrainConfig(
         nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
@@ -91,7 +95,7 @@ def main() -> None:
                 "final_loss": float(metrics["loss"]),
                 "final_frame_acc": float(metrics["frame_acc"])})
     ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_{args.arch}")
-    save_checkpoint(ckpt, {"params": state.params}, step=i)
+    save_checkpoint(ckpt, {"params": state.params, "log_priors": jnp.asarray(log_priors)}, step=i)
     print(f"saved {args.arch} AM to {ckpt}")
 
 

@@ -80,6 +80,57 @@ def accumulate_stats(
     return GmmStats(occ, sx, sxx, total_ll, jnp.sum(valid))
 
 
+@functools.partial(jax.jit, static_argnames=("state_chunk",))
+def accumulate_stats_soft(
+    gmm: GmmSet,
+    feats: jax.Array,     # [N, D] frames (padding rows must carry 0 posterior)
+    pdf_post: jax.Array,  # [N, S] state (pdf) posteriors, rows may sum to < 1
+    state_chunk: int = 8,
+) -> GmmStats:
+    """Full Baum-Welch E-step: soft state posteriors x component posteriors.
+
+    occ[s,k] = sum_n w[n,s] * gamma_k(n|s) etc. Memory is bounded by chunking
+    states: the [N, chunk, K] component-posterior tensor is produced per chunk
+    via the same GEMM-form math as the scorer (quadratic features x natural
+    params), never the full [N, S, K].
+    """
+    from mogasr.am.gmm import natural_params, quadratic_features
+
+    S, K, D = gmm.means.shape
+    N = feats.shape[0]
+    nat = natural_params(gmm)
+    x2 = quadratic_features(feats)                 # [N, 2D]
+    n_chunks = -(-S // state_chunk)
+    S_pad = n_chunks * state_chunk
+    ab = jnp.pad(nat.ab.reshape(2 * D, S, K), ((0, 0), (0, S_pad - S), (0, 0)))
+    c = jnp.pad(nat.c.reshape(S, K), ((0, S_pad - S), (0, 0)))
+    w = jnp.pad(pdf_post, ((0, 0), (0, S_pad - S)))  # [N, S_pad]
+    ab = ab.reshape(2 * D, n_chunks, state_chunk, K).transpose(1, 0, 2, 3)
+    c = c.reshape(n_chunks, state_chunk, K)
+    w = w.reshape(N, n_chunks, state_chunk).transpose(1, 0, 2)  # [nc, N, C]
+
+    def chunk_stats(args):
+        ab_c, c_c, w_c = args  # [2D, C, K], [C, K], [N, C]
+        ll = (
+            jnp.einsum("nd,dck->nck", x2, ab_c) + c_c[None]
+        )                                           # [N, C, K]
+        gamma = jax.nn.softmax(ll, axis=-1)         # component posteriors
+        wg = gamma * w_c[:, :, None]                # [N, C, K]
+        occ = jnp.sum(wg, axis=0)                   # [C, K]
+        sx = jnp.einsum("nck,nd->ckd", wg, feats)
+        sxx = jnp.einsum("nck,nd->ckd", wg, feats ** 2)
+        return occ, sx, sxx
+
+    occ, sx, sxx = jax.lax.map(chunk_stats, (ab, c, w))
+    return GmmStats(
+        occ=occ.reshape(S_pad, K)[:S],
+        sx=sx.reshape(S_pad, K, D)[:S],
+        sxx=sxx.reshape(S_pad, K, D)[:S],
+        loglik=jnp.zeros(()),  # total loglik comes from the forward pass
+        n_frames=jnp.sum(pdf_post),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("var_floor", "weight_floor", "min_occ"))
 def m_step(
     gmm: GmmSet,

@@ -128,13 +128,20 @@ def train_gmm(
     tcfg: TrainConfig,
     logger=None,
     gmm: Optional[GmmSet] = None,
+    mode: str = "viterbi",
 ) -> Tuple[GmmSet, List[float]]:
     """EM training with realignment and mixture-splitting schedule.
 
     Doubles components every few iterations until gcfg.n_components, then
     keeps refining — the standard monophone recipe shape (SURVEY.md §2 "EM
-    trainer" row).
+    trainer" row). mode: "viterbi" = hard EM on forced-alignment labels;
+    "baum-welch" = full soft EM via on-device forward-backward
+    (mogasr.decoder.forward_backward).
     """
+    from mogasr.decoder import forward_backward as fbd
+
+    if mode not in ("viterbi", "baum-welch"):
+        raise ValueError(f"unknown EM mode {mode!r}")
     if gmm is None:
         gmm = flat_start(batches, lexicon, topo)
     history: List[float] = []
@@ -142,9 +149,26 @@ def train_gmm(
     while it < tcfg.num_em_iters:
         stats = None
         for fb in batches:
-            _res, labels, _ = align_batch(fb, gmm, lexicon, topo)
-            flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
-            s = em.accumulate_stats(gmm, flat_feats, labels.reshape(-1))
+            if mode == "viterbi":
+                _res, labels, _ = align_batch(fb, gmm, lexicon, topo)
+                flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
+                s = em.accumulate_stats(gmm, flat_feats, labels.reshape(-1))
+            else:
+                graphs_np = build_align_graphs(fb.words, lexicon, topo)
+                graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+                ll = score_batch(fb.feats, gmm)
+                res = fbd.forward_backward(ll, graphs, fb.n_frames)
+                post = fbd.state_posteriors_to_pdf(
+                    res.log_gamma, graphs["emit_id"], topo.n_pdfs
+                )
+                flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
+                s = em.accumulate_stats_soft(
+                    gmm, flat_feats, post.reshape(-1, topo.n_pdfs)
+                )
+                # dummy padding rows (n_frames == 0) have -inf forward loglik
+                s = s._replace(
+                    loglik=jnp.sum(jnp.where(fb.n_frames > 0, res.loglik, 0.0))
+                )
             stats = s if stats is None else em.add_stats(stats, s)
         gmm = em.m_step(
             gmm, stats, var_floor=gcfg.var_floor, weight_floor=gcfg.weight_floor
@@ -205,18 +229,38 @@ def decode_batch(
     return [[t for t in seq if t not in drop_tokens] for seq in toks[:B]]
 
 
+def make_nn_scorer(model, params, log_priors: jax.Array):
+    """Hybrid NN-HMM scorer: posteriors -> prior-scaled pseudo-likelihoods.
+
+    Returns a ``scorer(fb) -> [B, T, n_pdfs]`` closure for evaluate()/decode.
+    """
+    from mogasr.am.neural import posteriors_to_loglik
+
+    @jax.jit
+    def score(feats, n_frames):
+        logits = model.apply(params, feats, n_frames)
+        return posteriors_to_loglik(logits, log_priors)
+
+    return lambda fb: score(fb.feats, fb.n_frames)
+
+
 def evaluate(
     batches: Sequence[FeatBatch],
-    gmm: GmmSet,
+    gmm: Optional[GmmSet],
     lexicon: Lexicon,
     topo: Topology,
     dcfg: DecodeConfig,
+    scorer=None,
 ) -> Dict[str, float]:
-    """Full decode + WER over featurized batches (single-chip path)."""
+    """Full decode + WER over featurized batches (single-chip path).
+
+    scorer: optional ``fb -> [B, T, n_pdfs]`` override (e.g. make_nn_scorer);
+    defaults to the GMM scorer.
+    """
     graph = word_decode_graph(lexicon, topo, dcfg)
     refs, hyps = [], []
     for fb in batches:
-        scores = score_batch(fb.feats, gmm)
+        scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)
         out = decode_batch(fb, scores, graph, dcfg)
         for b in range(fb.size):
             refs.append([w.lower() for w in fb.words[b]])

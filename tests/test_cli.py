@@ -122,8 +122,8 @@ def test_train_gmm_cli(tmp_path, monkeypatch):
     assert done and done[0]["iters"] == 3
 
 
-def test_train_nn_cli(tmp_path, monkeypatch):
-    from cli import train_nn
+def test_train_nn_then_nn_decode_cli(tmp_path, monkeypatch):
+    from cli import decode, train_nn
 
     run_cli(
         train_nn,
@@ -135,3 +135,14 @@ def test_train_nn_cli(tmp_path, monkeypatch):
     metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
     done = [m for m in metrics if m.get("stage") == "train_nn_done"]
     assert done and done[0]["steps"] == 10
+
+    out = str(tmp_path / "nn_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run2"),
+         "--am", "mlp", "--nn-ckpt", str(tmp_path / "run" / "nn_mlp"),
+         "--nn-hidden", "32", "--nn-layers", "1", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 4

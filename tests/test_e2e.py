@@ -56,3 +56,17 @@ def test_full_loop_trains_and_decodes(setup):
     # must beat 30% WER by a wide margin
     assert metrics["wer"] < 0.3, metrics
     assert metrics["n_utts"] == 16
+
+
+def test_baum_welch_training(setup):
+    """Soft-EM (full Baum-Welch) path: loglik improves, decode still works."""
+    lex, topo, batches = setup
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
+    tcfg = TrainConfig(num_em_iters=5)
+    gmm, history = pipe.train_gmm(batches, lex, topo, gcfg, tcfg, mode="baum-welch")
+    # forward loglik (recorded from the E-step) improves over training
+    assert history[-1] > history[0]
+    metrics = pipe.evaluate(
+        batches, gmm, lex, topo, DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    )
+    assert metrics["wer"] < 0.3, metrics
