@@ -75,14 +75,59 @@ def edit_counts(ref: Sequence[str], hyp: Sequence[str]) -> WerCounts:
     return counts
 
 
+def _batch_edit_counts_native(refs, hyps) -> "Optional[List[WerCounts]]":
+    """Native C++ batch DP (mogasr/native/wer_native.cpp); None if unbuilt."""
+    import ctypes
+
+    from mogasr.native import load_wer_lib
+
+    lib = load_wer_lib()
+    if lib is None:
+        return None
+    vocab: dict = {}
+
+    def intern(seqs):
+        flat, off = [], [0]
+        for s in seqs:
+            for tok in s:
+                flat.append(vocab.setdefault(tok, len(vocab)))
+            off.append(len(flat))
+        return (
+            np.asarray(flat, np.int32),
+            np.asarray(off, np.int64),
+        )
+
+    rf, ro = intern(refs)
+    hf, ho = intern(hyps)
+    n = len(refs)
+    out = np.zeros(3 * n, np.int32)
+    as_ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    lib.batch_edit_counts(
+        as_ptr(rf, ctypes.c_int32), as_ptr(ro, ctypes.c_int64),
+        as_ptr(hf, ctypes.c_int32), as_ptr(ho, ctypes.c_int64),
+        n, as_ptr(out, ctypes.c_int32),
+    )
+    return [
+        WerCounts(int(out[3 * i]), int(out[3 * i + 1]), int(out[3 * i + 2]), len(refs[i]))
+        for i in range(n)
+    ]
+
+
 def corpus_wer(
-    refs: Sequence[Sequence[str]], hyps: Sequence[Sequence[str]]
+    refs: Sequence[Sequence[str]], hyps: Sequence[Sequence[str]], native: bool = True
 ) -> Tuple[float, WerCounts]:
-    """wer(refs, hyps) -> (corpus WER, aggregated counts)."""
+    """wer(refs, hyps) -> (corpus WER, aggregated counts).
+
+    Uses the C++ batch scorer when available (the one host-side hot loop over
+    a full eval set); pure-Python DP otherwise — results are identical.
+    """
     assert len(refs) == len(hyps), (len(refs), len(hyps))
+    per_utt = _batch_edit_counts_native(refs, hyps) if native else None
+    if per_utt is None:
+        per_utt = [edit_counts(list(r), list(h)) for r, h in zip(refs, hyps)]
     total = WerCounts()
-    for r, h in zip(refs, hyps):
-        total = total + edit_counts(list(r), list(h))
+    for c in per_utt:
+        total = total + c
     return total.wer, total
 
 

@@ -26,6 +26,9 @@ class Topology:
     advance_logp: float
     sil_self_loop_logp: float
     sil_advance_logp: float
+    # optional per-phone self-loop probs from transition re-estimation
+    # (em.estimate_transitions); overrides the two class-level defaults
+    per_phone_self_prob: Tuple[float, ...] = ()
 
     @property
     def n_pdfs(self) -> int:
@@ -44,9 +47,18 @@ class Topology:
 
     def phone_trans_logps(self, phone_id: int) -> Tuple[float, float]:
         """(self_loop, advance) log-probs for a phone's states."""
+        if self.per_phone_self_prob:
+            p = min(max(self.per_phone_self_prob[phone_id], 1e-4), 1 - 1e-4)
+            return float(np.log(p)), float(np.log1p(-p))
         if phone_id == self.lexicon.sil_id:
             return self.sil_self_loop_logp, self.sil_advance_logp
         return self.self_loop_logp, self.advance_logp
+
+    def with_transitions(self, per_phone_self_prob: np.ndarray) -> "Topology":
+        """Topology with re-estimated per-phone self-loop probabilities."""
+        return dataclasses.replace(
+            self, per_phone_self_prob=tuple(float(p) for p in per_phone_self_prob)
+        )
 
     def pdf_to_phone(self) -> np.ndarray:
         """[n_pdfs] phone id for each pdf."""

@@ -1,0 +1,62 @@
+"""Native (C++) host-side components, loaded via ctypes with lazy build.
+
+The shared object is compiled on first use with the system g++ (baked into
+the image) and cached next to the source; every native entry point has a
+pure-Python fallback so the framework never hard-depends on a compiler at
+runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build(src: str, so_path: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so_path],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def load_wer_lib() -> Optional[ctypes.CDLL]:
+    """The WER shared library, building it on first call. None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        src = os.path.join(_HERE, "wer_native.cpp")
+        so_path = os.path.join(_HERE, "_wer_native.so")
+        if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
+            if not _build(src, so_path):
+                return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+        lib.batch_edit_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.batch_edit_counts.restype = None
+        _LIB = lib
+        return _LIB

@@ -61,6 +61,27 @@ def featurize(
     return out
 
 
+def compute_global_cmvn(batches: Sequence[FeatBatch]):
+    """Corpus-level (mean, inv_std) over valid frames — the stats that
+    streaming global CMVN (frontend.streaming) applies frame-wise."""
+    total = None
+    total_sq = None
+    count = 0.0
+    for fb in batches:
+        feats = np.asarray(fb.feats)
+        mask = (
+            np.arange(feats.shape[1])[None, :] < np.asarray(fb.n_frames)[:, None]
+        ).astype(np.float64)[:, :, None]
+        s = (feats * mask).sum((0, 1))
+        sq = (feats ** 2 * mask).sum((0, 1))
+        total = s if total is None else total + s
+        total_sq = sq if total_sq is None else total_sq + sq
+        count += mask.sum()
+    mean = total / max(count, 1.0)
+    var = np.maximum(total_sq / max(count, 1.0) - mean ** 2, 1e-10)
+    return mean.astype(np.float32), (1.0 / np.sqrt(var)).astype(np.float32)
+
+
 def score_batch(feats: jax.Array, gmm: GmmSet, use_pallas: Optional[bool] = None) -> jax.Array:
     """[B, T, D] -> [B, T, S]; Pallas kernel on TPU, chunked XLA elsewhere."""
     if use_pallas is None:
@@ -129,7 +150,8 @@ def train_gmm(
     logger=None,
     gmm: Optional[GmmSet] = None,
     mode: str = "viterbi",
-) -> Tuple[GmmSet, List[float]]:
+    reestimate_transitions: bool = False,
+) -> "TrainGmmResult":
     """EM training with realignment and mixture-splitting schedule.
 
     Doubles components every few iterations until gcfg.n_components, then
@@ -146,13 +168,18 @@ def train_gmm(
         gmm = flat_start(batches, lexicon, topo)
     history: List[float] = []
     it = 0
+    pdf_to_phone = topo.pdf_to_phone()
     while it < tcfg.num_em_iters:
         stats = None
+        trans_paths, trans_pdfs = [], []
         for fb in batches:
             if mode == "viterbi":
-                _res, labels, _ = align_batch(fb, gmm, lexicon, topo)
+                res, labels, _ = align_batch(fb, gmm, lexicon, topo)
                 flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
                 s = em.accumulate_stats(gmm, flat_feats, labels.reshape(-1))
+                if reestimate_transitions:
+                    trans_paths.append(np.asarray(res.path))
+                    trans_pdfs.append(np.asarray(labels))
             else:
                 graphs_np = build_align_graphs(fb.words, lexicon, topo)
                 graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
@@ -175,6 +202,14 @@ def train_gmm(
         )
         ll = float(stats.loglik) / max(float(stats.n_frames), 1.0)
         history.append(ll)
+        if reestimate_transitions and trans_paths:
+            self_probs, _counts = em.estimate_transitions(
+                np.concatenate(trans_paths),
+                np.concatenate(trans_pdfs),
+                pdf_to_phone,
+                lexicon.n_phones,
+            )
+            topo = topo.with_transitions(self_probs)
         if logger:
             logger.log({"stage": "em", "iter": it, "K": gmm.n_components, "avg_loglik": ll})
         it += 1
@@ -187,7 +222,20 @@ def train_gmm(
                     gmm.means[:, : gcfg.n_components],
                     gmm.vars[:, : gcfg.n_components],
                 )
-    return gmm, history
+    return TrainGmmResult(gmm, history, topo)
+
+
+@dataclasses.dataclass
+class TrainGmmResult:
+    """Unpacks like a (gmm, history) pair; topo carries re-estimated
+    transitions when reestimate_transitions=True."""
+
+    gmm: GmmSet
+    history: List[float]
+    topo: Topology
+
+    def __iter__(self):
+        return iter((self.gmm, self.history))
 
 
 def word_decode_graph(

@@ -1,0 +1,67 @@
+"""Numerics guards: decode decisions invariant to bf16 scoring, no NaNs
+through the pipeline under jax_debug_nans (SURVEY.md §5 non-determinism /
+sanitizer row), global CMVN stats."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mogasr import pipeline as pipe
+from mogasr.config import (
+    BatchConfig, DecodeConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
+)
+from mogasr.data.synthetic import make_corpus
+from mogasr.hmm.lexicon import synthetic_lexicon
+from mogasr.hmm.topology import build_topology
+
+FCFG = FrontendConfig()
+
+
+@pytest.fixture(scope="module")
+def system():
+    lex = synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    utts = make_corpus(8, words_per_utt=(2, 2), seed=17)
+    batches = pipe.featurize(
+        [(u.utt_id, u.wave, u.words) for u in utts],
+        FCFG, BatchConfig(batch_size=8, bucket_boundaries=(250, 400)),
+    )
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
+    gmm, _ = pipe.train_gmm(batches, lex, topo, gcfg, TrainConfig(num_em_iters=4))
+    return lex, topo, batches, gmm
+
+
+def test_bf16_scoring_preserves_decode_decisions(system):
+    """bf16 scorer noise (~0.1 nats on ~100-nat margins) must not change the
+    decoded words — the 'matched WER' guarantee for the bf16 throughput path."""
+    from mogasr.am.gmm_pallas import gmm_loglik_batched
+
+    lex, topo, batches, gmm = system
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    graph = pipe.word_decode_graph(lex, topo, dcfg)
+    for fb in batches[:1]:
+        s32 = gmm_loglik_batched(fb.feats, gmm, tile_m=64, compute_dtype="float32")
+        s16 = gmm_loglik_batched(fb.feats, gmm, tile_m=64, compute_dtype="bfloat16")
+        h32 = pipe.decode_batch(fb, s32, graph, dcfg)
+        h16 = pipe.decode_batch(fb, s16, graph, dcfg)
+        assert h32 == h16
+
+
+def test_no_nans_in_pipeline(system):
+    """Full scoring+decode under jax_debug_nans: any NaN raises immediately."""
+    lex, topo, batches, gmm = system
+    with jax.debug_nans(True):
+        fb = batches[0]
+        scores = pipe.score_batch(fb.feats, gmm)
+        graph = pipe.word_decode_graph(lex, topo, DecodeConfig())
+        pipe.decode_batch(fb, scores, graph, DecodeConfig(acoustic_scale=1.0))
+
+
+def test_global_cmvn_stats(system):
+    lex, topo, batches, gmm = system
+    mean, istd = pipe.compute_global_cmvn(batches)
+    assert mean.shape == (FCFG.feat_dim,)
+    # features are already per-utterance CMVN'd, so global stats ~ (0, 1)
+    np.testing.assert_allclose(mean, 0.0, atol=0.1)
+    np.testing.assert_allclose(1.0 / istd, 1.0, atol=0.15)
