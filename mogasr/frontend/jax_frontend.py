@@ -66,10 +66,26 @@ def build_consts(cfg: FrontendConfig) -> FrontendConsts:
     )
 
 
-def _frame_indices(num_samples: int, cfg: FrontendConfig) -> np.ndarray:
-    t_max = max(cfg.num_frames(num_samples), 1)
-    idx = np.arange(t_max)[:, None] * cfg.frame_shift + np.arange(cfg.frame_length)[None, :]
-    return idx.astype(np.int32)
+def _frame_signal_strided(wave: jax.Array, t_max: int, cfg: FrontendConfig) -> jax.Array:
+    """[B, N] -> [B, t_max, frame_length] via strided reshapes, NOT a gather.
+
+    frame[t, k*H + r] = wave[(t + k) * H + r], so each hop-sized column chunk
+    k is just a shifted [T, H] reshape of the waveform — slices and reshapes
+    XLA handles at memcpy speed, where a 2-D gather of the same data measured
+    ~30 ms per batch on v5e.
+    """
+    B = wave.shape[0]
+    L, H = cfg.frame_length, cfg.frame_shift
+    n_chunks = -(-L // H)
+    need = (t_max + n_chunks) * H
+    if wave.shape[1] < need:
+        wave = jnp.pad(wave, ((0, 0), (0, need - wave.shape[1])))
+    cols = []
+    for k in range(n_chunks):
+        width = min(H, L - k * H)
+        chunk = wave[:, k * H : k * H + t_max * H].reshape(B, t_max, H)
+        cols.append(chunk[:, :, :width])
+    return jnp.concatenate(cols, axis=-1)
 
 
 def _deltas_batched(feats: jax.Array, n_frames: jax.Array, window: int) -> jax.Array:
@@ -108,8 +124,7 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
     (feats[B, T_max, feat_dim], num_frames[B])``.
     """
     consts = build_consts(cfg)
-    idx = jnp.asarray(_frame_indices(max_samples, cfg))  # [T_max, L]
-    t_max = idx.shape[0]
+    t_max = max(cfg.num_frames(max_samples), 1)
 
     @jax.jit
     def extract(waves: jax.Array, num_samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -127,10 +142,7 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
         prev = jnp.concatenate([waves[:, :1], waves[:, :-1]], axis=1)
         emph = waves - cfg.preemphasis * prev
 
-        # Framing: gather [B, T_max, L]. XLA lowers this to an efficient
-        # dynamic-slice/gather; the 2.5x overlap blowup lives only in VMEM tiles
-        # once fused with the DFT GEMM downstream.
-        frames = emph[:, idx]  # [B, T_max, L]
+        frames = _frame_signal_strided(emph, t_max, cfg)  # [B, T_max, L]
 
         flat = frames.reshape(B * t_max, cfg.frame_length)
         # Windowed GEMM-native DFT -> power spectrum. fp32 HIGHEST for parity.
@@ -146,7 +158,9 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
         else:
             mfcc = jnp.dot(logmel, consts.dct_lift, precision=HIGHEST)
             if cfg.use_energy:
-                raw = waves[:, idx].reshape(B * t_max, cfg.frame_length)
+                raw = _frame_signal_strided(waves, t_max, cfg).reshape(
+                    B * t_max, cfg.frame_length
+                )
                 energy = jnp.log(
                     jnp.maximum(jnp.sum(raw * raw, axis=-1), cfg.log_floor)
                 )

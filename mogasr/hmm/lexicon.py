@@ -38,13 +38,27 @@ class Lexicon:
         return [idx[p] for p in self.prons[word]]
 
     def words_to_phone_ids(
-        self, words: Sequence[str], interword_sil: bool = True, edge_sil: bool = True
+        self,
+        words: Sequence[str],
+        interword_sil: bool = True,
+        edge_sil: bool = True,
+        oov: str = "error",  # error | skip | sil
     ) -> List[int]:
-        """Expand a word sequence to phone ids with optional silences."""
+        """Expand a word sequence to phone ids with optional silences.
+
+        oov: out-of-vocabulary handling — raise, drop the word, or model it
+        as silence (the monophone-system stand-in for <unk>/<spn>).
+        """
         idx = {p: i for i, p in enumerate(self.phones)}
         out: List[int] = [idx[SIL]] if edge_sil else []
         for i, w in enumerate(words):
-            out.extend(idx[p] for p in self.prons[w])
+            if w in self.prons:
+                out.extend(idx[p] for p in self.prons[w])
+            elif oov == "error":
+                raise KeyError(f"word {w!r} not in lexicon (pass oov='skip' or 'sil')")
+            elif oov == "sil":
+                out.append(idx[SIL])
+            # skip: drop silently
             if interword_sil and i < len(words) - 1:
                 out.append(idx[SIL])
         if edge_sil:

@@ -93,13 +93,18 @@ def score_batch(feats: jax.Array, gmm: GmmSet, use_pallas: Optional[bool] = None
 
 
 def build_align_graphs(
-    batch_words: List[List[str]], lexicon: Lexicon, topo: Topology
+    batch_words: List[List[str]], lexicon: Lexicon, topo: Topology, j_bucket: int = 64
 ) -> Dict[str, np.ndarray]:
+    """Batch align graphs, padding J up to a bucket multiple so the jitted
+    Viterbi sees a bounded set of [B, J] shapes (one XLA compile per
+    (T-bucket, J-bucket) pair instead of per transcript length)."""
     gs = [
-        gr.align_graph(topo, lexicon.words_to_phone_ids(w)) if w else gr.align_graph(topo, [lexicon.sil_id])
+        gr.align_graph(topo, lexicon.words_to_phone_ids(w, oov="sil")) if w else gr.align_graph(topo, [lexicon.sil_id])
         for w in batch_words
     ]
-    return gr.batch_graphs(gs)
+    j_max = max(g.n_states for g in gs)
+    j_max = -(-j_max // j_bucket) * j_bucket
+    return gr.batch_graphs(gs, j_max=j_max)
 
 
 def align_batch(

@@ -58,6 +58,37 @@ def test_full_loop_trains_and_decodes(setup):
     assert metrics["n_utts"] == 16
 
 
+def test_held_out_generalization(setup):
+    """Train on 16 utts, decode 8 UNSEEN utts — the honest WER claim."""
+    lex, topo, batches = setup
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
+    gmm, _ = pipe.train_gmm(batches, lex, topo, gcfg, TrainConfig(num_em_iters=6))
+
+    test_utts = make_corpus(8, words_per_utt=(2, 3), seed=4242)  # disjoint seed
+    test_batches = pipe.featurize(
+        [(u.utt_id, u.wave, u.words) for u in test_utts], FCFG, BCFG
+    )
+    metrics = pipe.evaluate(
+        test_batches, gmm, lex, topo,
+        DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0),
+    )
+    assert metrics["wer"] < 0.4, metrics
+
+
+def test_oov_handling(setup):
+    lex, topo, _ = setup
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lex.words_to_phone_ids(["cat", "qqq"])
+    skipped = lex.words_to_phone_ids(["cat", "qqq"], oov="skip")
+    as_sil = lex.words_to_phone_ids(["cat", "qqq"], oov="sil")
+    only = lex.words_to_phone_ids(["cat"])
+    assert len(as_sil) == len(skipped) + 1
+    # sil cat sil qqq-dropped sil -> same phones as "cat" plus one extra sil
+    assert len(skipped) == len(only) + 1
+
+
 def test_baum_welch_training(setup):
     """Soft-EM (full Baum-Welch) path: loglik improves, decode still works."""
     lex, topo, batches = setup
