@@ -36,6 +36,11 @@ def main() -> None:
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="extract features through the chunked streaming front "
+                        "end (BASELINE config[4]) instead of the offline batch path")
+    p.add_argument("--chunk-ms", type=float, default=500.0,
+                   help="streaming chunk size in milliseconds")
     args = p.parse_args()
 
     import jax
@@ -57,7 +62,13 @@ def main() -> None:
 
     # batch size must divide over chips
     bcfg = BatchConfig(batch_size=8 * n_chips)
-    batches = featurize(corpus, fcfg, bcfg)
+    if args.streaming:
+        from mogasr.pipeline import featurize_streaming
+
+        chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
+        batches = featurize_streaming(corpus, fcfg, bcfg, chunk_samples=chunk)
+    else:
+        batches = featurize(corpus, fcfg, bcfg)
     gmm = load_or_random_gmm(args, fcfg.feat_dim)
     gmm = M.replicate(gmm, mesh)
     graph = word_decode_graph(lex, topo, dcfg)

@@ -4,6 +4,15 @@ Built from scratch with the capabilities of the reference repo
 taufikxu/MOG-ASR (see SURVEY.md): LibriSpeech audio front end, diagonal-GMM
 and neural (MLP/LSTM) acoustic scorers, on-device Viterbi/beam decoding and
 forced alignment, EM and SGD training, data-parallel evaluation over ICI.
+
+Public entry points mirror the reference's surface (BASELINE.json
+north_star: "feature-extraction and scoring entry points"):
+
+    mogasr.extract_features(wave, cfg)   -> [T, D] float32 features
+    mogasr.gmm_loglik(x, gmm)            -> [N, S] log-likelihoods (XLA path)
+    mogasr.gmm_loglik_pallas(x, gmm)     -> [N, S] (fused Pallas TPU kernel)
+    mogasr.viterbi / mogasr.forward_backward
+    mogasr.pipeline.{featurize, train_gmm, evaluate, ...}
 """
 
 __version__ = "0.1.0"
@@ -18,3 +27,35 @@ from mogasr.config import (  # noqa: F401
     TopologyConfig,
     TrainConfig,
 )
+
+
+def __getattr__(name):  # lazy: keep `import mogasr` light, no jax at import
+    if name == "extract_features":
+        from mogasr.frontend.jax_frontend import extract_features
+
+        return extract_features
+    if name in ("GmmSet", "gmm_loglik", "init_gmm"):
+        import mogasr.am.gmm as _g
+
+        return getattr(_g, name)
+    if name == "gmm_loglik_pallas":
+        from mogasr.am.gmm_pallas import gmm_loglik_pallas
+
+        return gmm_loglik_pallas
+    if name == "viterbi":
+        from mogasr.decoder.viterbi import viterbi
+
+        return viterbi
+    if name == "forward_backward":
+        from mogasr.decoder.forward_backward import forward_backward
+
+        return forward_backward
+    if name == "corpus_wer":
+        from mogasr.eval.wer import corpus_wer
+
+        return corpus_wer
+    if name == "pipeline":
+        import mogasr.pipeline as _p
+
+        return _p
+    raise AttributeError(f"module 'mogasr' has no attribute {name!r}")

@@ -61,6 +61,70 @@ def featurize(
     return out
 
 
+def featurize_streaming(
+    utts: Sequence[Tuple[str, np.ndarray, List[str]]],
+    fcfg: FrontendConfig,
+    bcfg: BatchConfig,
+    chunk_samples: int = 8000,
+) -> List[FeatBatch]:
+    """Featurize through the chunked streaming front end (config[4] path).
+
+    Each utterance is fed chunk-by-chunk to a StreamingFrontend; per-utterance
+    CMVN is applied after finalize (deferred — utterance CMVN is acausal by
+    definition). Results batch into the same FeatBatch shape as featurize(),
+    and match it numerically (tested).
+    """
+    from mogasr.data.batching import bucket_ceiling, frames_to_samples
+    from mogasr.frontend.numpy_ref import cmvn_np
+    from mogasr.frontend.streaming import StreamingFrontend
+
+    stream_cfg = dataclasses.replace(fcfg, cmvn="none")
+    per_utt = []
+    for utt_id, wave, words in utts:
+        sf = StreamingFrontend(stream_cfg)
+        outs = [sf.process(wave[i : i + chunk_samples]) for i in range(0, len(wave), chunk_samples)]
+        outs.append(sf.finalize())
+        feats = np.concatenate(outs) if outs else np.zeros((0, fcfg.feat_dim), np.float32)
+        if fcfg.cmvn == "utterance" and feats.shape[0] > 0:
+            feats = cmvn_np(feats, fcfg.cmvn_norm_var).astype(np.float32)
+        per_utt.append((utt_id, feats, words))
+
+    # bucket by frame count, mirroring make_batches
+    frame_bounds = list(bcfg.bucket_boundaries)
+    if bcfg.sort_by_length:
+        per_utt.sort(key=lambda it: it[1].shape[0])
+    out: List[FeatBatch] = []
+    group: List = []
+    group_bucket = 0
+
+    def emit(group, bucket):
+        B = bcfg.batch_size
+        arr = np.zeros((B, bucket, fcfg.feat_dim), np.float32)
+        nf = np.zeros(B, np.int32)
+        ids, words_out = [], []
+        for i, (utt_id, feats, words) in enumerate(group):
+            arr[i, : feats.shape[0]] = feats
+            nf[i] = feats.shape[0]
+            ids.append(utt_id)
+            words_out.append(list(words))
+        words_out.extend([[]] * (B - len(group)))
+        return FeatBatch(ids, jnp.asarray(arr), jnp.asarray(nf), words_out)
+
+    for item in per_utt:
+        t = item[1].shape[0]
+        b = next((fb for fb in frame_bounds if t <= fb), None)
+        if b is None:
+            continue  # overlong: dropped, like make_batches
+        if group and (b != group_bucket or len(group) >= bcfg.batch_size):
+            out.append(emit(group, group_bucket))
+            group = []
+        group.append(item)
+        group_bucket = b
+    if group:
+        out.append(emit(group, group_bucket))
+    return out
+
+
 def compute_global_cmvn(batches: Sequence[FeatBatch]):
     """Corpus-level (mean, inv_std) over valid frames — the stats that
     streaming global CMVN (frontend.streaming) applies frame-wise."""

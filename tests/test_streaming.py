@@ -60,3 +60,52 @@ def test_streaming_global_cmvn(wave):
     sf = StreamingFrontend(cfg, cmvn_mean=mean, cmvn_istd=istd)
     out = np.concatenate([sf.process(wave), sf.finalize()])
     np.testing.assert_allclose(out, (base - mean) * istd, atol=2e-3, rtol=2e-3)
+
+
+def test_featurize_streaming_matches_offline():
+    """pipeline.featurize_streaming == pipeline.featurize, per utterance."""
+    import jax.numpy as jnp
+
+    from mogasr import pipeline as pipe
+    from mogasr.config import BatchConfig, FrontendConfig
+    from mogasr.data.synthetic import make_corpus
+
+    fcfg = FrontendConfig()  # utterance CMVN (deferred in streaming)
+    bcfg = BatchConfig(batch_size=4, bucket_boundaries=(150, 250, 400))
+    utts = make_corpus(6, words_per_utt=(2, 3), seed=31)
+    triples = [(u.utt_id, u.wave, u.words) for u in utts]
+    off = pipe.featurize(triples, fcfg, bcfg)
+    st = pipe.featurize_streaming(triples, fcfg, bcfg, chunk_samples=4000)
+
+    def by_id(batches):
+        out = {}
+        for fb in batches:
+            feats = np.asarray(fb.feats)
+            nf = np.asarray(fb.n_frames)
+            for i, uid in enumerate(fb.utt_ids):
+                out[uid] = feats[i, : nf[i]]
+        return out
+
+    o, s = by_id(off), by_id(st)
+    assert set(o) == set(s)
+    for uid in o:
+        assert o[uid].shape == s[uid].shape
+        np.testing.assert_allclose(o[uid], s[uid], atol=5e-4, rtol=5e-4)
+
+
+def test_eval_cli_streaming(tmp_path):
+    import json as _json
+    import sys as _sys
+
+    from cli import eval as eval_cli
+
+    argv_save = _sys.argv
+    _sys.argv = ["prog", "--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+                 "--num-components", "1", "--streaming"]
+    try:
+        eval_cli.main()
+    finally:
+        _sys.argv = argv_save
+    metrics = [_json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4
