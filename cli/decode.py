@@ -38,6 +38,9 @@ def main() -> None:
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
+    p.add_argument("--bigram-lm", action="store_true",
+                   help="decode with a bigram word LM estimated from the "
+                        "corpus transcripts (word mode only)")
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--beam", type=float, default=0.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
@@ -88,12 +91,33 @@ def main() -> None:
         if args.mode == "word"
         else gr.loop_graph(topo)
     )
+    lm = None
+    if args.bigram_lm:
+        if args.mode != "word":
+            raise SystemExit("--bigram-lm requires --mode word")
+        from mogasr.lm.ngram import estimate_bigram
+
+        lm = estimate_bigram(
+            [fb.words[b] for fb in batches for b in range(fb.size)], graph.labels
+        )
+
     refs, hyps, ids = [], [], []
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
         for fb in batches:
             scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)
-            out = decode_batch(fb, scores, graph, dcfg)
+            if lm is not None:
+                from mogasr.decoder.lm_viterbi import path_to_tokens_lm, viterbi_lm
+
+                res = viterbi_lm(
+                    scores, graph, lm, fb.n_frames,
+                    acoustic_scale=args.acoustic_scale,
+                    insertion_penalty=args.insertion_penalty,
+                )
+                toks = path_to_tokens_lm(res, graph)
+                out = [[w for w in h if w not in ("<sil>", "sil")] for h in toks]
+            else:
+                out = decode_batch(fb, scores, graph, dcfg)
             for b in range(fb.size):
                 ids.append(fb.utt_ids[b])
                 refs.append([w.lower() for w in fb.words[b]])

@@ -42,7 +42,10 @@ def main() -> None:
 
     with Timer() as t:
         batches = featurize(corpus, fcfg, BatchConfig())
-        gmm, history = train_gmm(batches, lex, topo, gcfg, tcfg, logger=logger, mode=args.mode)
+        gmm, history = train_gmm(
+            batches, lex, topo, gcfg, tcfg, logger=logger, mode=args.mode,
+            ckpt_dir=os.path.join(os.path.abspath(args.run_dir), "em_ckpt"),
+        )
     logger.log({
         "stage": "train_gmm_done", "iters": len(history),
         "final_avg_loglik": history[-1], "wall_sec": t.seconds,

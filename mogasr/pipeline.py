@@ -220,6 +220,7 @@ def train_gmm(
     gmm: Optional[GmmSet] = None,
     mode: str = "viterbi",
     reestimate_transitions: bool = False,
+    ckpt_dir: Optional[str] = None,
 ) -> "TrainGmmResult":
     """EM training with realignment and mixture-splitting schedule.
 
@@ -237,6 +238,22 @@ def train_gmm(
         gmm = flat_start(batches, lexicon, topo)
     history: List[float] = []
     it = 0
+    if ckpt_dir is not None:
+        # preemption resume: restore the latest EM iteration if one exists
+        # (orbax writes are atomic — SURVEY.md §5 failure-handling row)
+        from mogasr.utils import checkpoint as ckpt
+
+        last = ckpt.latest_step(ckpt_dir)
+        if last is not None:
+            # template=None: restore with the saved structure (K may have
+            # grown through splitting, so shapes aren't knowable up front)
+            state = ckpt.restore_checkpoint(ckpt_dir, None, step=last)
+            it = last
+            history = [float(x) for x in state["history"]]
+            g = state["gmm"]
+            gmm = GmmSet(
+                jnp.asarray(g["weights"]), jnp.asarray(g["means"]), jnp.asarray(g["vars"])
+            )
     pdf_to_phone = topo.pdf_to_phone()
     while it < tcfg.num_em_iters:
         stats = None
@@ -282,6 +299,14 @@ def train_gmm(
         if logger:
             logger.log({"stage": "em", "iter": it, "K": gmm.n_components, "avg_loglik": ll})
         it += 1
+        if ckpt_dir is not None:
+            from mogasr.utils import checkpoint as ckpt
+
+            ckpt.save_checkpoint(
+                ckpt_dir,
+                {"gmm": gmm._asdict(), "history": history, "K": gmm.n_components},
+                step=it,
+            )
         # splitting schedule: double K every 2 iterations until target
         if gmm.n_components < gcfg.n_components and it % 2 == 0:
             gmm = em.split_components(gmm, perturb=gcfg.split_perturb, seed=it)

@@ -146,3 +146,17 @@ def test_train_nn_then_nn_decode_cli(tmp_path, monkeypatch):
     )
     lines = [json.loads(l) for l in open(out)]
     assert len(lines) == 4
+
+
+def test_decode_cli_bigram_lm(tmp_path, monkeypatch):
+    from cli import decode
+
+    out = str(tmp_path / "hyp_lm.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--bigram-lm", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 3
