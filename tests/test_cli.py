@@ -160,3 +160,16 @@ def test_decode_cli_bigram_lm(tmp_path, monkeypatch):
     )
     lines = [json.loads(l) for l in open(out)]
     assert len(lines) == 3
+
+
+def test_eval_cli_profile_writes_trace(tmp_path, monkeypatch):
+    from cli import eval as eval_cli
+
+    run_cli(
+        eval_cli,
+        ["--synthetic", "2", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--profile"],
+        monkeypatch,
+    )
+    prof = tmp_path / "run" / "profile"
+    assert prof.is_dir() and any(prof.rglob("*"))
