@@ -131,6 +131,15 @@ def main() -> None:
         wer, counts = corpus_wer(refs, hyps)
         rec.update(wer=wer, sub=counts.substitutions, dels=counts.deletions,
                    ins=counts.insertions)
+    elif any(refs) and args.mode == "phone":
+        # phone error rate: expand reference words to phones (no silences)
+        phone_refs = [
+            [lex.phones[p] for p in lex.words_to_phone_ids(r, interword_sil=False, edge_sil=False, oov="skip")]
+            for r in refs
+        ]
+        per, counts = corpus_wer(phone_refs, hyps)
+        rec.update(per=per, sub=counts.substitutions, dels=counts.deletions,
+                   ins=counts.insertions)
     logger.log(rec)
     if args.out:
         with open(args.out, "w") as f:

@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--num-iters", type=int, default=10)
     p.add_argument("--mode", default="viterbi", choices=["viterbi", "baum-welch"],
                    help="hard (Viterbi) EM or full Baum-Welch soft EM")
+    p.add_argument("--triphones", type=int, default=0, metavar="N_PDFS",
+                   help="after monophone training, build a tied-triphone "
+                        "system with ~N_PDFS states and run CD EM")
     args = p.parse_args()
 
     corpus, lex = load_corpus(args)
@@ -54,6 +57,22 @@ def main() -> None:
     ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm")
     save_checkpoint(ckpt, gmm._asdict(), step=len(history))
     print(f"saved GMM ({gmm.n_states} states x {gmm.n_components} comps) to {ckpt}")
+
+    if args.triphones > 0:
+        from mogasr.pipeline import train_triphone
+
+        with Timer() as t2:
+            tied, res = train_triphone(
+                batches, lex, topo, gcfg, tcfg, gmm, target_pdfs=args.triphones,
+                logger=logger, mode=args.mode,
+            )
+        logger.log({
+            "stage": "train_cd_done", "tied_pdfs": tied.n_pdfs,
+            "final_avg_loglik": res.history[-1], "wall_sec": t2.seconds,
+        })
+        cd_ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm_cd")
+        save_checkpoint(cd_ckpt, res.gmm._asdict(), step=len(res.history))
+        print(f"saved CD GMM ({tied.n_pdfs} tied pdfs) to {cd_ckpt}")
 
 
 if __name__ == "__main__":

@@ -157,13 +157,22 @@ def score_batch(feats: jax.Array, gmm: GmmSet, use_pallas: Optional[bool] = None
 
 
 def build_align_graphs(
-    batch_words: List[List[str]], lexicon: Lexicon, topo: Topology, j_bucket: int = 64
+    batch_words: List[List[str]],
+    lexicon: Lexicon,
+    topo: Topology,
+    j_bucket: int = 64,
+    align_fn=None,
 ) -> Dict[str, np.ndarray]:
     """Batch align graphs, padding J up to a bucket multiple so the jitted
     Viterbi sees a bounded set of [B, J] shapes (one XLA compile per
-    (T-bucket, J-bucket) pair instead of per transcript length)."""
+    (T-bucket, J-bucket) pair instead of per transcript length).
+
+    align_fn(phone_ids) -> Graph overrides the monophone expansion (e.g. the
+    context-dependent align_graph_cd from mogasr.hmm.triphone)."""
+    if align_fn is None:
+        align_fn = lambda pids: gr.align_graph(topo, pids)
     gs = [
-        gr.align_graph(topo, lexicon.words_to_phone_ids(w, oov="sil")) if w else gr.align_graph(topo, [lexicon.sil_id])
+        align_fn(lexicon.words_to_phone_ids(w, oov="sil")) if w else align_fn([lexicon.sil_id])
         for w in batch_words
     ]
     j_max = max(g.n_states for g in gs)
@@ -177,9 +186,10 @@ def align_batch(
     lexicon: Lexicon,
     topo: Topology,
     acoustic_scale: float = 1.0,
+    align_fn=None,
 ) -> Tuple[vit.ViterbiResult, jax.Array, Dict[str, jax.Array]]:
     """Force-align a featurized batch -> (result, pdf labels [B,T], graphs)."""
-    graphs_np = build_align_graphs(fb.words, lexicon, topo)
+    graphs_np = build_align_graphs(fb.words, lexicon, topo, align_fn=align_fn)
     graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
     ll = score_batch(fb.feats, gmm)
     res = vit.viterbi(ll, graphs, fb.n_frames, acoustic_scale=acoustic_scale)
@@ -221,6 +231,8 @@ def train_gmm(
     mode: str = "viterbi",
     reestimate_transitions: bool = False,
     ckpt_dir: Optional[str] = None,
+    align_fn=None,
+    n_pdfs: Optional[int] = None,
 ) -> "TrainGmmResult":
     """EM training with realignment and mixture-splitting schedule.
 
@@ -260,23 +272,24 @@ def train_gmm(
         trans_paths, trans_pdfs = [], []
         for fb in batches:
             if mode == "viterbi":
-                res, labels, _ = align_batch(fb, gmm, lexicon, topo)
+                res, labels, _ = align_batch(fb, gmm, lexicon, topo, align_fn=align_fn)
                 flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
                 s = em.accumulate_stats(gmm, flat_feats, labels.reshape(-1))
                 if reestimate_transitions:
                     trans_paths.append(np.asarray(res.path))
                     trans_pdfs.append(np.asarray(labels))
             else:
-                graphs_np = build_align_graphs(fb.words, lexicon, topo)
+                graphs_np = build_align_graphs(fb.words, lexicon, topo, align_fn=align_fn)
                 graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
                 ll = score_batch(fb.feats, gmm)
                 res = fbd.forward_backward(ll, graphs, fb.n_frames)
+                npdf = n_pdfs if n_pdfs is not None else topo.n_pdfs
                 post = fbd.state_posteriors_to_pdf(
-                    res.log_gamma, graphs["emit_id"], topo.n_pdfs
+                    res.log_gamma, graphs["emit_id"], npdf
                 )
                 flat_feats = fb.feats.reshape(-1, fb.feats.shape[-1])
                 s = em.accumulate_stats_soft(
-                    gmm, flat_feats, post.reshape(-1, topo.n_pdfs)
+                    gmm, flat_feats, post.reshape(-1, npdf)
                 )
                 # dummy padding rows (n_frames == 0) have -inf forward loglik
                 s = s._replace(
@@ -416,3 +429,131 @@ def evaluate(
         "ref_words": counts.ref_words,
         "n_utts": len(refs),
     }
+
+
+# --------------------------- context-dependent (triphone) recipe ------------
+
+
+def collect_cd_stats(
+    batches: Sequence[FeatBatch],
+    gmm_mono: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+):
+    """Monophone-alignment pass -> per-triphone-state (occ, mean, sumsq).
+
+    Returns {(l, c, r, k): (occ, sum_x, sum_xx)} host-side; the alignment
+    itself runs on device, only the [B, T] paths come back.
+    """
+    from mogasr.hmm.triphone import contexts_of
+
+    stats: Dict[tuple, list] = {}
+    for fb in batches:
+        res, _labels, _graphs = align_batch(fb, gmm_mono, lexicon, topo)
+        paths = np.asarray(res.path)
+        feats = np.asarray(fb.feats)
+        nf = np.asarray(fb.n_frames)
+        for b in range(fb.size):
+            words = fb.words[b]
+            pids = (
+                lexicon.words_to_phone_ids(words, oov="sil")
+                if words
+                else [lexicon.sil_id]
+            )
+            g = gr.align_graph(topo, pids)
+            ctxs = contexts_of(pids, lexicon.sil_id)
+            # first graph state of each chain (phone instance)
+            chain_start = np.zeros(len(pids), np.int32)
+            for j in range(1, g.n_states):
+                if g.chain_id[j] != g.chain_id[j - 1]:
+                    chain_start[g.chain_id[j]] = j
+            for t in range(int(nf[b])):
+                j = paths[b, t]
+                ci = g.chain_id[j]
+                k = int(j - chain_start[ci])
+                l, c, r = ctxs[ci]
+                key = (l, c, r, k)
+                x = feats[b, t]
+                if key not in stats:
+                    stats[key] = [0.0, np.zeros_like(x, np.float64), np.zeros_like(x, np.float64)]
+                acc = stats[key]
+                acc[0] += 1.0
+                acc[1] += x
+                acc[2] += x.astype(np.float64) ** 2
+    return stats
+
+
+def train_triphone(
+    batches: Sequence[FeatBatch],
+    lexicon: Lexicon,
+    topo: Topology,
+    gcfg: GmmConfig,
+    tcfg: TrainConfig,
+    gmm_mono: GmmSet,
+    target_pdfs: int = 200,
+    min_occ: float = 10.0,
+    logger=None,
+    mode: str = "viterbi",
+):
+    """Triphone recipe: mono align -> tie states -> init CD GMM -> CD EM.
+
+    Returns (TiedTriphones, TrainGmmResult). The tied system's pdf count
+    (tied.n_pdfs) is the "1k states" axis of the BASELINE sizing; decode with
+    mogasr.hmm.triphone.word_loop_graph_cd.
+    """
+    from mogasr.am.em import init_from_labels  # noqa: F401 (doc pointer)
+    from mogasr.hmm import triphone as tri
+
+    raw = collect_cd_stats(batches, gmm_mono, lexicon, topo)
+    mean_stats = {
+        k: (occ, (sx / max(occ, 1e-8)).astype(np.float64))
+        for k, (occ, sx, _sxx) in raw.items()
+    }
+    tied = tri.tie_states(topo, mean_stats, target_pdfs, min_occ=min_occ)
+
+    # init 1-comp CD GMM from tied stats (unseen pdfs -> global stats)
+    D = batches[0].feats.shape[-1]
+    occ = np.zeros(tied.n_pdfs)
+    sx = np.zeros((tied.n_pdfs, D))
+    sxx = np.zeros((tied.n_pdfs, D))
+    for (l, c, r, k), (o, s, ss) in raw.items():
+        pdf = tied.pdf_of(l, c, r, k)
+        occ[pdf] += o
+        sx[pdf] += s
+        sxx[pdf] += ss
+        # backoff pdfs also absorb all their contexts' stats
+        if c != lexicon.sil_id:
+            bo = tied.backoff[(c, k)]
+            if bo != pdf:
+                occ[bo] += o
+                sx[bo] += s
+                sxx[bo] += ss
+    g_occ = max(occ.sum(), 1e-8)
+    g_mean = sx.sum(0) / g_occ
+    g_var = np.maximum(sxx.sum(0) / g_occ - g_mean ** 2, gcfg.var_floor)
+    means = np.where(occ[:, None] >= 1.0, sx / np.maximum(occ[:, None], 1e-8), g_mean)
+    varis = np.where(
+        occ[:, None] >= 2.0,
+        np.maximum(sxx / np.maximum(occ[:, None], 1e-8) - means ** 2, gcfg.var_floor),
+        g_var,
+    )
+    gmm_cd = GmmSet(
+        weights=jnp.ones((tied.n_pdfs, 1), jnp.float32),
+        means=jnp.asarray(means[:, None, :], jnp.float32),
+        vars=jnp.asarray(varis[:, None, :], jnp.float32),
+    )
+
+    align_fn = lambda pids: tri.align_graph_cd(tied, pids)
+    result = train_gmm(
+        batches,
+        lexicon,
+        topo,
+        dataclasses.replace(gcfg, n_states=tied.n_pdfs),
+        tcfg,
+        logger=logger,
+        gmm=gmm_cd,
+        mode=mode,
+        align_fn=align_fn,
+        n_pdfs=tied.n_pdfs,
+    )
+    return tied, result

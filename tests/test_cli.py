@@ -173,3 +173,18 @@ def test_eval_cli_profile_writes_trace(tmp_path, monkeypatch):
     )
     prof = tmp_path / "run" / "profile"
     assert prof.is_dir() and any(prof.rglob("*"))
+
+
+def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
+    from cli import train_gmm
+
+    run_cli(
+        train_gmm,
+        ["--synthetic", "6", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--num-iters", "2", "--triphones", "120"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    cd = [m for m in metrics if m.get("stage") == "train_cd_done"]
+    assert cd and cd[0]["tied_pdfs"] > 0
+    assert os.path.isdir(tmp_path / "run" / "gmm_cd")

@@ -75,6 +75,34 @@ def test_held_out_generalization(setup):
     assert metrics["wer"] < 0.4, metrics
 
 
+def test_alignment_matches_synthesis_boundaries(setup):
+    """Forced alignment recovers the known synthetic phone timing: frame-level
+    phone agreement well above chance (config[2] quality gate)."""
+    lex, topo, batches = setup
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
+    gmm, _ = pipe.train_gmm(batches, lex, topo, gcfg, TrainConfig(num_em_iters=6))
+
+    utts = {u.utt_id: u for u in make_corpus(16, words_per_utt=(2, 3), seed=42)}
+    pdf_to_phone = topo.pdf_to_phone()
+    hop, fl = FCFG.frame_shift, FCFG.frame_length
+    agree, total = 0, 0
+    for fb in batches:
+        _res, labels, _ = pipe.align_batch(fb, gmm, lex, topo)
+        labels_np = np.asarray(labels)
+        nf = np.asarray(fb.n_frames)
+        for i, uid in enumerate(fb.utt_ids):
+            u = utts[uid]
+            for t in range(int(nf[i])):
+                center = t * hop + fl // 2
+                k = np.searchsorted(u.phone_bounds, center, side="right") - 1
+                true_ph = u.phones[min(k, len(u.phones) - 1)]
+                got_ph = lex.phones[pdf_to_phone[labels_np[i, t]]]
+                agree += got_ph == true_ph
+                total += 1
+    assert total > 1000
+    assert agree / total > 0.7, agree / total
+
+
 def test_oov_handling(setup):
     lex, topo, _ = setup
     import pytest as _pytest
