@@ -131,7 +131,8 @@ def main() -> None:
         )
         jax.block_until_ready(res)
 
-    cpu_run(utts[0])  # warm the viterbi compile
+    for u in utts[:cpu_subset]:
+        cpu_run(u)  # warm the viterbi compile for EVERY timed shape
     t0 = time.perf_counter()
     for u in utts[:cpu_subset]:
         cpu_run(u)

@@ -97,9 +97,15 @@ def main() -> None:
                     }) + "\n")
                 out_f.flush()
 
+    seen = set()
     with open(resume_path) as f:
         for line in f:
             rec = json.loads(line)
+            # a batch interrupted mid-write is re-decoded in full on resume,
+            # so the file may contain duplicates — first occurrence wins
+            if rec["utt_id"] in seen:
+                continue
+            seen.add(rec["utt_id"])
             refs.append([w.lower() for w in rec["ref"]])
             hyps.append([w.lower() for w in rec["hyp"]])
     wer, counts = corpus_wer(refs, hyps)

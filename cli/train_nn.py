@@ -32,12 +32,14 @@ def main() -> None:
     p.add_argument("--arch", default="mlp", choices=["mlp", "lstm"])
     p.add_argument("--hidden", type=int, default=512)
     p.add_argument("--layers", type=int, default=3)
-    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--steps", type=int, default=500)  # must be >= 1
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--bootstrap-iters", type=int, default=6,
                    help="EM iterations for the GMM that produces labels")
     p.add_argument("--bootstrap-components", type=int, default=4)
     args = p.parse_args()
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
 
     import jax
     import jax.numpy as jnp

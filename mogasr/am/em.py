@@ -161,13 +161,14 @@ def split_components(gmm: GmmSet, perturb: float = 0.2, seed: int = 0) -> GmmSet
     """Double the number of components by splitting each along its std dev.
 
     Mixture-splitting schedule (SURVEY.md §2 EM trainer row): each component
-    becomes two at mu +/- perturb * sigma with half the weight.
+    becomes two at mu +/- perturb * sigma with half the weight. Deterministic
+    (the split direction is the per-dim std axis); `seed` is kept for API
+    stability.
     """
-    key = jax.random.key(seed)
+    del seed
     sigma = jnp.sqrt(jnp.maximum(gmm.vars, 1e-8))
-    direction = jax.random.normal(key, gmm.means.shape) * 0.0 + 1.0  # deterministic axis
-    lo = gmm.means - perturb * sigma * direction
-    hi = gmm.means + perturb * sigma * direction
+    lo = gmm.means - perturb * sigma
+    hi = gmm.means + perturb * sigma
     means = jnp.concatenate([lo, hi], axis=1)
     variances = jnp.concatenate([gmm.vars, gmm.vars], axis=1)
     weights = jnp.concatenate([gmm.weights, gmm.weights], axis=1) * 0.5

@@ -25,7 +25,10 @@ except ImportError:  # pragma: no cover
 
 
 def read_wav(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
-    """Read a PCM or float32 WAV file -> (float32 mono waveform in [-1,1], sr)."""
+    """Read a PCM WAV (8/16/24/32-bit int) -> (float32 mono in [-1,1], sr).
+
+    IEEE-float WAVs are not supported by the stdlib wave module.
+    """
     if isinstance(path_or_bytes, bytes):
         f = _wave.open(io.BytesIO(path_or_bytes), "rb")
     else:

@@ -136,7 +136,6 @@ def viterbi_lm(
     insertion_penalty: float = 0.0,
 ) -> LmViterbiResult:
     assert graph.labels == lm.tokens, "graph chains and LM tokens must align"
-    j = graph.n_states
     is_start = graph.enter_logp > NEG_INF / 2
     is_end = graph.exit_logp > NEG_INF / 2
     return _viterbi_lm_impl(

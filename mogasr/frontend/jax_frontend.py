@@ -123,18 +123,44 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
     Returns a jitted ``extract(waves[B, max_samples], num_samples[B]) ->
     (feats[B, T_max, feat_dim], num_frames[B])``.
     """
+    if cfg.dither != 0.0:
+        raise NotImplementedError("dither is not implemented (keep the default 0.0)")
     consts = build_consts(cfg)
     t_max = max(cfg.num_frames(max_samples), 1)
+
+    def frames_of(signal: jax.Array, num_samples: jax.Array) -> jax.Array:
+        """[B, N] -> [B, t_max, L] under the configured edge convention."""
+        B = signal.shape[0]
+        if cfg.snip_edges:
+            return _frame_signal_strided(signal, t_max, cfg)
+        # snip_edges=False: centered frames with per-utterance symmetric
+        # reflection at the TRUE waveform end (a gather — correctness over
+        # speed; this is the parity knob, not the throughput default).
+        L, H = cfg.frame_length, cfg.frame_shift
+        starts = jnp.arange(t_max) * H + H // 2 - L // 2
+        idx = starts[:, None] + jnp.arange(L)[None, :]          # [T, L]
+        n = jnp.maximum(num_samples, 1)[:, None, None]          # [B, 1, 1]
+        idx_b = jnp.broadcast_to(idx[None], (B, t_max, L))
+        idx_b = jnp.where(idx_b < 0, -idx_b - 1, idx_b)
+        idx_b = jnp.where(idx_b >= n, 2 * n - idx_b - 1, idx_b)
+        idx_b = jnp.clip(idx_b, 0, signal.shape[1] - 1)
+        out = jnp.take_along_axis(signal, idx_b.reshape(B, -1), axis=1)
+        return out.reshape(B, t_max, L)
 
     @jax.jit
     def extract(waves: jax.Array, num_samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
         waves = waves.astype(jnp.float32)
         B = waves.shape[0]
-        n_frames = jnp.where(
-            num_samples < cfg.frame_length,
-            0,
-            1 + (num_samples - cfg.frame_length) // cfg.frame_shift,
-        ).astype(jnp.int32)
+        if cfg.snip_edges:
+            n_frames = jnp.where(
+                num_samples < cfg.frame_length,
+                0,
+                1 + (num_samples - cfg.frame_length) // cfg.frame_shift,
+            ).astype(jnp.int32)
+        else:
+            n_frames = (
+                (num_samples + cfg.frame_shift // 2) // cfg.frame_shift
+            ).astype(jnp.int32)
         n_frames = jnp.minimum(n_frames, t_max)
 
         # Pre-emphasis on the full padded waveform (Kaldi convention: sample 0
@@ -142,7 +168,7 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
         prev = jnp.concatenate([waves[:, :1], waves[:, :-1]], axis=1)
         emph = waves - cfg.preemphasis * prev
 
-        frames = _frame_signal_strided(emph, t_max, cfg)  # [B, T_max, L]
+        frames = frames_of(emph, num_samples)  # [B, T_max, L]
 
         flat = frames.reshape(B * t_max, cfg.frame_length)
         # Windowed GEMM-native DFT -> power spectrum. fp32 HIGHEST for parity.
@@ -158,7 +184,7 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
         else:
             mfcc = jnp.dot(logmel, consts.dct_lift, precision=HIGHEST)
             if cfg.use_energy:
-                raw = _frame_signal_strided(waves, t_max, cfg).reshape(
+                raw = frames_of(waves, num_samples).reshape(
                     B * t_max, cfg.frame_length
                 )
                 energy = jnp.log(

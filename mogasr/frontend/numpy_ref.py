@@ -110,12 +110,26 @@ def preemphasize(wave: np.ndarray, coeff: float) -> np.ndarray:
 
 
 def frame_signal(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
-    """[T, frame_length] frames (snip_edges convention)."""
+    """[T, frame_length] frames.
+
+    snip_edges=True: frame t covers [t*H, t*H + L) and only full frames are
+    produced. snip_edges=False: frames are centered at (t + 0.5)*H and the
+    window reflects symmetrically at the waveform edges (index -1 -> 0,
+    n -> n-1, ...), the Kaldi convention.
+    """
     L, H = cfg.frame_length, cfg.frame_shift
     T = cfg.num_frames(len(wave))
     if T <= 0:
         return np.zeros((0, L))
-    idx = np.arange(T)[:, None] * H + np.arange(L)[None, :]
+    if cfg.snip_edges:
+        idx = np.arange(T)[:, None] * H + np.arange(L)[None, :]
+        return wave[idx]
+    n = len(wave)
+    starts = np.arange(T) * H + H // 2 - L // 2
+    idx = starts[:, None] + np.arange(L)[None, :]
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx >= n, 2 * n - idx - 1, idx)
+    idx = np.clip(idx, 0, n - 1)  # guard: degenerate ultra-short waveforms
     return wave[idx]
 
 
@@ -153,6 +167,11 @@ def extract_features_np(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     mirrors the reference's feature-extraction entry points within fp32
     tolerance on LibriSpeech features).
     """
+    if cfg.dither != 0.0:
+        raise NotImplementedError(
+            "dither is not implemented (keep the default 0.0); it would break "
+            "oracle/JAX bit-parity without a shared RNG stream"
+        )
     wave = np.asarray(wave, dtype=np.float64)
     emph = preemphasize(wave, cfg.preemphasis)
     frames = frame_signal(emph, cfg)

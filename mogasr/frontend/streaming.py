@@ -63,13 +63,23 @@ class StreamingFrontend:
     ):
         if cfg.use_energy:
             raise NotImplementedError("streaming use_energy not supported yet")
+        if not cfg.snip_edges:
+            raise NotImplementedError(
+                "streaming requires snip_edges=True (centered frames need "
+                "right-edge reflection, which is acausal)"
+            )
         self.cfg = cfg
         self.chunk_frames = chunk_frames
         self.kernel = _chunk_kernel(cfg, chunk_frames)
         self._buf = np.zeros(0, np.float64)   # un-consumed samples
         self._prev_sample = 0.0               # for pre-emphasis continuity
         self._first = True
-        self._base: List[np.ndarray] = []     # base (pre-delta) frames so far
+        # rolling buffer of base (pre-delta) frames: only the delta-context
+        # tail is kept, so streaming stays O(T) (not O(T^2)) in utterance
+        # length. _buf_start is the global frame index of _base_buf[0].
+        self._base_buf = np.zeros((0, cfg.base_dim), np.float32)
+        self._buf_start = 0
+        self._t_avail = 0
         self._emitted = 0                     # final frames already emitted
         if cfg.cmvn == "global":
             assert cmvn_mean is not None and cmvn_istd is not None, (
@@ -111,7 +121,8 @@ class StreamingFrontend:
             padded = np.zeros((self.chunk_frames, L), np.float32)
             padded[:nb] = block.astype(np.float32)
             out = np.asarray(self.kernel(jnp.asarray(padded)))[:nb]
-            self._base.append(out)
+            self._base_buf = np.concatenate([self._base_buf, out])
+            self._t_avail += nb
         # drop consumed samples; keep from start of next frame, minus one
         # sample of pre-emphasis history
         next_start = t * H
@@ -120,19 +131,33 @@ class StreamingFrontend:
         self._first = False
 
     def _deltas_ready(self, t_ready: int, final: bool) -> np.ndarray:
-        """Final features for frames [emitted, t_ready) with full context."""
+        """Final features for frames [emitted, t_ready) with full context.
+
+        Deltas are computed over the rolling buffer only; the buffer always
+        keeps `lag` frames of left context before the first un-emitted frame
+        (and starts at the true frame 0 until that many frames are emitted),
+        so the values equal a full-utterance computation exactly: left-edge
+        clamping happens only when _buf_start == 0, right-edge clamping only
+        at finalize when the buffer truly ends the utterance.
+        """
         cfg = self.cfg
         if t_ready <= self._emitted:
             return np.zeros((0, cfg.feat_dim), np.float32)
-        base = np.concatenate(self._base) if self._base else np.zeros((0, cfg.base_dim))
-        feats = [base]
-        prev = base
+        feats = [self._base_buf]
+        prev = self._base_buf
         for _ in range(cfg.delta_order):
             prev = npref.compute_deltas(prev, cfg.delta_window)
             feats.append(prev)
         full = np.concatenate(feats, axis=-1)
-        out = full[self._emitted : t_ready].astype(np.float32)
+        lo = self._emitted - self._buf_start
+        hi = t_ready - self._buf_start
+        out = full[lo:hi].astype(np.float32)
         self._emitted = t_ready
+        # trim: keep `lag` frames of context before the next un-emitted frame
+        new_start = max(t_ready - self._lag, 0)
+        if new_start > self._buf_start:
+            self._base_buf = self._base_buf[new_start - self._buf_start :]
+            self._buf_start = new_start
         if self.cfg.cmvn == "global":
             out = (out - self.cmvn_mean) * self.cmvn_istd
         return out
@@ -141,11 +166,9 @@ class StreamingFrontend:
         """Feed a chunk of audio; returns newly-final [n, feat_dim] features."""
         self._buf = np.concatenate([self._buf, np.asarray(samples, np.float64)])
         self._consume_frames()
-        t_avail = sum(b.shape[0] for b in self._base)
-        return self._deltas_ready(max(t_avail - self._lag, 0), final=False)
+        return self._deltas_ready(max(self._t_avail - self._lag, 0), final=False)
 
     def finalize(self) -> np.ndarray:
         """Flush remaining frames with end-of-utterance edge replication."""
         self._consume_frames()
-        t_avail = sum(b.shape[0] for b in self._base)
-        return self._deltas_ready(t_avail, final=True)
+        return self._deltas_ready(self._t_avail, final=True)

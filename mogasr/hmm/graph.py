@@ -80,15 +80,22 @@ class Graph:
 
 
 def align_graph(topo: Topology, phone_ids: Sequence[int]) -> Graph:
-    """Linear forced-alignment graph for a transcript phone sequence."""
+    """Linear forced-alignment graph for a transcript phone sequence.
+
+    adv_logp[j] is the weight of the (j-1 -> j) transition, i.e. the SOURCE
+    state's advance log-prob — at phone boundaries that is the previous
+    phone's advance prob, keeping each state's outgoing mass normalized.
+    """
     emit, selfp, advp, chain = [], [], [], []
+    prev_adv = NEG_INF  # no predecessor for the very first state
     for ci, p in enumerate(phone_ids):
         s_logp, a_logp = topo.phone_trans_logps(p)
         for k, pdf in enumerate(topo.phone_pdf_ids(p)):
             emit.append(pdf)
             selfp.append(s_logp)
-            advp.append(NEG_INF if (ci == 0 and k == 0) else a_logp)
+            advp.append(prev_adv)
             chain.append(ci)
+            prev_adv = a_logp
     j = len(emit)
     init = np.full(j, NEG_INF, np.float32)
     init[0] = 0.0

@@ -127,11 +127,15 @@ def tie_states(
     }
     total_elig = sum(len(v) for v in eligible.values())
     tying: Dict[Context, int] = {}
-    for ck, lst in sorted(eligible.items()):
-        if not lst or budget <= 0 or total_elig == 0:
+    remaining = budget
+    # largest groups first so the budget goes where contexts are plentiful;
+    # the per-group share is proportional but the running total respects the
+    # target (n_pdfs <= target_pdfs whenever target >= sil + backoff pdfs)
+    for ck, lst in sorted(eligible.items(), key=lambda kv: (-len(kv[1]), kv[0])):
+        if not lst or remaining <= 0 or total_elig == 0:
             continue
         share = max(int(round(budget * len(lst) / total_elig)), 1)
-        share = min(share, len(lst))
+        share = min(share, len(lst), remaining)
         means = np.stack([m for _, _, m in lst])
         occs = np.asarray([o for _, o, _ in lst])
         assign = _weighted_kmeans(means, occs, share, seed=seed)
@@ -139,6 +143,7 @@ def tie_states(
         for (ctx, _o, _m), a in zip(lst, assign):
             tying[ctx] = next_pdf + int(a)
         next_pdf += n_clusters
+        remaining -= n_clusters
     return TiedTriphones(topo=topo, tying=tying, backoff=backoff, n_pdfs=next_pdf)
 
 
@@ -147,13 +152,15 @@ def align_graph_cd(tied: TiedTriphones, phone_ids: Sequence[int]) -> Graph:
     topo = tied.topo
     emit, selfp, advp, chain = [], [], [], []
     ctxs = contexts_of(list(phone_ids), topo.lexicon.sil_id)
+    prev_adv = NEG_INF  # adv_logp[j] = SOURCE state's advance prob (see graph.py)
     for ci, (p, (l, c, r)) in enumerate(zip(phone_ids, ctxs)):
         s_logp, a_logp = topo.phone_trans_logps(p)
         for k in range(topo.phone_n_states(p)):
             emit.append(tied.pdf_of(l, c, r, k))
             selfp.append(s_logp)
-            advp.append(NEG_INF if (ci == 0 and k == 0) else a_logp)
+            advp.append(prev_adv)
             chain.append(ci)
+            prev_adv = a_logp
     j = len(emit)
     init = np.full(j, NEG_INF, np.float32)
     init[0] = 0.0

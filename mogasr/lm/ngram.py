@@ -42,7 +42,6 @@ def estimate_bigram(
     pair = np.full((C, C), alpha, np.float64)
     init = np.full(C, alpha, np.float64)
     final = np.full(C, alpha, np.float64)
-    final_denom = np.full(C, alpha * (C + 1), np.float64)  # +1 for </s>
     for words in transcripts:
         seq = [idx[w] for w in words if w in idx]
         if not seq:
@@ -50,9 +49,7 @@ def estimate_bigram(
         init[seq[0]] += 1
         for a, b in zip(seq, seq[1:]):
             pair[a, b] += 1
-            final_denom[a] += 1
         final[seq[-1]] += 1
-        final_denom[seq[-1]] += 1
     tiny = 1e-30  # alpha=0 rows: unseen events get log(0) ~ -inf without warnings
     pair_logp = np.log(np.maximum(pair, tiny)) - np.log(
         np.maximum(pair.sum(1, keepdims=True) + final.reshape(-1, 1), tiny)

@@ -208,7 +208,9 @@ def flat_start(
         for b in range(fb.size):
             g = gr.align_graph(
                 topo,
-                lexicon.words_to_phone_ids(fb.words[b]) if fb.words[b] else [lexicon.sil_id],
+                lexicon.words_to_phone_ids(fb.words[b], oov="sil")
+                if fb.words[b]
+                else [lexicon.sil_id],
             )
             t = int(nf[b])
             if t == 0:
@@ -266,8 +268,23 @@ def train_gmm(
             gmm = GmmSet(
                 jnp.asarray(g["weights"]), jnp.asarray(g["means"]), jnp.asarray(g["vars"])
             )
+            probs = np.asarray(state.get("per_phone_self_prob", [-1.0]))
+            if probs.size and float(probs.min()) >= 0.0:
+                topo = topo.with_transitions(probs)
     pdf_to_phone = topo.pdf_to_phone()
     while it < tcfg.num_em_iters:
+        # splitting schedule: double K at the START of every 2nd iteration
+        # until the target, so freshly split components always get at least
+        # one E/M pass before the model is returned, and a checkpointed run
+        # resumes identically to an uninterrupted one
+        if it > 0 and it % 2 == 0 and gmm.n_components < gcfg.n_components:
+            gmm = em.split_components(gmm, perturb=gcfg.split_perturb, seed=it)
+            if gmm.n_components > gcfg.n_components:
+                gmm = GmmSet(
+                    gmm.weights[:, : gcfg.n_components],
+                    gmm.means[:, : gcfg.n_components],
+                    gmm.vars[:, : gcfg.n_components],
+                )
         stats = None
         trans_paths, trans_pdfs = [], []
         for fb in batches:
@@ -317,18 +334,20 @@ def train_gmm(
 
             ckpt.save_checkpoint(
                 ckpt_dir,
-                {"gmm": gmm._asdict(), "history": history, "K": gmm.n_components},
+                {
+                    "gmm": gmm._asdict(),
+                    "history": history,
+                    "K": gmm.n_components,
+                    # re-estimated transitions must survive preemption too
+                    # (orbax rejects zero-size arrays: -1 = "not estimated")
+                    "per_phone_self_prob": (
+                        np.asarray(topo.per_phone_self_prob, np.float32)
+                        if topo.per_phone_self_prob
+                        else np.full(lexicon.n_phones, -1.0, np.float32)
+                    ),
+                },
                 step=it,
             )
-        # splitting schedule: double K every 2 iterations until target
-        if gmm.n_components < gcfg.n_components and it % 2 == 0:
-            gmm = em.split_components(gmm, perturb=gcfg.split_perturb, seed=it)
-            if gmm.n_components > gcfg.n_components:
-                gmm = GmmSet(
-                    gmm.weights[:, : gcfg.n_components],
-                    gmm.means[:, : gcfg.n_components],
-                    gmm.vars[:, : gcfg.n_components],
-                )
     return TrainGmmResult(gmm, history, topo)
 
 

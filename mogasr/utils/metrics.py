@@ -45,16 +45,29 @@ def _to_py(x):
         return str(x)
 
 
+def device_fence() -> None:
+    """Block until all work enqueued so far on the default device finishes.
+
+    PJRT executes a device's programs in launch order, so blocking on a
+    freshly enqueued no-op program waits for everything before it.
+    (jax.effects_barrier alone only waits for side-effecting computations.)
+    """
+    import jax.numpy as jnp
+
+    jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.zeros(())))
+    jax.effects_barrier()
+
+
 class Timer:
     """Wall-clock timer that forces device completion at both edges."""
 
     def __enter__(self):
-        jax.effects_barrier()
+        device_fence()
         self.t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        jax.effects_barrier()
+        device_fence()
         self.seconds = time.perf_counter() - self.t0
         return False
 

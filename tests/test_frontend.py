@@ -114,3 +114,41 @@ def test_use_energy(wave):
     ref = npref.extract_features_np(wave, cfg)
     got = jf.extract_features(wave, cfg)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_snip_edges_false_parity(wave):
+    """Centered frames with symmetric edge reflection (Kaldi convention)."""
+    cfg = FrontendConfig(snip_edges=False)
+    ref = npref.extract_features_np(wave, cfg)
+    got = jf.extract_features(wave, cfg)
+    assert got.shape == ref.shape
+    assert ref.shape[0] == cfg.num_frames(len(wave)) > CFG.num_frames(len(wave))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_snip_edges_false_batched(wave):
+    """Per-utterance reflection must use each row's true length."""
+    cfg = FrontendConfig(snip_edges=False)
+    from mogasr.data.synthetic import synth_utterance as _synth
+
+    other = _synth("t2", ["go"], seed=13).wave
+    n1, n2 = len(wave), len(other)
+    padded = max(n1, n2) + 999
+    fn = jf.make_frontend(cfg, padded)
+    waves = np.zeros((2, padded), np.float32)
+    waves[0, :n1] = wave
+    waves[1, :n2] = other
+    feats, nf = fn(jnp.asarray(waves), jnp.asarray([n1, n2]))
+    for i, w in enumerate([wave, other]):
+        ref = npref.extract_features_np(w, cfg)
+        t = int(nf[i])
+        assert t == ref.shape[0]
+        np.testing.assert_allclose(np.asarray(feats[i, :t]), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_dither_not_implemented(wave):
+    cfg = FrontendConfig(dither=1.0)
+    with pytest.raises(NotImplementedError):
+        npref.extract_features_np(wave, cfg)
+    with pytest.raises(NotImplementedError):
+        jf.make_frontend(cfg, len(wave))
