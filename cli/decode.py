@@ -32,7 +32,7 @@ def main() -> None:
     p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
-    p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm"],
+    p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm", "blstm", "tdnn"],
                    help="acoustic model: GMM or a trained neural classifier")
     p.add_argument("--nn-ckpt", help="orbax NN checkpoint dir (from train_nn)")
     p.add_argument("--nn-hidden", type=int, default=512)

@@ -70,11 +70,64 @@ class LstmAm(nn.Module):
         return nn.Dense(self.n_pdfs)(x)
 
 
+class BlstmAm(nn.Module):
+    """Bidirectional stacked-LSTM frame classifier (offline decoding)."""
+
+    n_pdfs: int
+    hidden: int = 512
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
+        x = feats
+        for _ in range(self.layers):
+            x = nn.Bidirectional(
+                nn.RNN(nn.OptimizedLSTMCell(self.hidden)),
+                nn.RNN(nn.OptimizedLSTMCell(self.hidden)),
+            )(x, seq_lengths=n_frames)
+        return nn.Dense(self.n_pdfs)(x)
+
+
+class TdnnAm(nn.Module):
+    """Time-delay NN (dilated 1-D convs over time) — the classic hybrid AM.
+
+    Context grows multiplicatively with depth via dilation (1, 2, 4, ...)
+    while staying convolutional, so XLA maps it onto the MXU as batched
+    GEMMs — wider effective context than MlpAm splicing at the same FLOPs.
+    """
+
+    n_pdfs: int
+    hidden: int = 512
+    layers: int = 3
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
+        # zero out padding so convolutions don't smear garbage into the
+        # valid region (loss masking alone can't prevent that)
+        mask = (
+            jnp.arange(feats.shape[1])[None, :] < n_frames[:, None]
+        ).astype(feats.dtype)[:, :, None]
+        x = feats * mask
+        for i in range(self.layers):
+            x = nn.Conv(
+                self.hidden, kernel_size=(self.kernel,), kernel_dilation=(2 ** i,),
+                padding="SAME",
+            )(x)
+            x = nn.LayerNorm()(x)
+            x = nn.relu(x)
+        return nn.Dense(self.n_pdfs)(x)
+
+
 def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
     if arch == "mlp":
         return MlpAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=cfg.nn_layers, context=cfg.nn_context)
     if arch == "lstm":
         return LstmAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=max(cfg.nn_layers - 1, 1))
+    if arch == "blstm":
+        return BlstmAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=max(cfg.nn_layers - 1, 1))
+    if arch == "tdnn":
+        return TdnnAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=cfg.nn_layers)
     raise ValueError(f"unknown arch {arch!r}")
 
 

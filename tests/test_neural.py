@@ -77,3 +77,37 @@ def test_training_learns():
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < first * 0.5
     assert float(metrics["frame_acc"]) > 0.9
+
+
+def test_blstm_forward_shape():
+    model = N.BlstmAm(n_pdfs=9, hidden=8, layers=1)
+    feats = jnp.zeros((2, 6, 5))
+    params = model.init(jax.random.key(0), feats, jnp.asarray([6, 6]))
+    logits = model.apply(params, feats, jnp.asarray([6, 3]))
+    assert logits.shape == (2, 6, 9)
+
+
+def test_tdnn_forward_shape_and_padding():
+    model = N.TdnnAm(n_pdfs=7, hidden=8, layers=2)
+    feats = jnp.ones((2, 10, 4))
+    params = model.init(jax.random.key(0), feats, jnp.asarray([10, 10]))
+    logits = model.apply(params, feats, jnp.asarray([10, 5]))
+    assert logits.shape == (2, 10, 7)
+    # padding frames zeroed before convs: valid-region logits of a short
+    # utterance must not depend on garbage in its padding
+    feats2 = feats.at[1, 5:].set(1e6)
+    logits2 = model.apply(params, feats2, jnp.asarray([10, 5]))
+    np.testing.assert_allclose(
+        np.asarray(logits[1, :3]), np.asarray(logits2[1, :3]), atol=1e-5
+    )
+
+
+def test_build_model_archs():
+    from mogasr.config import TrainConfig
+
+    cfg = TrainConfig(nn_hidden=8, nn_layers=2)
+    for arch in ["mlp", "lstm", "blstm", "tdnn"]:
+        m = N.build_model(arch, 5, cfg)
+        feats = jnp.zeros((1, 4, 3))
+        params = m.init(jax.random.key(0), feats, jnp.asarray([4]))
+        assert m.apply(params, feats, jnp.asarray([4])).shape == (1, 4, 5)
