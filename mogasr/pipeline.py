@@ -576,3 +576,85 @@ def train_triphone(
         n_pdfs=tied.n_pdfs,
     )
     return tied, result
+
+
+# ----------------------------- fMLLR two-pass decode ------------------------
+
+
+def decode_with_fmllr(
+    batches: Sequence[FeatBatch],
+    gmm: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+    dcfg: DecodeConfig,
+    speaker_of=None,
+    n_sweeps: int = 8,
+):
+    """Unsupervised two-pass decoding with per-speaker fMLLR adaptation.
+
+    Pass 1 decodes with the speaker-independent model; the hypotheses are
+    force-aligned to get frame labels; per-speaker fMLLR transforms are
+    estimated (mogasr.am.fmllr) and applied; pass 2 re-decodes the adapted
+    features. speaker_of(utt_id) groups utterances (default: LibriSpeech
+    convention, the utt-id prefix before the first '-'; one group if absent).
+
+    Returns (hyps_pass2, {speaker: W}).
+    """
+    from mogasr.am import fmllr as fm
+
+    if speaker_of is None:
+        speaker_of = lambda uid: uid.split("-")[0] if "-" in uid else "global"
+
+    graph = word_decode_graph(lexicon, topo, dcfg)
+
+    # ---- pass 1: SI decode ----
+    hyps1: Dict[str, List[str]] = {}
+    for fb in batches:
+        scores = score_batch(fb.feats, gmm)
+        out = decode_batch(fb, scores, graph, dcfg)
+        for b in range(fb.size):
+            hyps1[fb.utt_ids[b]] = out[b]
+
+    # ---- align against pass-1 hypotheses -> frame labels ----
+    # (hypothesized transcripts; empty hyps align to silence)
+    stats_by_spk: Dict[str, fm.FmllrStats] = {}
+    for fb in batches:
+        hyp_words = [hyps1.get(uid, []) for uid in fb.utt_ids]
+        hyp_words += [[]] * (len(fb.words) - len(hyp_words))
+        fb_hyp = FeatBatch(fb.utt_ids, fb.feats, fb.n_frames, hyp_words)
+        _res, labels, _ = align_batch(fb_hyp, gmm, lexicon, topo)
+        labels_np = np.asarray(labels)
+        feats_np = np.asarray(fb.feats)
+        for b in range(fb.size):
+            spk = speaker_of(fb.utt_ids[b])
+            s = fm.accumulate_fmllr_stats(
+                gmm, jnp.asarray(feats_np[b]), jnp.asarray(labels_np[b])
+            )
+            prev = stats_by_spk.get(spk)
+            stats_by_spk[spk] = (
+                s
+                if prev is None
+                else fm.FmllrStats(
+                    prev.k_stat + s.k_stat, prev.g_stat + s.g_stat, prev.beta + s.beta
+                )
+            )
+
+    transforms = {spk: fm.solve_fmllr(st, n_sweeps=n_sweeps) for spk, st in stats_by_spk.items()}
+
+    # ---- pass 2: adapted decode ----
+    hyps2: Dict[str, List[str]] = {}
+    for fb in batches:
+        feats_np = np.asarray(fb.feats)
+        adapted = np.stack(
+            [
+                np.asarray(fm.apply_fmllr(jnp.asarray(feats_np[b]), transforms[speaker_of(uid)]))
+                for b, uid in enumerate(fb.utt_ids)
+            ]
+            + [feats_np[b] for b in range(len(fb.utt_ids), feats_np.shape[0])]
+        )
+        fb2 = FeatBatch(fb.utt_ids, jnp.asarray(adapted), fb.n_frames, fb.words)
+        scores = score_batch(fb2.feats, gmm)
+        out = decode_batch(fb2, scores, graph, dcfg)
+        for b in range(fb.size):
+            hyps2[fb.utt_ids[b]] = out[b]
+    return hyps2, transforms
