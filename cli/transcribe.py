@@ -1,0 +1,109 @@
+"""Transcribe a long recording: VAD segmentation -> decode -> timestamps.
+
+The end-user entry point tying the full stack together: energy VAD splits the
+recording into utterance-sized segments, each segment runs through the fused
+front end + acoustic scorer + word-loop Viterbi, and the output is a
+timestamped transcript (JSON lines: start/end seconds, words).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+from cli.common import add_run_args, make_logger
+from cli.score import load_or_random_gmm
+from mogasr.config import BatchConfig, DecodeConfig, FrontendConfig, TopologyConfig
+from mogasr.frontend.vad import VadConfig, segment_utterances
+from mogasr.hmm.lexicon import load_lexicon, synthetic_lexicon
+from mogasr.hmm.topology import build_topology
+from mogasr.pipeline import decode_batch, featurize, score_batch, word_decode_graph
+from mogasr.utils.metrics import Timer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_run_args(p)
+    p.add_argument("--audio", help="wav file to transcribe")
+    p.add_argument("--synthetic-demo", action="store_true",
+                   help="transcribe a generated long recording instead of a file")
+    p.add_argument("--lexicon", help="Kaldi-style lexicon.txt (default: synthetic)")
+    p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
+    p.add_argument("--num-states", type=int, default=0)
+    p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--insertion-penalty", type=float, default=2.0)
+    p.add_argument("--max-segment-s", type=float, default=30.0)
+    p.add_argument("--out", help="write transcript (jsonl)")
+    args = p.parse_args()
+
+    fcfg = FrontendConfig()
+    if args.synthetic_demo:
+        from mogasr.data.synthetic import make_corpus
+
+        utts = make_corpus(4, words_per_utt=(2, 3), seed=5)
+        gap = np.zeros(16000, np.float32)
+        wave = np.concatenate(sum(([u.wave, gap] for u in utts), [gap]))
+        sr = fcfg.sample_rate
+    elif args.audio:
+        from mogasr.data.audio import read_audio
+
+        wave, sr = read_audio(args.audio, target_sr=fcfg.sample_rate)
+    else:
+        raise SystemExit("pass --audio FILE or --synthetic-demo")
+
+    lex = load_lexicon(args.lexicon) if args.lexicon else synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    if args.num_states == 0:
+        args.num_states = topo.n_pdfs
+    dcfg = DecodeConfig(
+        acoustic_scale=args.acoustic_scale,
+        word_insertion_penalty=args.insertion_penalty,
+    )
+    gmm = load_or_random_gmm(args, fcfg.feat_dim)
+    logger = make_logger(args)
+
+    with Timer() as t:
+        segments = segment_utterances(
+            wave, fcfg, VadConfig(max_segment_s=args.max_segment_s)
+        )
+        corpus = [
+            (f"seg-{i:04d}", wave[a:b], []) for i, (a, b) in enumerate(segments)
+        ]
+        results = []
+        if corpus:
+            graph = word_decode_graph(lex, topo, dcfg)
+            for fb in featurize(corpus, fcfg, BatchConfig()):
+                scores = score_batch(fb.feats, gmm)
+                out = decode_batch(fb, scores, graph, dcfg)
+                for b in range(fb.size):
+                    idx = int(fb.utt_ids[b].split("-")[1])
+                    a, e = segments[idx]
+                    results.append({
+                        "start_s": round(a / fcfg.sample_rate, 2),
+                        "end_s": round(e / fcfg.sample_rate, 2),
+                        "words": out[b],
+                    })
+    results.sort(key=lambda r: r["start_s"])
+    logger.log({
+        "stage": "transcribe", "audio_s": round(len(wave) / fcfg.sample_rate, 1),
+        "segments": len(segments), "wall_sec": t.seconds,
+        "rtf": t.seconds / max(len(wave) / fcfg.sample_rate, 1e-9),
+    })
+    lines = [json.dumps(r) for r in results]
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    else:
+        print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

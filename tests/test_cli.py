@@ -188,3 +188,20 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     cd = [m for m in metrics if m.get("stage") == "train_cd_done"]
     assert cd and cd[0]["tied_pdfs"] > 0
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
+
+
+def test_transcribe_cli(tmp_path, monkeypatch):
+    from cli import transcribe
+
+    out = str(tmp_path / "transcript.jsonl")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 4  # 4 synthetic utterances separated by silence
+    for i in range(1, len(lines)):
+        assert lines[i]["start_s"] >= lines[i - 1]["end_s"] - 0.5
+    assert all("words" in l for l in lines)
