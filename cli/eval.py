@@ -61,7 +61,7 @@ def main() -> None:
     n_chips = mesh.devices.size
 
     # batch size must divide over chips
-    bcfg = BatchConfig(batch_size=8 * n_chips)
+    bcfg = BatchConfig(batch_size=16 * n_chips)  # 16/chip amortizes dispatch
     if args.streaming:
         from mogasr.pipeline import featurize_streaming
 
