@@ -80,7 +80,16 @@ def main() -> None:
         results = []
         if corpus:
             graph = word_decode_graph(lex, topo, dcfg)
-            for fb in featurize(corpus, fcfg, BatchConfig()):
+            # bucket ceilings must cover max_segment_s, or make_batches would
+            # silently drop segments between the default 20 s ceiling and the
+            # VAD cap
+            max_frames = int(args.max_segment_s * 1000 / fcfg.frame_shift_ms) + 10
+            bcfg = BatchConfig(
+                bucket_boundaries=tuple(
+                    sorted({500, 1000, 2000, max_frames})
+                )
+            )
+            for fb in featurize(corpus, fcfg, bcfg):
                 scores = score_batch(fb.feats, gmm)
                 out = decode_batch(fb, scores, graph, dcfg)
                 for b in range(fb.size):

@@ -116,6 +116,10 @@ class TdnnAm(nn.Module):
             )(x)
             x = nn.LayerNorm()(x)
             x = nn.relu(x)
+            # re-mask after every layer: bias/LayerNorm put nonzero values in
+            # the padded region, which later dilated convs would smear into
+            # valid frames (padding-AMOUNT invariance, not just garbage-proofing)
+            x = x * mask
         return nn.Dense(self.n_pdfs)(x)
 
 

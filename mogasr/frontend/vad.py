@@ -38,9 +38,16 @@ def frame_log_energy(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     return np.log(np.maximum((frames ** 2).sum(-1), 1e-12))
 
 
-def energy_vad(wave: np.ndarray, cfg: FrontendConfig, vcfg: VadConfig = VadConfig()) -> np.ndarray:
-    """[T] bool speech mask with min-duration smoothing."""
-    e = frame_log_energy(wave, cfg)
+def energy_vad(
+    wave: np.ndarray,
+    cfg: FrontendConfig,
+    vcfg: VadConfig = VadConfig(),
+    energies: np.ndarray = None,
+) -> np.ndarray:
+    """[T] bool speech mask with min-duration smoothing.
+
+    energies: precomputed frame_log_energy (avoids re-framing long audio)."""
+    e = energies if energies is not None else frame_log_energy(wave, cfg)
     if e.size == 0:
         return np.zeros(0, bool)
     ln10_per_db = np.log(10) / 10.0
@@ -91,8 +98,8 @@ def segment_utterances(
     Segments include margin_ms of context; segments longer than max_segment_s
     are force-split at their weakest-energy frame.
     """
-    mask = energy_vad(wave, cfg, vcfg)
-    e = frame_log_energy(wave, cfg)
+    e = frame_log_energy(wave, cfg)  # computed once, shared with the VAD
+    mask = energy_vad(wave, cfg, vcfg, energies=e)
     H = cfg.frame_shift
     margin = int(vcfg.margin_ms / cfg.frame_shift_ms)
     max_frames = int(vcfg.max_segment_s * 1000 / cfg.frame_shift_ms)

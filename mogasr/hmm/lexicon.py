@@ -86,11 +86,18 @@ def synthetic_lexicon() -> Lexicon:
 
 
 def load_lexicon(path: str) -> Lexicon:
-    """Parse a Kaldi-style lexicon.txt: 'WORD phone phone ...' per line."""
+    """Parse a Kaldi-style lexicon.txt: 'WORD phone phone ...' per line.
+
+    Words are lowercased to match the corpus loaders (LibriSpeech transcripts
+    are uppercase, cli.common lowercases them) — a case mismatch would
+    silently turn every word OOV.
+    """
     prons: Dict[str, Tuple[str, ...]] = {}
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) >= 2 and parts[0] not in prons:  # first pron wins
-                prons[parts[0]] = tuple(parts[1:])
+            if len(parts) >= 2:
+                word = parts[0].lower()
+                if word not in prons:  # first pron wins
+                    prons[word] = tuple(parts[1:])
     return make_lexicon(prons)

@@ -74,7 +74,6 @@ def featurize_streaming(
     definition). Results batch into the same FeatBatch shape as featurize(),
     and match it numerically (tested).
     """
-    from mogasr.data.batching import bucket_ceiling, frames_to_samples
     from mogasr.frontend.numpy_ref import cmvn_np
     from mogasr.frontend.streaming import StreamingFrontend
 
@@ -243,6 +242,11 @@ def train_gmm(
     trainer" row). mode: "viterbi" = hard EM on forced-alignment labels;
     "baum-welch" = full soft EM via on-device forward-backward
     (mogasr.decoder.forward_backward).
+
+    Splits happen at the START of every 2nd iteration (so the returned model
+    is always refit after its last split): reaching K components needs
+    num_em_iters >= 2*ceil(log2(K)) + 1; a shorter schedule logs a warning
+    and returns fewer components.
     """
     from mogasr.decoder import forward_backward as fbd
 
@@ -271,6 +275,31 @@ def train_gmm(
             probs = np.asarray(state.get("per_phone_self_prob", [-1.0]))
             if probs.size and float(probs.min()) >= 0.0:
                 topo = topo.with_transitions(probs)
+            fp = np.asarray(state.get("fingerprint", [-1, -1, -1]))
+            want = np.asarray(
+                [gcfg.n_states, gcfg.n_components, 0 if mode == "viterbi" else 1]
+            )
+            if fp.size == 3 and not np.array_equal(fp, want):
+                raise ValueError(
+                    f"EM checkpoint in {ckpt_dir} was written for a different "
+                    f"config (saved n_states/n_components/mode={fp.tolist()}, "
+                    f"requested {want.tolist()}); use a fresh ckpt_dir"
+                )
+    import math
+
+    need = 2 * math.ceil(math.log2(max(gcfg.n_components, 1))) + 1
+    if gcfg.n_components > gmm.n_components and tcfg.num_em_iters < need:
+        msg = (
+            f"num_em_iters={tcfg.num_em_iters} cannot reach "
+            f"n_components={gcfg.n_components} (needs >= {need}); "
+            "the final model will have fewer components"
+        )
+        if logger:
+            logger.log({"stage": "em_warning", "message": msg})
+        else:
+            import warnings
+
+            warnings.warn(msg)
     pdf_to_phone = topo.pdf_to_phone()
     while it < tcfg.num_em_iters:
         # splitting schedule: double K at the START of every 2nd iteration
@@ -344,6 +373,10 @@ def train_gmm(
                         np.asarray(topo.per_phone_self_prob, np.float32)
                         if topo.per_phone_self_prob
                         else np.full(lexicon.n_phones, -1.0, np.float32)
+                    ),
+                    # guards resume against a changed config/corpus setup
+                    "fingerprint": np.asarray(
+                        [gcfg.n_states, gcfg.n_components, 0 if mode == "viterbi" else 1]
                     ),
                 },
                 step=it,
@@ -625,10 +658,17 @@ def decode_with_fmllr(
         _res, labels, _ = align_batch(fb_hyp, gmm, lexicon, topo)
         labels_np = np.asarray(labels)
         feats_np = np.asarray(fb.feats)
+        # one accumulate dispatch per (batch, speaker) group, not per
+        # utterance — the per-dispatch floor dominates otherwise
+        by_spk: Dict[str, List[int]] = {}
         for b in range(fb.size):
-            spk = speaker_of(fb.utt_ids[b])
+            by_spk.setdefault(speaker_of(fb.utt_ids[b]), []).append(b)
+        D = feats_np.shape[-1]
+        for spk, rows in by_spk.items():
+            flat_feats = feats_np[rows].reshape(-1, D)
+            flat_labels = labels_np[rows].reshape(-1)  # padding stays -1
             s = fm.accumulate_fmllr_stats(
-                gmm, jnp.asarray(feats_np[b]), jnp.asarray(labels_np[b])
+                gmm, jnp.asarray(flat_feats), jnp.asarray(flat_labels)
             )
             prev = stats_by_spk.get(spk)
             stats_by_spk[spk] = (
@@ -641,17 +681,14 @@ def decode_with_fmllr(
 
     transforms = {spk: fm.solve_fmllr(st, n_sweeps=n_sweeps) for spk, st in stats_by_spk.items()}
 
-    # ---- pass 2: adapted decode ----
+    # ---- pass 2: adapted decode (batched transform on host: D x D matmul) ----
     hyps2: Dict[str, List[str]] = {}
     for fb in batches:
         feats_np = np.asarray(fb.feats)
-        adapted = np.stack(
-            [
-                np.asarray(fm.apply_fmllr(jnp.asarray(feats_np[b]), transforms[speaker_of(uid)]))
-                for b, uid in enumerate(fb.utt_ids)
-            ]
-            + [feats_np[b] for b in range(len(fb.utt_ids), feats_np.shape[0])]
-        )
+        adapted = feats_np.copy()
+        for b, uid in enumerate(fb.utt_ids):
+            W = transforms[speaker_of(uid)]
+            adapted[b] = feats_np[b] @ W[:, :-1].T + W[:, -1]
         fb2 = FeatBatch(fb.utt_ids, jnp.asarray(adapted), fb.n_frames, fb.words)
         scores = score_batch(fb2.feats, gmm)
         out = decode_batch(fb2, scores, graph, dcfg)

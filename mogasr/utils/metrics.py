@@ -45,16 +45,24 @@ def _to_py(x):
         return str(x)
 
 
+_FENCE_FN = None
+
+
 def device_fence() -> None:
     """Block until all work enqueued so far on the default device finishes.
 
     PJRT executes a device's programs in launch order, so blocking on a
     freshly enqueued no-op program waits for everything before it.
     (jax.effects_barrier alone only waits for side-effecting computations.)
+    The no-op is jitted once at module scope — a per-call jit would re-trace
+    and put its compile time inside the measured interval.
     """
     import jax.numpy as jnp
 
-    jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.zeros(())))
+    global _FENCE_FN
+    if _FENCE_FN is None:
+        _FENCE_FN = jax.jit(lambda x: x + 1)
+    jax.block_until_ready(_FENCE_FN(jnp.zeros(())))
     jax.effects_barrier()
 
 
