@@ -24,7 +24,9 @@ from mogasr.config import BatchConfig, DecodeConfig, FrontendConfig, TopologyCon
 from mogasr.frontend.vad import VadConfig, segment_utterances
 from mogasr.hmm.lexicon import load_lexicon, synthetic_lexicon
 from mogasr.hmm.topology import build_topology
-from mogasr.pipeline import decode_batch, featurize, score_batch, word_decode_graph
+from mogasr.pipeline import (
+    decode_batch_with_confidence, featurize, score_batch, word_decode_graph,
+)
 from mogasr.utils.metrics import Timer
 
 
@@ -91,14 +93,15 @@ def main() -> None:
             )
             for fb in featurize(corpus, fcfg, bcfg):
                 scores = score_batch(fb.feats, gmm)
-                out = decode_batch(fb, scores, graph, dcfg)
+                out = decode_batch_with_confidence(fb, scores, graph, dcfg)
                 for b in range(fb.size):
                     idx = int(fb.utt_ids[b].split("-")[1])
                     a, e = segments[idx]
                     results.append({
                         "start_s": round(a / fcfg.sample_rate, 2),
                         "end_s": round(e / fcfg.sample_rate, 2),
-                        "words": out[b],
+                        "words": [w for w, _c in out[b]],
+                        "confidences": [c for _w, c in out[b]],
                     })
     results.sort(key=lambda r: r["start_s"])
     logger.log({

@@ -695,3 +695,61 @@ def decode_with_fmllr(
         for b in range(fb.size):
             hyps2[fb.utt_ids[b]] = out[b]
     return hyps2, transforms
+
+
+# --------------------------- confidence-scored decoding ---------------------
+
+
+def decode_batch_with_confidence(
+    fb: FeatBatch,
+    scores: jax.Array,
+    graph: gr.Graph,
+    dcfg: DecodeConfig,
+    drop_tokens: Tuple[str, ...] = ("<sil>", "sil"),
+) -> List[List[Tuple[str, float]]]:
+    """Viterbi decode + per-word posterior confidence.
+
+    Confidence of a decoded word = its chain's posterior mass (from
+    forward-backward over the SAME decode graph), averaged over the word's
+    Viterbi time span — the standard lattice-free posterior confidence.
+    Returns [(word, confidence)] per utterance.
+    """
+    from mogasr.decoder import forward_backward as fbd
+
+    B = fb.size
+    n_chains = int(np.max(graph.chain_id)) + 1
+    graphs_np = gr.batch_graphs([graph] * scores.shape[0])
+    graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+    res = vit.viterbi(
+        scores, graphs, fb.n_frames,
+        acoustic_scale=dcfg.acoustic_scale, beam=dcfg.beam,
+    )
+    fbr = fbd.forward_backward(scores, graphs, fb.n_frames,
+                               acoustic_scale=dcfg.acoustic_scale)
+    # chain posterior per frame: [B, T, C]
+    chain_post = fbd.state_posteriors_to_pdf(
+        fbr.log_gamma, graphs["chain_id"], n_chains
+    )
+    chain_post = np.asarray(chain_post)
+    path = np.asarray(res.path)
+    entered = np.asarray(res.entered)
+    nf = np.asarray(fb.n_frames)
+
+    out: List[List[Tuple[str, float]]] = []
+    for b in range(B):
+        words: List[Tuple[str, float]] = []
+        spans: List[Tuple[int, int, int]] = []  # (chain, start_t, end_t)
+        for t in range(int(nf[b])):
+            if entered[b, t]:
+                if spans:
+                    spans[-1] = (spans[-1][0], spans[-1][1], t)
+                spans.append((int(graph.chain_id[path[b, t]]), t, int(nf[b])))
+        for c, t0, t1 in spans:
+            label = graph.labels[c]
+            if label in drop_tokens:
+                continue
+            conf = float(chain_post[b, t0:t1, c].mean()) if t1 > t0 else 0.0
+            # f32 posteriors can overshoot 1 by ~1e-3
+            words.append((label, round(min(max(conf, 0.0), 1.0), 4)))
+        out.append(words)
+    return out

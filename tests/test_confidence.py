@@ -1,0 +1,78 @@
+"""Word-confidence decoding: posteriors in (0,1], high on clean trained data,
+degraded on noise."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mogasr import pipeline as pipe
+from mogasr.config import (
+    BatchConfig, DecodeConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
+)
+from mogasr.data.synthetic import make_corpus
+from mogasr.hmm.lexicon import synthetic_lexicon
+from mogasr.hmm.topology import build_topology
+
+FCFG = FrontendConfig()
+
+
+@pytest.fixture(scope="module")
+def system():
+    lex = synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    utts = make_corpus(12, words_per_utt=(2, 3), seed=42)
+    batches = pipe.featurize(
+        [(u.utt_id, u.wave, u.words) for u in utts],
+        FCFG, BatchConfig(batch_size=6, bucket_boundaries=(250, 400)),
+    )
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
+    gmm, _ = pipe.train_gmm(batches, lex, topo, gcfg, TrainConfig(num_em_iters=6))
+    return lex, topo, batches, gmm
+
+
+def test_confidences_valid_and_high_on_clean_data(system):
+    lex, topo, batches, gmm = system
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    graph = pipe.word_decode_graph(lex, topo, dcfg)
+    confs = []
+    for fb in batches:
+        scores = pipe.score_batch(fb.feats, gmm)
+        out = pipe.decode_batch_with_confidence(fb, scores, graph, dcfg)
+        plain = pipe.decode_batch(fb, scores, graph, dcfg)
+        for b in range(fb.size):
+            # words match the plain decoder exactly
+            assert [w for w, _c in out[b]] == plain[b]
+            for _w, c in out[b]:
+                assert 0.0 <= c <= 1.0 + 1e-6
+                confs.append(c)
+    assert confs and float(np.median(confs)) > 0.8, np.median(confs)
+
+
+def test_ambiguity_splits_confidence():
+    """Two vocabulary words with IDENTICAL pronunciations: whichever is
+    decoded must carry ~0.5 posterior confidence (mass split between the
+    indistinguishable chains) — the property that makes posterior confidence
+    informative where raw Viterbi scores are not."""
+    from mogasr.hmm import graph as gr
+    from mogasr.hmm.lexicon import make_lexicon
+    from mogasr.hmm.topology import build_topology as bt
+
+    lex = make_lexicon({"uno": ["a"], "duo": ["a"], "tri": ["b"]})
+    topo = bt(lex, TopologyConfig(states_per_phone=1, sil_states=1))
+    dcfg = DecodeConfig(acoustic_scale=1.0)
+    graph = pipe.word_decode_graph(lex, topo, dcfg)
+    # emissions strongly favoring phone "a" for 6 frames
+    T = 6
+    scores = np.full((1, T, topo.n_pdfs), -10.0, np.float32)
+    a_pdf = topo.phone_pdf_ids(lex.phone_id("a"))[0]
+    scores[:, :, a_pdf] = 0.0
+    # feats unused by this API beyond shape bookkeeping; pass scores directly
+    out = pipe.decode_batch_with_confidence(
+        pipe.FeatBatch(["u0"], jnp.zeros((1, T, 3)), jnp.asarray([T]), [[]]),
+        jnp.asarray(scores), graph, dcfg,
+    )
+    words = out[0]
+    assert words, "should decode at least one word"
+    assert all(w in ("uno", "duo") for w, _c in words), words
+    for _w, c in words:
+        assert 0.35 < c < 0.65, words  # mass split between uno/duo

@@ -20,12 +20,12 @@ def corpus_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("ls_root")
     utts = make_corpus(6, words_per_utt=(2, 2), seed=21)
     write_fixture_corpus(str(root), "dev-clean", utts)
-    # Kaldi-style lexicon: uppercase words (LibriSpeech transcripts are
-    # uppercase; cli lowercases them, so write lowercase entries here)
+    # Kaldi-style lexicon with UPPERCASE words, like real LibriSpeech/CMUdict
+    # lexicons: load_lexicon lowercases them to match the corpus loader
     lex_path = root / "lexicon.txt"
     with open(lex_path, "w") as f:
         for w, phones in sorted(LEXICON.items()):
-            f.write(f"{w} {' '.join(phones)}\n")
+            f.write(f"{w.upper()} {' '.join(phones)}\n")
     return str(root), str(lex_path)
 
 
