@@ -112,6 +112,26 @@ def main() -> None:
     m_nn = pipe.evaluate(eb, None, lex, topo_t, dcfg, scorer=scorer)
     results["heldout_wer_mlp_unigram"] = round(m_nn["wer"], 4)
 
+    # (d) tied-triphone system
+    from mogasr.hmm import triphone as tri
+
+    # ~120 pdfs: on 48 training utterances, more tied states starve each pdf
+    # of data (200 pdfs measured 10% WER vs 1.4% monophone on this corpus)
+    tied, res_cd = pipe.train_triphone(
+        tb, lex, topo_t, gcfg, TrainConfig(num_em_iters=6), gmm,
+        target_pdfs=120, min_occ=20.0,
+    )
+    graph_cd = tri.word_loop_graph_cd(tied, insertion_penalty=dcfg.word_insertion_penalty)
+    refs_cd, hyps_cd = [], []
+    for fb in eb:
+        scores = pipe.score_batch(fb.feats, res_cd.gmm)
+        out = pipe.decode_batch(fb, scores, graph_cd, dcfg)
+        for b in range(fb.size):
+            refs_cd.append([w.lower() for w in fb.words[b]])
+            hyps_cd.append([w.lower() for w in out[b]])
+    results["tied_pdfs"] = tied.n_pdfs
+    results["heldout_wer_triphone"] = round(corpus_wer(refs_cd, hyps_cd)[0], 4)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results_accuracy.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
