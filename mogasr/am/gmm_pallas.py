@@ -45,6 +45,42 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _gmm_kernel_int8(
+    x_ref, ab_ref, c_ref, sx_ref, sab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int
+):
+    """int8 variant: int8 x int8 -> int32 MXU dot, dequantized in the epilogue
+    with per-frame-row and per-(component, state-column) scales."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    x = x_ref[:]
+    sx = sx_ref[:].astype(jnp.float32)          # [TM, 1]
+    scores_list = []
+    for kk in range(kc):
+        acc = jnp.dot(x, ab_ref[kk], preferred_element_type=jnp.int32)
+        deq = acc.astype(jnp.float32) * sx * sab_ref[kk].astype(jnp.float32)
+        scores_list.append(deq + c_ref[kk].astype(jnp.float32))
+    cmax = scores_list[0]
+    for kk in range(1, kc):
+        cmax = jnp.maximum(cmax, scores_list[kk])
+    csum = jnp.exp(scores_list[0] - cmax)
+    for kk in range(1, kc):
+        csum = csum + jnp.exp(scores_list[kk] - cmax)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, cmax)
+    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + csum * jnp.exp(cmax - m_new)
+    m_scr[:] = m_new
+
+    @pl.when(k == n_kc - 1)
+    def _():
+        out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+
+
 def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision):
     k = pl.program_id(2)
 
@@ -105,9 +141,19 @@ def _gmm_loglik_pallas_impl(
     n_kc = k_pad // kc
     dt = jnp.dtype(compute_dtype)
 
-    x2p = jnp.zeros((n_pad, r), dt).at[:n, :two_d].set(x2.astype(dt))
-    abp = jnp.zeros((k_pad, r, s_pad), dt)
-    abp = abp.at[:n_comp, :two_d, :n_states].set(ab_t.astype(dt))
+    if dt == jnp.int8:
+        # symmetric per-frame-row / per-(comp, state-col) quantization
+        x2f = jnp.zeros((n_pad, r), jnp.float32).at[:n, :two_d].set(x2)
+        sx = jnp.maximum(jnp.max(jnp.abs(x2f), axis=1, keepdims=True), 1e-10) / 127.0
+        x2p = jnp.clip(jnp.round(x2f / sx), -127, 127).astype(jnp.int8)
+        abf = jnp.zeros((k_pad, r, s_pad), jnp.float32)
+        abf = abf.at[:n_comp, :two_d, :n_states].set(ab_t)
+        sab = jnp.maximum(jnp.max(jnp.abs(abf), axis=1, keepdims=True), 1e-10) / 127.0
+        abp = jnp.clip(jnp.round(abf / sab), -127, 127).astype(jnp.int8)
+    else:
+        x2p = jnp.zeros((n_pad, r), dt).at[:n, :two_d].set(x2.astype(dt))
+        abp = jnp.zeros((k_pad, r, s_pad), dt)
+        abp = abp.at[:n_comp, :two_d, :n_states].set(ab_t.astype(dt))
     # Padded components get c = -inf so they are identity under logsumexp.
     cp = jnp.full((k_pad, 1, s_pad), -jnp.inf, jnp.float32)
     cp = cp.at[:n_comp, 0, :n_states].set(c_t)
@@ -120,14 +166,8 @@ def _gmm_loglik_pallas_impl(
         jax.lax.Precision.HIGHEST if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     )
     grid = (n_pad // tile_m, s_pad // tile_s, n_kc)
-    out = pl.pallas_call(
-        functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision),
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_m, r), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, r, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, 1, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((tile_m, tile_s), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, s_pad), jnp.float32),
         scratch_shapes=[
@@ -140,7 +180,23 @@ def _gmm_loglik_pallas_impl(
             transcendentals=2 * n_pad * s_pad * k_pad,
         ),
         interpret=interpret,
-    )(x2p, abp, cp)
+    )
+    x_spec = pl.BlockSpec((tile_m, r), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM)
+    ab_spec = pl.BlockSpec((kc, r, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((kc, 1, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    if dt == jnp.int8:
+        sx_spec = pl.BlockSpec((tile_m, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_gmm_kernel_int8, kc=kc, n_kc=n_kc),
+            in_specs=[x_spec, ab_spec, c_spec, sx_spec, c_spec],
+            **common,
+        )(x2p, abp, cp, sx, sab)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision),
+            in_specs=[x_spec, ab_spec, c_spec],
+            **common,
+        )(x2p, abp, cp)
     return out[:n, :n_states]
 
 

@@ -92,12 +92,15 @@ def load_lexicon(path: str) -> Lexicon:
     are uppercase, cli.common lowercases them) — a case mismatch would
     silently turn every word OOV.
     """
+    import re
+
     prons: Dict[str, Tuple[str, ...]] = {}
     with open(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) >= 2:
-                word = parts[0].lower()
+                # CMUdict-style alternate-pronunciation markers: "WORD(2)"
+                word = re.sub(r"\(\d+\)$", "", parts[0]).lower()
                 if word not in prons:  # first pron wins
                     prons[word] = tuple(parts[1:])
     return make_lexicon(prons)

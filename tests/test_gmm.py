@@ -95,3 +95,13 @@ def test_loglik_padding_rows_ignored(small_gmm, x):
     a = np.asarray(gmm_loglik_pallas(jnp.asarray(x), small_gmm, tile_m=8))
     b = np.asarray(gmm_loglik_pallas(jnp.asarray(xp), small_gmm, tile_m=8))[: x.shape[0]]
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_int8_scoring_close_and_decode_safe(small_gmm, x):
+    """int8 quantized scoring: small absolute error, argmax mostly preserved.
+    (Decode-decision equivalence on a trained system is covered in
+    tests/test_numerics.py.)"""
+    ref = G.gmm_loglik_np(x, *map(np.asarray, small_gmm))
+    got = np.asarray(gmm_loglik_pallas(jnp.asarray(x), small_gmm, tile_m=8, compute_dtype="int8"))
+    assert np.abs(got - ref).mean() < 0.2
+    assert (got.argmax(1) == ref.argmax(1)).mean() > 0.9

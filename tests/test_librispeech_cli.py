@@ -87,3 +87,14 @@ def test_missing_lexicon_is_clear_error(corpus_dir, tmp_path, monkeypatch):
             ["--librispeech-root", root, "--run-dir", str(tmp_path / "run")],
             monkeypatch,
         )
+
+
+def test_lexicon_alternate_pronunciations(tmp_path):
+    from mogasr.hmm.lexicon import load_lexicon
+
+    p = tmp_path / "lex.txt"
+    p.write_text("THE dh ah\nTHE(2) dh iy\nCAT k ae t\n")
+    lex = load_lexicon(str(p))
+    assert "the" in lex.words and "the(2)" not in lex.words
+    assert lex.prons["the"] == ("dh", "ah")  # first pronunciation wins
+    assert lex.prons["cat"] == ("k", "ae", "t")

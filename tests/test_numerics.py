@@ -65,3 +65,17 @@ def test_global_cmvn_stats(system):
     # features are already per-utterance CMVN'd, so global stats ~ (0, 1)
     np.testing.assert_allclose(mean, 0.0, atol=0.1)
     np.testing.assert_allclose(1.0 / istd, 1.0, atol=0.15)
+
+
+def test_int8_scoring_preserves_decode_decisions(system):
+    """int8 quantized scoring must keep the decoded words on the trained
+    system (same guarantee as bf16, tested end-to-end)."""
+    from mogasr.am.gmm_pallas import gmm_loglik_batched
+
+    lex, topo, batches, gmm = system
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    graph = pipe.word_decode_graph(lex, topo, dcfg)
+    for fb in batches[:1]:
+        s32 = gmm_loglik_batched(fb.feats, gmm, tile_m=64, compute_dtype="float32")
+        s8 = gmm_loglik_batched(fb.feats, gmm, tile_m=64, compute_dtype="int8")
+        assert pipe.decode_batch(fb, s32, graph, dcfg) == pipe.decode_batch(fb, s8, graph, dcfg)
