@@ -753,3 +753,66 @@ def decode_batch_with_confidence(
             words.append((label, round(min(max(conf, 0.0), 1.0), 4)))
         out.append(words)
     return out
+
+
+def decode_batch_nbest(
+    fb: FeatBatch,
+    scores: jax.Array,
+    graph: gr.Graph,
+    dcfg: DecodeConfig,
+    n_best: int = 5,
+    min_posterior: float = 0.01,
+    drop_tokens: Tuple[str, ...] = ("<sil>", "sil"),
+):
+    """Confusion-network-style word alternatives per Viterbi time span.
+
+    For each word span of the 1-best path, ranks all vocabulary chains by
+    their average forward-backward posterior over the span — a lightweight
+    lattice substitute (cf. PAPERS.md exact-lattice decoders; here the
+    posterior comes from the same loop graph, no lattice materialization).
+
+    Returns per utterance: [ {"best": word, "span": (t0, t1),
+    "alternatives": [(word, posterior), ...]} ].
+    """
+    from mogasr.decoder import forward_backward as fbd
+
+    B = fb.size
+    n_chains = int(np.max(graph.chain_id)) + 1
+    graphs_np = gr.batch_graphs([graph] * scores.shape[0])
+    graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+    res = vit.viterbi(
+        scores, graphs, fb.n_frames,
+        acoustic_scale=dcfg.acoustic_scale, beam=dcfg.beam,
+    )
+    fbr = fbd.forward_backward(scores, graphs, fb.n_frames,
+                               acoustic_scale=dcfg.acoustic_scale)
+    chain_post = np.asarray(
+        fbd.state_posteriors_to_pdf(fbr.log_gamma, graphs["chain_id"], n_chains)
+    )
+    path = np.asarray(res.path)
+    entered = np.asarray(res.entered)
+    nf = np.asarray(fb.n_frames)
+
+    out = []
+    for b in range(B):
+        spans: List[Tuple[int, int, int]] = []
+        for t in range(int(nf[b])):
+            if entered[b, t]:
+                if spans:
+                    spans[-1] = (spans[-1][0], spans[-1][1], t)
+                spans.append((int(graph.chain_id[path[b, t]]), t, int(nf[b])))
+        words = []
+        for c, t0, t1 in spans:
+            label = graph.labels[c]
+            if label in drop_tokens or t1 <= t0:
+                continue
+            avg = chain_post[b, t0:t1].mean(axis=0)  # [C]
+            order = np.argsort(-avg)[: max(n_best, 1)]
+            alts = [
+                (graph.labels[int(ci)], round(float(min(avg[ci], 1.0)), 4))
+                for ci in order
+                if avg[ci] >= min_posterior and graph.labels[int(ci)] not in drop_tokens
+            ]
+            words.append({"best": label, "span": (t0, t1), "alternatives": alts})
+        out.append(words)
+    return out
