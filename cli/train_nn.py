@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--steps", type=int, default=500)  # must be >= 1
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--spec-augment", action="store_true",
+                   help="SpecAugment time/feature masking during training")
     p.add_argument("--bootstrap-iters", type=int, default=6,
                    help="EM iterations for the GMM that produces labels")
     p.add_argument("--bootstrap-components", type=int, default=4)
@@ -77,7 +79,7 @@ def main() -> None:
     )
     model = build_model(args.arch, topo.n_pdfs, tcfg)
     state = init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(tcfg.seed))
-    step_fn = make_train_step(model, tcfg)
+    step_fn = make_train_step(model, tcfg, spec_augment=args.spec_augment)
 
     with Timer() as t:
         i = 0

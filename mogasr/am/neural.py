@@ -135,6 +135,44 @@ def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
     raise ValueError(f"unknown arch {arch!r}")
 
 
+def spec_augment(
+    feats: jax.Array,     # [B, T, D]
+    n_frames: jax.Array,  # [B]
+    key: jax.Array,
+    n_time_masks: int = 2,
+    time_mask_width: int = 20,
+    n_feat_masks: int = 2,
+    feat_mask_width: int = 8,
+) -> jax.Array:
+    """SpecAugment-style time/feature masking for NN training robustness.
+
+    Masks are zeroed regions (features are ~CMVN-normalized, so zero is the
+    mean). Static shapes: mask positions are random, widths fixed.
+    """
+    B, T, D = feats.shape
+    # cap widths relative to the (static) input size so short utterances are
+    # not mostly erased
+    tw = max(min(time_mask_width, T // (4 * max(n_time_masks, 1))), 1)
+    fw = max(min(feat_mask_width, D // (4 * max(n_feat_masks, 1))), 1)
+    out = feats
+    keys = jax.random.split(key, n_time_masks + n_feat_masks)
+    t_idx = jnp.arange(T)[None, :, None]
+    d_idx = jnp.arange(D)[None, None, :]
+    for i in range(n_time_masks):
+        start = jax.random.randint(
+            keys[i], (B, 1, 1), 0, jnp.maximum(n_frames - tw, 1)[:, None, None]
+        )
+        mask = (t_idx >= start) & (t_idx < start + tw)
+        out = jnp.where(mask, 0.0, out)
+    for i in range(n_feat_masks):
+        start = jax.random.randint(
+            keys[n_time_masks + i], (B, 1, 1), 0, max(D - fw, 1)
+        )
+        mask = (d_idx >= start) & (d_idx < start + fw)
+        out = jnp.where(mask, 0.0, out)
+    return out
+
+
 def frame_ce_loss(
     logits: jax.Array,   # [B, T, P]
     labels: jax.Array,   # [B, T] pdf ids, -1 padding

@@ -46,8 +46,10 @@ def init_train_state(
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(model, cfg: TrainConfig):
+def make_train_step(model, cfg: TrainConfig, spec_augment: bool = False):
     opt = make_optimizer(cfg)
+    if spec_augment:
+        from mogasr.am.neural import spec_augment as _sa
 
     @jax.jit
     def train_step(
@@ -56,8 +58,14 @@ def make_train_step(model, cfg: TrainConfig):
         n_frames: jax.Array,  # [B]
         labels: jax.Array,   # [B, T]
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if spec_augment:
+            key = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+            feats_in = _sa(feats, n_frames, key)
+        else:
+            feats_in = feats
+
         def loss_fn(params):
-            logits = model.apply(params, feats, n_frames)
+            logits = model.apply(params, feats_in, n_frames)
             return frame_ce_loss(logits, labels)
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -111,3 +111,28 @@ def test_build_model_archs():
         feats = jnp.zeros((1, 4, 3))
         params = m.init(jax.random.key(0), feats, jnp.asarray([4]))
         assert m.apply(params, feats, jnp.asarray([4])).shape == (1, 4, 5)
+
+
+def test_spec_augment_masks_and_trains():
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((2, 40, 10)).astype(np.float32))
+    out = N.spec_augment(feats, jnp.asarray([40, 40]), jax.random.key(0))
+    assert out.shape == feats.shape
+    zero_frac = float((np.asarray(out) == 0).mean())
+    assert 0.05 < zero_frac < 0.9  # some masking happened, not everything
+    # deterministic given the key
+    out2 = N.spec_augment(feats, jnp.asarray([40, 40]), jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # training with augmentation still learns
+    from mogasr.am.train_nn import init_train_state, make_train_step
+    from mogasr.config import TrainConfig
+
+    labels = (np.asarray(feats).sum(-1) > 0).astype(np.int64)
+    cfg = TrainConfig(nn_hidden=32, nn_layers=2, nn_context=0, lr=1e-2, num_nn_steps=60)
+    model = N.build_model("mlp", 2, cfg)
+    state = init_train_state(model, cfg, 10, jax.random.key(0))
+    step = make_train_step(model, cfg, spec_augment=True)
+    for _ in range(60):
+        state, metrics = step(state, feats, jnp.asarray([40, 40]), jnp.asarray(labels))
+    assert float(metrics["frame_acc"]) > 0.8
