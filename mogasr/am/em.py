@@ -240,3 +240,31 @@ def estimate_transitions(
                 moves[ph] += 1
     total = stays + moves + 2 * prior_count
     return (stays + prior_count) / total, total
+
+
+@functools.partial(jax.jit, static_argnames=("tau", "var_floor", "adapt_vars"))
+def m_step_map(
+    prior: GmmSet,
+    stats: GmmStats,
+    tau: float = 10.0,
+    var_floor: float = 1e-3,
+    adapt_vars: bool = False,
+) -> GmmSet:
+    """MAP (maximum a posteriori) adaptation: interpolate the speaker-
+    independent prior with adaptation-data statistics (Gauvain & Lee).
+
+        mu_map = (tau * mu0 + sum_x) / (tau + occ)
+
+    Components with little adaptation data stay near the prior (relevance
+    smoothing); weights/vars stay at the prior unless adapt_vars is set.
+    The same accumulate_stats / accumulate_stats_soft E-step supplies stats.
+    """
+    occ = stats.occ[:, :, None]                     # [S, K, 1]
+    mu = (tau * prior.means + stats.sx) / (tau + occ)
+    if adapt_vars:
+        # E[x^2] blended the same way, recentered on the new mean
+        ex2 = (tau * (prior.vars + prior.means ** 2) + stats.sxx) / (tau + occ)
+        var = jnp.maximum(ex2 - mu ** 2, var_floor)
+    else:
+        var = prior.vars
+    return GmmSet(prior.weights, mu.astype(jnp.float32), var.astype(jnp.float32))

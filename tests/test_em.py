@@ -118,3 +118,26 @@ def test_stats_are_psummable():
     b = em.zero_stats(2, 1, 3)
     c = em.add_stats(a, b)
     assert c.occ.shape == (2, 1)
+
+
+def test_map_adaptation_interpolates(rng):
+    """MAP: lots of data -> ML estimate; no data -> prior; tau controls blend."""
+    prior = GmmSet(jnp.ones((1, 1)), jnp.zeros((1, 1, 2)), jnp.ones((1, 1, 2)))
+    x = (rng.standard_normal((400, 2)) + 5.0).astype(np.float32)
+    labels = np.zeros(400, np.int64)
+    stats = em.accumulate_stats(prior, jnp.asarray(x), jnp.asarray(labels))
+
+    adapted = em.m_step_map(prior, stats, tau=10.0)
+    mu = float(adapted.means[0, 0, 0])
+    # 400 frames vs tau=10: close to the data mean (5), pulled slightly to 0
+    assert 4.5 < mu < 5.0
+    # huge tau: stays at the prior
+    heavy = em.m_step_map(prior, stats, tau=1e9)
+    np.testing.assert_allclose(np.asarray(heavy.means), 0.0, atol=1e-3)
+    # no data: exactly the prior
+    empty = em.accumulate_stats(prior, jnp.asarray(x[:1]), jnp.asarray([-1]))
+    same = em.m_step_map(prior, empty, tau=10.0)
+    np.testing.assert_allclose(np.asarray(same.means), np.asarray(prior.means), atol=1e-6)
+    # variance adaptation moves vars toward the data's
+    av = em.m_step_map(prior, stats, tau=10.0, adapt_vars=True)
+    assert not np.allclose(np.asarray(av.vars), np.asarray(prior.vars))
