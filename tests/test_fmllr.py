@@ -11,7 +11,10 @@ from mogasr.am.gmm import GmmSet, gmm_loglik_np
 
 
 @pytest.fixture(scope="module")
-def gmm_and_data(rng):
+def gmm_and_data():
+    # own deterministic rng: the shared session rng's draw order depends on
+    # which tests ran before this module
+    rng = np.random.default_rng(1234)
     S, K, D = 6, 2, 5
     w = rng.dirichlet(np.ones(K), size=S).astype(np.float32)
     mu = (3 * rng.standard_normal((S, K, D))).astype(np.float32)
@@ -91,7 +94,10 @@ def test_padding_ignored(gmm_and_data):
     xp = np.concatenate([x, 100 * np.ones((50, 5), np.float32)])
     s1 = F.accumulate_fmllr_stats(g, jnp.asarray(x), jnp.asarray(labels))
     s2 = F.accumulate_fmllr_stats(g, jnp.asarray(xp), jnp.asarray(lp))
-    np.testing.assert_allclose(np.asarray(s1.k_stat), np.asarray(s2.k_stat), rtol=1e-5)
+    scale = np.abs(np.asarray(s1.k_stat)).max()
+    np.testing.assert_allclose(
+        np.asarray(s1.k_stat), np.asarray(s2.k_stat), atol=1e-5 * scale
+    )
     np.testing.assert_allclose(float(s1.beta), float(s2.beta), rtol=1e-6)
 
 

@@ -37,16 +37,8 @@ def test_bigram_rows_normalize():
 
 
 @pytest.fixture(scope="module")
-def system():
-    lex = synthetic_lexicon()
-    topo = build_topology(lex, TopologyConfig())
-    utts = make_corpus(12, words_per_utt=(2, 3), seed=42)
-    batches = pipe.featurize(
-        [(u.utt_id, u.wave, u.words) for u in utts],
-        FCFG, BatchConfig(batch_size=6, bucket_boundaries=(250, 400)),
-    )
-    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
-    gmm, _ = pipe.train_gmm(batches, lex, topo, gcfg, TrainConfig(num_em_iters=4))
+def system(trained_system):
+    lex, topo, batches, gmm = trained_system
     graph = pipe.word_decode_graph(lex, topo, DecodeConfig())
     return lex, topo, batches, gmm, graph
 

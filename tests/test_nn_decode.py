@@ -20,18 +20,8 @@ FCFG = FrontendConfig()
 
 
 @pytest.fixture(scope="module")
-def system():
-    lex = synthetic_lexicon()
-    topo = build_topology(lex, TopologyConfig())
-    utts = make_corpus(16, words_per_utt=(2, 3), seed=42)
-    batches = pipe.featurize(
-        [(u.utt_id, u.wave, u.words) for u in utts],
-        FCFG,
-        BatchConfig(batch_size=8, bucket_boundaries=(150, 250, 400)),
-    )
-    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=FCFG.feat_dim)
-    gmm, _ = pipe.train_gmm(batches, lex, topo, gcfg, TrainConfig(num_em_iters=6))
-    return lex, topo, batches, gmm
+def system(trained_system):
+    return trained_system
 
 
 @pytest.mark.parametrize("arch", ["mlp", "lstm"])
