@@ -36,6 +36,11 @@ def main() -> None:
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
+    p.add_argument("--fmllr", action="store_true",
+                   help="unsupervised two-pass per-speaker fMLLR adaptation "
+                        "(single-chip path; hypothesis resume granularity is "
+                        "the whole sweep, since the transforms depend on all "
+                        "of a speaker's utterances)")
     p.add_argument("--streaming", action="store_true",
                    help="extract features through the chunked streaming front "
                         "end (BASELINE config[4]) instead of the offline batch path")
@@ -83,19 +88,37 @@ def main() -> None:
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     prof_dir = os.path.join(args.run_dir, "profile") if args.profile else None
     with trace(prof_dir), Timer() as t:
-        with open(resume_path, "a") as out_f:
-            for fb in batches:
-                if all(u in done for u in fb.utt_ids):
-                    continue
-                feats = jax.device_put(fb.feats, M.data_sharding(mesh))
-                scores = score_batch(feats, gmm)
-                out = decode_batch(fb, scores, graph, dcfg)
-                for b in range(fb.size):
-                    out_f.write(json.dumps({
-                        "utt_id": fb.utt_ids[b],
-                        "ref": fb.words[b], "hyp": out[b],
-                    }) + "\n")
-                out_f.flush()
+        if args.fmllr:
+            from mogasr.pipeline import decode_with_fmllr
+
+            all_ids = {u for fb in batches for u in fb.utt_ids}
+            if not all_ids <= done:  # skip the two-pass decode when complete
+                hyp_map, _transforms = decode_with_fmllr(batches, gmm, lex, topo, dcfg)
+                with open(resume_path, "a") as out_f:
+                    for fb in batches:
+                        for b in range(fb.size):
+                            uid = fb.utt_ids[b]
+                            if uid in done:
+                                continue
+                            out_f.write(json.dumps({
+                                "utt_id": uid, "ref": fb.words[b],
+                                "hyp": hyp_map[uid],
+                            }) + "\n")
+                    out_f.flush()
+        else:
+            with open(resume_path, "a") as out_f:
+                for fb in batches:
+                    if all(u in done for u in fb.utt_ids):
+                        continue
+                    feats = jax.device_put(fb.feats, M.data_sharding(mesh))
+                    scores = score_batch(feats, gmm)
+                    out = decode_batch(fb, scores, graph, dcfg)
+                    for b in range(fb.size):
+                        out_f.write(json.dumps({
+                            "utt_id": fb.utt_ids[b],
+                            "ref": fb.words[b], "hyp": out[b],
+                        }) + "\n")
+                    out_f.flush()
 
     seen = set()
     with open(resume_path) as f:

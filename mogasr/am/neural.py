@@ -150,23 +150,27 @@ def spec_augment(
     mean). Static shapes: mask positions are random, widths fixed.
     """
     B, T, D = feats.shape
-    # cap widths relative to the (static) input size so short utterances are
-    # not mostly erased
-    tw = max(min(time_mask_width, T // (4 * max(n_time_masks, 1))), 1)
+    # cap widths so short utterances are never mostly erased: static cap from
+    # the bucket size AND a dynamic per-utterance cap from n_frames (an
+    # utterance much shorter than its padded bucket must not be zeroed whole)
+    tw_static = max(min(time_mask_width, T // (4 * max(n_time_masks, 1))), 1)
+    tw = jnp.maximum(
+        jnp.minimum(tw_static, n_frames // (4 * max(n_time_masks, 1))), 1
+    )[:, None, None]                                     # [B, 1, 1]
     fw = max(min(feat_mask_width, D // (4 * max(n_feat_masks, 1))), 1)
     out = feats
     keys = jax.random.split(key, n_time_masks + n_feat_masks)
     t_idx = jnp.arange(T)[None, :, None]
     d_idx = jnp.arange(D)[None, None, :]
     for i in range(n_time_masks):
-        start = jax.random.randint(
-            keys[i], (B, 1, 1), 0, jnp.maximum(n_frames - tw, 1)[:, None, None]
-        )
+        # maxval exclusive: +1 so the final frame can be masked too
+        maxval = jnp.maximum(n_frames[:, None, None] - tw + 1, 1)
+        start = jax.random.randint(keys[i], (B, 1, 1), 0, maxval)
         mask = (t_idx >= start) & (t_idx < start + tw)
         out = jnp.where(mask, 0.0, out)
     for i in range(n_feat_masks):
         start = jax.random.randint(
-            keys[n_time_masks + i], (B, 1, 1), 0, max(D - fw, 1)
+            keys[n_time_masks + i], (B, 1, 1), 0, max(D - fw + 1, 1)
         )
         mask = (d_idx >= start) & (d_idx < start + fw)
         out = jnp.where(mask, 0.0, out)

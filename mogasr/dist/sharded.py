@@ -74,7 +74,7 @@ def make_sharded_align_step(mesh: Mesh, acoustic_scale: float = 1.0):
     return align_step
 
 
-def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh):
+def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, spec_augment: bool = False):
     """NN train step with the batch sharded and params/opt-state replicated.
 
     The mean CE loss contracts over the sharded batch dim -> XLA inserts the
@@ -86,6 +86,8 @@ def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh):
     opt = make_optimizer(cfg)
     dsh = data_sharding(mesh)
     rep = replicated(mesh)
+    if spec_augment:
+        from mogasr.am.neural import spec_augment as _sa
 
     @functools.partial(
         jax.jit,
@@ -93,8 +95,14 @@ def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh):
         out_shardings=(rep, rep),
     )
     def train_step(state, feats, n_frames, labels):
+        if spec_augment:
+            key = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+            feats_in = _sa(feats, n_frames, key)
+        else:
+            feats_in = feats
+
         def loss_fn(params):
-            logits = model.apply(params, feats, n_frames)
+            logits = model.apply(params, feats_in, n_frames)
             return frame_ce_loss(logits, labels)
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -205,3 +205,17 @@ def test_transcribe_cli(tmp_path, monkeypatch):
     for i in range(1, len(lines)):
         assert lines[i]["start_s"] >= lines[i - 1]["end_s"] - 0.5
     assert all("words" in l for l in lines)
+
+
+def test_eval_cli_fmllr(tmp_path, monkeypatch):
+    from cli import eval as eval_cli
+
+    run_cli(
+        eval_cli,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--fmllr"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4

@@ -6,14 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from mogasr import pipeline as pipe
-from mogasr.config import (
-    BatchConfig, DecodeConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
-)
-from mogasr.data.synthetic import make_corpus
-from mogasr.hmm.lexicon import synthetic_lexicon
-from mogasr.hmm.topology import build_topology
-
-FCFG = FrontendConfig()
+from mogasr.config import DecodeConfig, TopologyConfig
 
 
 @pytest.fixture(scope="module")

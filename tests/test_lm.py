@@ -5,17 +5,9 @@ import jax.numpy as jnp
 import pytest
 
 from mogasr import pipeline as pipe
-from mogasr.config import (
-    BatchConfig, DecodeConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
-)
-from mogasr.data.synthetic import make_corpus
+from mogasr.config import DecodeConfig
 from mogasr.decoder.lm_viterbi import path_to_tokens_lm, viterbi_lm
-from mogasr.hmm import graph as gr
-from mogasr.hmm.lexicon import synthetic_lexicon
-from mogasr.hmm.topology import build_topology
 from mogasr.lm.ngram import BigramLm, estimate_bigram, uniform_bigram
-
-FCFG = FrontendConfig()
 
 
 def test_bigram_estimation_counts():

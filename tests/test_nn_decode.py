@@ -9,12 +9,7 @@ import pytest
 from mogasr import pipeline as pipe
 from mogasr.am.neural import build_model, state_priors
 from mogasr.am.train_nn import init_train_state, make_train_step
-from mogasr.config import (
-    BatchConfig, DecodeConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
-)
-from mogasr.data.synthetic import make_corpus
-from mogasr.hmm.lexicon import synthetic_lexicon
-from mogasr.hmm.topology import build_topology
+from mogasr.config import DecodeConfig, FrontendConfig, TrainConfig
 
 FCFG = FrontendConfig()
 
