@@ -76,10 +76,15 @@ def phone_wave(phone: str, n: int, sr: int, rng: np.random.Generator) -> np.ndar
     return sig
 
 
-def words_to_phones(words: Sequence[str], interword_sil: bool = True) -> List[str]:
+def words_to_phones(
+    words: Sequence[str],
+    interword_sil: bool = True,
+    lexicon: Optional[Dict[str, List[str]]] = None,
+) -> List[str]:
+    lex = LEXICON if lexicon is None else lexicon
     phones = [SIL]
     for i, w in enumerate(words):
-        phones.extend(LEXICON[w])
+        phones.extend(lex[w])
         if interword_sil and i < len(words) - 1:
             phones.append(SIL)
     phones.append(SIL)
@@ -92,9 +97,12 @@ def synth_utterance(
     sr: int = 16000,
     seed: int = 0,
     mean_phone_ms: float = 90.0,
+    lexicon: Optional[Dict[str, List[str]]] = None,
 ) -> Utterance:
+    """lexicon overrides the word->phones map (e.g. alternate pronunciations
+    for multi-pron decoding tests); default is the module LEXICON."""
     rng = np.random.default_rng(seed)
-    phones = words_to_phones(words)
+    phones = words_to_phones(words, lexicon=lexicon)
     waves, bounds = [], [0]
     for p in phones:
         dur_ms = mean_phone_ms * (1.6 if p == SIL else 1.0) * rng.uniform(0.7, 1.4)

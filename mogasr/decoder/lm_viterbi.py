@@ -1,11 +1,17 @@
 """Frame-synchronous Viterbi with an exact bigram word LM.
 
 Extends the token-passing decoder (mogasr.decoder.viterbi) by factoring the
-single non-emitting loop state into *per-chain* LM context: at each frame the
-best exit of every chain c is combined with the [C, C] bigram matrix in one
+single non-emitting loop state into *per-word* LM context: at each frame the
+best exit of every word w is combined with the [W, W] bigram matrix in one
 max-plus contraction, so cross-word transitions carry exact P(w'|w) — no
-context loss through a shared loop state, still O(J + C^2) per frame and
+context loss through a shared loop state, still O(J + W^2) per frame and
 fully batched under ``lax.scan``.
+
+Multiple chains may map to the same LM word (multi-pronunciation lexicons):
+``token_of_chain`` reduces chain exits to word exits with a second segment
+max, and ``chain_entry_logp`` carries per-variant pronunciation log-priors on
+word entry. With one chain per word this degenerates to the original
+per-chain contraction (tested equivalent).
 
 The graph is a SINGLE shared loop graph (all utterances decode against the
 same vocabulary), passed as flat [J] arrays from mogasr.hmm.graph.Graph.
@@ -14,7 +20,7 @@ same vocabulary), passed as flat [J] arrays from mogasr.hmm.graph.Graph.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,16 +38,33 @@ class LmViterbiResult(NamedTuple):
     score: jax.Array    # [B]
 
 
+def _segmax(scores, seg_id, num_segments):
+    """Per-segment (max, argmax-index) over the last axis of [B, N] scores."""
+    n = scores.shape[-1]
+
+    def one(row):
+        m = jax.ops.segment_max(row, seg_id, num_segments=num_segments)
+        hit = row >= m[seg_id] - 1e-6
+        js = jnp.where(hit, jnp.arange(n), n)
+        a = jax.ops.segment_min(js, seg_id, num_segments=num_segments)
+        return m, a.astype(jnp.int32)
+
+    return jax.vmap(one)(scores)
+
+
 @functools.partial(jax.jit, static_argnames=("acoustic_scale", "insertion_penalty"))
 def _viterbi_lm_impl(
     emit_ll, n_frames,
     emit_id, self_logp, adv_logp, is_start, is_end, end_adv_logp, chain_id,
+    token_of_chain, chain_entry_logp,
     pair_logp, lm_init, lm_final,
     acoustic_scale, insertion_penalty,
 ):
     B, T, P = emit_ll.shape
     J = emit_id.shape[0]
-    C = pair_logp.shape[0]
+    C = token_of_chain.shape[0]
+    W = pair_logp.shape[0]
+    word_of_state = token_of_chain[chain_id]  # [J]
 
     emit_graph = jnp.take_along_axis(
         emit_ll * acoustic_scale,
@@ -50,41 +73,29 @@ def _viterbi_lm_impl(
     )
     emit_tm = jnp.transpose(emit_graph, (1, 0, 2))  # [T, B, J]
 
-    enter_local = jnp.where(is_start, -insertion_penalty, NEG_INF)  # [J]
-    exit_w = jnp.where(is_end, end_adv_logp, NEG_INF)               # [J]
+    enter_local = jnp.where(
+        is_start, chain_entry_logp[chain_id] - insertion_penalty, NEG_INF
+    )  # [J]
+    exit_w = jnp.where(is_end, end_adv_logp, NEG_INF)  # [J]
 
-    def chain_reduce(scores):  # [B, J] -> max/argmax per chain [B, C]
-        def one(row):
-            m = jax.ops.segment_max(row, chain_id, num_segments=C)
-            # argmax within chain: smallest j achieving the max
-            hit = row >= m[chain_id] - 1e-6
-            js = jnp.where(hit, jnp.arange(J), J)
-            a = jax.ops.segment_min(js, chain_id, num_segments=C)
-            return m, a.astype(jnp.int32)
-
-        return jax.vmap(one)(scores)
-
-    delta0 = (
-        enter_local
-        + lm_init[chain_id]
-        + emit_tm[0]
-    )
+    delta0 = enter_local + lm_init[word_of_state] + emit_tm[0]
     delta0 = jnp.where(is_start, delta0, NEG_INF)
 
     def step(delta, inputs):
         emit_t, t = inputs
-        exit_scores = delta + exit_w                       # [B, J]
-        chain_exit, exit_arg = chain_reduce(exit_scores)   # [B, C]
+        exit_scores = delta + exit_w                          # [B, J]
+        chain_exit, exit_arg = _segmax(exit_scores, chain_id, C)   # [B, C]
+        word_exit, word_arg = _segmax(chain_exit, token_of_chain, W)  # [B, W]
         # max-plus contraction with the bigram matrix
-        combo = chain_exit[:, :, None] + pair_logp[None]   # [B, C, C']
-        ent_chain = jnp.max(combo, axis=1)                 # [B, C']
-        prev_chain = jnp.argmax(combo, axis=1).astype(jnp.int32)
+        combo = word_exit[:, :, None] + pair_logp[None]       # [B, W, W']
+        ent_word = jnp.max(combo, axis=1)                     # [B, W']
+        prev_word = jnp.argmax(combo, axis=1).astype(jnp.int32)
 
         stay = delta + self_logp
         adv = jnp.concatenate(
             [jnp.full((B, 1), NEG_INF), delta[:, :-1] + adv_logp[1:][None, :]], axis=1
         )
-        ent = ent_chain[:, chain_id] + enter_local[None, :]
+        ent = ent_word[:, word_of_state] + enter_local[None, :]
 
         best = jnp.maximum(jnp.maximum(stay, adv), ent)
         bp = jnp.where(
@@ -96,28 +107,29 @@ def _viterbi_lm_impl(
         active = (t < n_frames)[:, None]
         delta_out = jnp.where(active, new_delta, delta)
         bp = jnp.where(active, bp, jnp.uint8(0))
-        return delta_out, (bp, exit_arg, prev_chain)
+        return delta_out, (bp, exit_arg, word_arg, prev_word)
 
     ts = jnp.arange(1, T)
-    delta_final, (bps, exit_args, prev_chains) = jax.lax.scan(
+    delta_final, (bps, exit_args, word_args, prev_words) = jax.lax.scan(
         step, delta0, (emit_tm[1:], ts), unroll=4
     )
 
-    final_scores = delta_final + exit_w + lm_final[chain_id][None, :]
+    final_scores = delta_final + exit_w + lm_final[word_of_state][None, :]
     score = jnp.max(final_scores, axis=1)
     j_final = jnp.argmax(final_scores, axis=1).astype(jnp.int32)
 
     def back_step(j, inputs):
-        bp_t, exit_t, prev_t = inputs  # [B,J], [B,C], [B,C]
+        bp_t, exit_t, warg_t, prevw_t = inputs  # [B,J], [B,C], [B,W], [B,W]
         b = jnp.take_along_axis(bp_t, j[:, None], axis=1)[:, 0]
-        cur_chain = chain_id[j]                          # [B]
-        c_prev = jnp.take_along_axis(prev_t, cur_chain[:, None], axis=1)[:, 0]
+        cur_word = word_of_state[j]                              # [B]
+        w_prev = jnp.take_along_axis(prevw_t, cur_word[:, None], axis=1)[:, 0]
+        c_prev = jnp.take_along_axis(warg_t, w_prev[:, None], axis=1)[:, 0]
         j_ent = jnp.take_along_axis(exit_t, c_prev[:, None], axis=1)[:, 0]
         j_prev = jnp.where(b == 0, j, jnp.where(b == 1, j - 1, j_ent))
         return j_prev, (j, b == 2)
 
     j0, (path_rev, entered_rev) = jax.lax.scan(
-        back_step, j_final, (bps[::-1], exit_args[::-1], prev_chains[::-1])
+        back_step, j_final, (bps[::-1], exit_args[::-1], word_args[::-1], prev_words[::-1])
     )
     path = jnp.concatenate([j0[None], path_rev[::-1]], axis=0).T
     entered = jnp.concatenate([jnp.ones((1, B), bool), entered_rev[::-1]], axis=0).T
@@ -127,15 +139,28 @@ def _viterbi_lm_impl(
     return LmViterbiResult(path, entered, score)
 
 
+def chain_token_map(graph: Graph, lm: BigramLm) -> np.ndarray:
+    """[n_chains] LM-token index per graph chain (labels may repeat under
+    multi-pronunciation graphs — every label must be an LM token)."""
+    tok_idx = {t: i for i, t in enumerate(lm.tokens)}
+    missing = [l for l in graph.labels if l not in tok_idx]
+    assert not missing, f"graph chains not in LM vocabulary: {missing[:5]}"
+    return np.asarray([tok_idx[l] for l in graph.labels], np.int32)
+
+
 def viterbi_lm(
     emit_ll: jax.Array,   # [B, T, P]
     graph: Graph,         # shared loop graph (host object)
-    lm: BigramLm,         # chains of `graph` must be lm.tokens, same order
+    lm: BigramLm,         # every graph chain label must be an lm token
     n_frames: jax.Array,
     acoustic_scale: float = 1.0,
     insertion_penalty: float = 0.0,
+    chain_entry_logp: Optional[np.ndarray] = None,  # [n_chains] pron log-priors
 ) -> LmViterbiResult:
-    assert graph.labels == lm.tokens, "graph chains and LM tokens must align"
+    token_of_chain = chain_token_map(graph, lm)
+    n_chains = len(graph.labels)
+    if chain_entry_logp is None:
+        chain_entry_logp = np.zeros(n_chains, np.float32)
     is_start = graph.enter_logp > NEG_INF / 2
     is_end = graph.exit_logp > NEG_INF / 2
     return _viterbi_lm_impl(
@@ -148,6 +173,8 @@ def viterbi_lm(
         jnp.asarray(is_end),
         jnp.asarray(graph.exit_logp),
         jnp.asarray(graph.chain_id),
+        jnp.asarray(token_of_chain),
+        jnp.asarray(chain_entry_logp, dtype=jnp.float32),
         jnp.asarray(lm.pair_logp),
         jnp.asarray(lm.init_logp),
         jnp.asarray(lm.final_logp),

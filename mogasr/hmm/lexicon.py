@@ -20,7 +20,13 @@ UNK = "<unk>"
 class Lexicon:
     phones: Tuple[str, ...]              # phone inventory, SIL first
     words: Tuple[str, ...]               # vocabulary, sorted
-    prons: Dict[str, Tuple[str, ...]]    # word -> phone sequence
+    prons: Dict[str, Tuple[str, ...]]    # word -> PRIMARY phone sequence
+    # word -> all pronunciation variants (primary first). Always populated;
+    # single-pron words have a 1-tuple. Graph builders expand one chain per
+    # variant when multi_pron decoding is requested.
+    variants: Dict[str, Tuple[Tuple[str, ...], ...]] = dataclasses.field(
+        default_factory=dict
+    )
 
     @property
     def n_phones(self) -> int:
@@ -36,6 +42,12 @@ class Lexicon:
     def word_phone_ids(self, word: str) -> List[int]:
         idx = {p: i for i, p in enumerate(self.phones)}
         return [idx[p] for p in self.prons[word]]
+
+    def word_variant_phone_ids(self, word: str) -> List[List[int]]:
+        """Phone-id sequences for ALL pronunciation variants (primary first)."""
+        idx = {p: i for i, p in enumerate(self.phones)}
+        variants = self.variants.get(word, (self.prons[word],))
+        return [[idx[p] for p in v] for v in variants]
 
     def words_to_phone_ids(
         self,
@@ -67,15 +79,25 @@ class Lexicon:
 
 
 def make_lexicon(prons: Dict[str, Sequence[str]], extra_phones: Iterable[str] = ()) -> Lexicon:
+    return make_lexicon_multi({w: (ps,) for w, ps in prons.items()}, extra_phones)
+
+
+def make_lexicon_multi(
+    variants: Dict[str, Sequence[Sequence[str]]], extra_phones: Iterable[str] = ()
+) -> Lexicon:
+    """Build a lexicon with multiple pronunciations per word (primary first)."""
     phones = {SIL}
-    for ps in prons.values():
-        phones.update(ps)
+    for vs in variants.values():
+        for ps in vs:
+            phones.update(ps)
     phones.update(extra_phones)
     ordered = (SIL,) + tuple(sorted(phones - {SIL}))
+    norm = {w: tuple(tuple(ps) for ps in vs) for w, vs in variants.items()}
     return Lexicon(
         phones=ordered,
-        words=tuple(sorted(prons)),
-        prons={w: tuple(ps) for w, ps in prons.items()},
+        words=tuple(sorted(variants)),
+        prons={w: vs[0] for w, vs in norm.items()},
+        variants=norm,
     )
 
 
@@ -91,16 +113,21 @@ def load_lexicon(path: str) -> Lexicon:
     Words are lowercased to match the corpus loaders (LibriSpeech transcripts
     are uppercase, cli.common lowercases them) — a case mismatch would
     silently turn every word OOV.
+
+    Alternate pronunciations — CMUdict-style "WORD(2)" markers or repeated
+    WORD lines — are ALL retained as variants (first listed = primary); graph
+    builders expand one chain per variant under ``multi_pron`` decoding.
     """
     import re
 
-    prons: Dict[str, Tuple[str, ...]] = {}
+    variants: Dict[str, List[Tuple[str, ...]]] = {}
     with open(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) >= 2:
-                # CMUdict-style alternate-pronunciation markers: "WORD(2)"
                 word = re.sub(r"\(\d+\)$", "", parts[0]).lower()
-                if word not in prons:  # first pron wins
-                    prons[word] = tuple(parts[1:])
-    return make_lexicon(prons)
+                pron = tuple(parts[1:])
+                vs = variants.setdefault(word, [])
+                if pron not in vs:
+                    vs.append(pron)
+    return make_lexicon_multi(variants)

@@ -64,6 +64,126 @@ def estimate_bigram(
     )
 
 
+@dataclasses.dataclass
+class TrigramLm:
+    """Interpolated trigram LM over a small closed vocabulary.
+
+    Dense [C+1, C+1, C+1] table: context slots use index C for <s> (BOS),
+    the event slot uses index C for </s> (EOS). logp[a, b, w] =
+    log P(w | a, b). Dense storage is deliberate — decode vocabularies here
+    are closed and small (the [BJ] spec's word loop); a real open-vocab LM
+    would swap in a hashed/backoff store behind the same step API.
+    """
+
+    tokens: List[str]
+    logp: np.ndarray  # [C+1, C+1, C+1] float32
+
+    @property
+    def n_tokens(self) -> int:
+        return len(self.tokens)
+
+    @property
+    def bos(self) -> int:
+        return len(self.tokens)
+
+    @property
+    def eos(self) -> int:
+        return len(self.tokens)
+
+    # --- host-side stepping API shared with BigramLm (lattice rescoring) ---
+    def start_ctx(self) -> Tuple[int, int]:
+        return (self.bos, self.bos)
+
+    def step(self, ctx: Tuple[int, int], w: int) -> Tuple[float, Tuple[int, int]]:
+        a, b = ctx
+        return float(self.logp[a, b, w]), (b, w)
+
+    def final(self, ctx: Tuple[int, int]) -> float:
+        a, b = ctx
+        return float(self.logp[a, b, self.eos])
+
+
+def bigram_start_ctx(lm: BigramLm) -> Tuple[int]:
+    return (-1,)
+
+
+def bigram_step(lm: BigramLm, ctx: Tuple[int], w: int) -> Tuple[float, Tuple[int]]:
+    (prev,) = ctx
+    lp = float(lm.init_logp[w]) if prev < 0 else float(lm.pair_logp[prev, w])
+    return lp, (w,)
+
+
+def bigram_final(lm: BigramLm, ctx: Tuple[int]) -> float:
+    (prev,) = ctx
+    return 0.0 if prev < 0 else float(lm.final_logp[prev])
+
+
+def lm_stepper(lm):
+    """(start_ctx, step, final) closures for BigramLm or TrigramLm."""
+    if isinstance(lm, TrigramLm):
+        return lm.start_ctx, lm.step, lm.final
+    return (
+        lambda: bigram_start_ctx(lm),
+        lambda ctx, w: bigram_step(lm, ctx, w),
+        lambda ctx: bigram_final(lm, ctx),
+    )
+
+
+def estimate_trigram(
+    transcripts: Sequence[Sequence[str]],
+    tokens: Sequence[str],
+    lambdas: Tuple[float, float, float] = (0.7, 0.2, 0.1),
+    alpha: float = 0.5,
+) -> TrigramLm:
+    """Jelinek-Mercer-interpolated trigram: P = l3*ML3 + l2*ML2 + l1*P1(+alpha).
+
+    Every (a, b) context row (including BOS contexts) normalizes over the
+    C words + EOS; unknown transcript words are skipped, matching
+    estimate_bigram.
+    """
+    tokens = list(tokens)
+    idx = {t: i for i, t in enumerate(tokens)}
+    C = len(tokens)
+    S = C + 1  # sentinel index: BOS in contexts, EOS in events
+    c3 = np.zeros((S, S, S), np.float64)
+    c2 = np.zeros((S, S), np.float64)
+    c1 = np.zeros(S, np.float64)
+    for words in transcripts:
+        seq = [idx[w] for w in words if w in idx]
+        if not seq:
+            continue
+        padded = [C, C] + seq + [C]  # [BOS, BOS, w1..wn, EOS]
+        for i in range(2, len(padded)):
+            a, b, w = padded[i - 2], padded[i - 1], padded[i]
+            c3[a, b, w] += 1
+            c2[b, w] += 1
+            c1[w] += 1
+    l3, l2, l1 = lambdas
+    # unigram with add-alpha over the C+1 events (EOS included)
+    p1 = (c1 + alpha) / (c1.sum() + alpha * S)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p2 = np.where(c2.sum(1, keepdims=True) > 0, c2 / np.maximum(c2.sum(1, keepdims=True), 1), 0.0)
+        p3 = np.where(
+            c3.sum(2, keepdims=True) > 0, c3 / np.maximum(c3.sum(2, keepdims=True), 1), 0.0
+        )
+    p = l3 * p3 + l2 * p2[None, :, :] + l1 * p1[None, None, :]
+    # renormalize rows exactly (unseen-context rows fall back to l2/l1 mass)
+    p = p / p.sum(2, keepdims=True)
+    return TrigramLm(tokens=tokens, logp=np.log(np.maximum(p, 1e-30)).astype(np.float32))
+
+
+def sequence_logp(lm, words: Sequence[str]) -> float:
+    """Total log P(words </s>) under a BigramLm or TrigramLm (host-side)."""
+    idx = {t: i for i, t in enumerate(lm.tokens)}
+    start, step, final = lm_stepper(lm)
+    ctx = start()
+    total = 0.0
+    for w in words:
+        lp, ctx = step(ctx, idx[w])
+        total += lp
+    return total + final(ctx)
+
+
 def uniform_bigram(tokens: Sequence[str]) -> BigramLm:
     """LM with uniform transitions — decodes identically to the LM-free
     unigram loop graph with matching priors (tested equivalence)."""

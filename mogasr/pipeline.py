@@ -402,8 +402,20 @@ def word_decode_graph(
     topo: Topology,
     dcfg: DecodeConfig,
     word_logp: Optional[np.ndarray] = None,
+    multi_pron: bool = False,
 ) -> gr.Graph:
-    """Word-loop decode graph over the full vocabulary + a silence chain."""
+    """Word-loop decode graph over the full vocabulary + a silence chain.
+
+    multi_pron: expand one chain per pronunciation variant (labels repeat per
+    word); each variant's entry carries the word prior + a uniform log
+    pronunciation prior, so the total entry mass per word is unchanged.
+    """
+    g, _ = word_decode_graph_multi(lexicon, topo, dcfg, word_logp) if multi_pron \
+        else (_word_graph_single(lexicon, topo, dcfg, word_logp), None)
+    return g
+
+
+def _word_graph_single(lexicon, topo, dcfg, word_logp):
     tokens = [(w, lexicon.word_phone_ids(w)) for w in lexicon.words]
     tokens.append(("<sil>", [lexicon.sil_id]))
     if word_logp is None:
@@ -412,6 +424,45 @@ def word_decode_graph(
     return gr.loop_graph(
         topo, tokens=tokens, token_logp=word_logp, insertion_penalty=dcfg.word_insertion_penalty
     )
+
+
+def word_decode_graph_multi(
+    lexicon: Lexicon,
+    topo: Topology,
+    dcfg: DecodeConfig,
+    word_logp: Optional[np.ndarray] = None,
+) -> Tuple[gr.Graph, np.ndarray]:
+    """Multi-pronunciation word-loop graph.
+
+    Returns (graph, pron_logp) where pron_logp[c] is the log pronunciation
+    prior of chain c (uniform over each word's variants, 0 for single-pron
+    words). The graph's own entry weights already include word prior +
+    pron prior (plain-Viterbi path); the LM decoder takes pron_logp
+    separately because the LM replaces the word prior.
+    """
+    words = list(lexicon.words) + ["<sil>"]
+    if word_logp is None:
+        word_logp = np.full(len(words), -np.log(len(words)), np.float32)
+    tokens: List[Tuple[str, List[int]]] = []
+    tok_logp: List[float] = []
+    pron_logp: List[float] = []
+    for wi, w in enumerate(lexicon.words):
+        variants = lexicon.word_variant_phone_ids(w)
+        lp = -np.log(len(variants))
+        for pids in variants:
+            tokens.append((w, pids))
+            tok_logp.append(float(word_logp[wi]) + lp)
+            pron_logp.append(lp)
+    tokens.append(("<sil>", [lexicon.sil_id]))
+    tok_logp.append(float(word_logp[len(lexicon.words)]))
+    pron_logp.append(0.0)
+    g = gr.loop_graph(
+        topo,
+        tokens=tokens,
+        token_logp=np.asarray(tok_logp, np.float32),
+        insertion_penalty=dcfg.word_insertion_penalty,
+    )
+    return g, np.asarray(pron_logp, np.float32)
 
 
 def decode_batch(
