@@ -41,6 +41,15 @@ def main() -> None:
     p.add_argument("--bigram-lm", action="store_true",
                    help="decode with a bigram word LM estimated from the "
                         "corpus transcripts (word mode only)")
+    p.add_argument("--multi-pron", action="store_true",
+                   help="expand one decode chain per pronunciation variant "
+                        "(lexicons with WORD(2) alternates)")
+    p.add_argument("--trigram-rescore", action="store_true",
+                   help="bigram first pass -> word lattice -> exact trigram "
+                        "second pass (word mode only)")
+    p.add_argument("--nbest", type=int, default=0,
+                   help="emit the top-N word sequences per utterance from "
+                        "the lattice into --out (implies a lattice pass)")
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--beam", type=float, default=0.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
@@ -86,33 +95,60 @@ def main() -> None:
         scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
         gmm = None
 
-    graph = (
-        word_decode_graph(lex, topo, dcfg)
-        if args.mode == "word"
-        else gr.loop_graph(topo)
-    )
-    lm = None
-    if args.bigram_lm:
+    needs_lattice = args.trigram_rescore or args.nbest > 0
+    if (needs_lattice or args.multi_pron) and args.mode != "word":
+        raise SystemExit("--multi-pron/--trigram-rescore/--nbest require --mode word")
+    pron_logp = None
+    if args.mode == "word" and args.multi_pron:
+        from mogasr.pipeline import word_decode_graph_multi
+
+        graph, pron_logp = word_decode_graph_multi(lex, topo, dcfg)
+    elif args.mode == "word":
+        graph = word_decode_graph(lex, topo, dcfg)
+    else:
+        graph = gr.loop_graph(topo)
+    lm = trigram = None
+    if args.bigram_lm or needs_lattice:
         if args.mode != "word":
             raise SystemExit("--bigram-lm requires --mode word")
-        from mogasr.lm.ngram import estimate_bigram
+        from mogasr.lm.ngram import estimate_bigram, estimate_trigram
 
-        lm = estimate_bigram(
-            [fb.words[b] for fb in batches for b in range(fb.size)], graph.labels
-        )
+        lm_tokens = sorted(set(graph.labels))
+        transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
+        lm = estimate_bigram(transcripts, lm_tokens)
+        if args.trigram_rescore:
+            trigram = estimate_trigram(transcripts, lm_tokens)
 
-    refs, hyps, ids = [], [], []
+    refs, hyps, ids, nbest_lists = [], [], [], []
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
         for fb in batches:
             scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)
-            if lm is not None:
+            if needs_lattice:
+                from mogasr.decoder.lattice import lattice_nbest, rescore_lattice
+                from mogasr.pipeline import decode_batch_lattices
+
+                lats, _ = decode_batch_lattices(
+                    fb, scores, graph, lm, dcfg, chain_entry_logp=pron_logp
+                )
+                second = trigram if trigram is not None else lm
+                out = [rescore_lattice(lat, second)[0] for lat in lats]
+                if args.nbest > 0:
+                    nbest_lists.extend(
+                        [
+                            [{"hyp": [w.lower() for w in h], "logp": s}
+                             for h, s in lattice_nbest(lat, second, args.nbest)]
+                            for lat in lats
+                        ]
+                    )
+            elif lm is not None:
                 from mogasr.decoder.lm_viterbi import path_to_tokens_lm, viterbi_lm
 
                 res = viterbi_lm(
                     scores, graph, lm, fb.n_frames,
                     acoustic_scale=args.acoustic_scale,
                     insertion_penalty=args.insertion_penalty,
+                    chain_entry_logp=pron_logp,
                 )
                 toks = path_to_tokens_lm(res, graph)
                 out = [[w for w in h if w not in ("<sil>", "sil")] for h in toks]
@@ -143,8 +179,11 @@ def main() -> None:
     logger.log(rec)
     if args.out:
         with open(args.out, "w") as f:
-            for utt_id, hyp in zip(ids, hyps):
-                f.write(json.dumps({"utt_id": utt_id, "hyp": hyp}) + "\n")
+            for i, (utt_id, hyp) in enumerate(zip(ids, hyps)):
+                rec_out = {"utt_id": utt_id, "hyp": hyp}
+                if nbest_lists:
+                    rec_out["nbest"] = nbest_lists[i]
+                f.write(json.dumps(rec_out) + "\n")
 
 
 if __name__ == "__main__":

@@ -52,13 +52,17 @@ def _segmax(scores, seg_id, num_segments):
     return jax.vmap(one)(scores)
 
 
-@functools.partial(jax.jit, static_argnames=("acoustic_scale", "insertion_penalty"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("acoustic_scale", "insertion_penalty", "with_lattice"),
+)
 def _viterbi_lm_impl(
     emit_ll, n_frames,
     emit_id, self_logp, adv_logp, is_start, is_end, end_adv_logp, chain_id,
     token_of_chain, chain_entry_logp,
     pair_logp, lm_init, lm_final,
     acoustic_scale, insertion_penalty,
+    with_lattice: bool = False,
 ):
     B, T, P = emit_ll.shape
     J = emit_id.shape[0]
@@ -80,8 +84,27 @@ def _viterbi_lm_impl(
 
     delta0 = enter_local + lm_init[word_of_state] + emit_tm[0]
     delta0 = jnp.where(is_start, delta0, NEG_INF)
+    # Lattice entry-tracking carries: for the token currently at state j,
+    # the frame it entered its chain and the cumulative score at entry
+    # (predecessor path INCLUDING its LM transition into this word) — so
+    # arc score = exit score - ent_base is LM-free (emissions + intra-chain
+    # transitions + pron prior/penalty + exit weight).
+    ent_t0 = jnp.zeros((B, J), jnp.int32)
+    ent_base0 = jnp.broadcast_to(lm_init[word_of_state][None, :], (B, J))
 
-    def step(delta, inputs):
+    def lat_slice(delta_now, ent_t_now, ent_base_now):
+        lat_sc, lat_arg = _segmax(delta_now + exit_w, chain_id, C)  # [B, C]
+        s = jnp.take_along_axis(ent_t_now, lat_arg, axis=1)
+        base = jnp.take_along_axis(ent_base_now, lat_arg, axis=1)
+        return lat_sc, s, base
+
+    def shift1(x, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1
+        )
+
+    def step(carry, inputs):
+        delta, ent_t, ent_base = carry
         emit_t, t = inputs
         exit_scores = delta + exit_w                          # [B, J]
         chain_exit, exit_arg = _segmax(exit_scores, chain_id, C)   # [B, C]
@@ -107,12 +130,42 @@ def _viterbi_lm_impl(
         active = (t < n_frames)[:, None]
         delta_out = jnp.where(active, new_delta, delta)
         bp = jnp.where(active, bp, jnp.uint8(0))
-        return delta_out, (bp, exit_arg, word_arg, prev_word)
+
+        if not with_lattice:
+            return (delta_out, ent_t, ent_base), (bp, exit_arg, word_arg, prev_word)
+
+        ent_t_new = jnp.where(
+            bp == 2, t.astype(jnp.int32),
+            jnp.where(bp == 1, shift1(ent_t, 0), ent_t),
+        )
+        ent_base_new = jnp.where(
+            bp == 2, ent_word[:, word_of_state],
+            jnp.where(bp == 1, shift1(ent_base, NEG_INF), ent_base),
+        )
+        ent_t_new = jnp.where(active, ent_t_new, ent_t)
+        ent_base_new = jnp.where(active, ent_base_new, ent_base)
+        lat = lat_slice(delta_out, ent_t_new, ent_base_new)
+        return (delta_out, ent_t_new, ent_base_new), (
+            bp, exit_arg, word_arg, prev_word, lat
+        )
 
     ts = jnp.arange(1, T)
-    delta_final, (bps, exit_args, word_args, prev_words) = jax.lax.scan(
-        step, delta0, (emit_tm[1:], ts), unroll=4
+    (delta_final, _, _), scanned = jax.lax.scan(
+        step, (delta0, ent_t0, ent_base0), (emit_tm[1:], ts), unroll=4
     )
+    if with_lattice:
+        bps, exit_args, word_args, prev_words, lats = scanned
+        lat0 = lat_slice(delta0, ent_t0, ent_base0)
+        lat_score = jnp.concatenate([lat0[0][None], lats[0]], axis=0)  # [T, B, C]
+        lat_start = jnp.concatenate([lat0[1][None], lats[1]], axis=0)
+        lat_base = jnp.concatenate([lat0[2][None], lats[2]], axis=0)
+        lattice = (
+            jnp.transpose(lat_score, (1, 0, 2)),  # [B, T, C]
+            jnp.transpose(lat_start, (1, 0, 2)),
+            jnp.transpose(lat_base, (1, 0, 2)),
+        )
+    else:
+        bps, exit_args, word_args, prev_words = scanned
 
     final_scores = delta_final + exit_w + lm_final[word_of_state][None, :]
     score = jnp.max(final_scores, axis=1)
@@ -136,7 +189,10 @@ def _viterbi_lm_impl(
     mask = jnp.arange(T)[None, :] < n_frames[:, None]
     path = jnp.where(mask, path, -1)
     entered = entered & mask
-    return LmViterbiResult(path, entered, score)
+    result = LmViterbiResult(path, entered, score)
+    if with_lattice:
+        return result, lattice
+    return result
 
 
 def chain_token_map(graph: Graph, lm: BigramLm) -> np.ndarray:
@@ -156,7 +212,13 @@ def viterbi_lm(
     acoustic_scale: float = 1.0,
     insertion_penalty: float = 0.0,
     chain_entry_logp: Optional[np.ndarray] = None,  # [n_chains] pron log-priors
+    with_lattice: bool = False,
 ) -> LmViterbiResult:
+    """with_lattice=True additionally returns (lat_score, lat_start, lat_base)
+    [B, T, C] device arrays: for every (frame t, chain c), the best score of a
+    path ending chain c at t, that token's chain-entry frame, and its
+    cumulative score at entry (incl. the LM transition) — the inputs to
+    mogasr.decoder.lattice.lattices_from_pass."""
     token_of_chain = chain_token_map(graph, lm)
     n_chains = len(graph.labels)
     if chain_entry_logp is None:
@@ -180,6 +242,7 @@ def viterbi_lm(
         jnp.asarray(lm.final_logp),
         acoustic_scale,
         insertion_penalty,
+        with_lattice=with_lattice,
     )
 
 

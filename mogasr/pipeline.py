@@ -487,6 +487,37 @@ def decode_batch(
     return [[t for t in seq if t not in drop_tokens] for seq in toks[:B]]
 
 
+def decode_batch_lattices(
+    fb: FeatBatch,
+    scores: jax.Array,
+    graph: gr.Graph,
+    lm,
+    dcfg: DecodeConfig,
+    chain_entry_logp: Optional[np.ndarray] = None,
+    prune_beam: Optional[float] = None,
+):
+    """First-pass LM decode + word-lattice materialization.
+
+    Returns (lattices, LmViterbiResult) — feed the lattices to
+    decoder.lattice.lattice_nbest / rescore_lattice for N-best output or
+    second-pass (e.g. trigram) rescoring.
+    """
+    from mogasr.decoder.lattice import lattices_from_pass
+    from mogasr.decoder.lm_viterbi import viterbi_lm
+
+    res, (lat_sc, lat_st, lat_ba) = viterbi_lm(
+        scores, graph, lm, fb.n_frames,
+        acoustic_scale=dcfg.acoustic_scale,
+        insertion_penalty=dcfg.word_insertion_penalty,
+        chain_entry_logp=chain_entry_logp,
+        with_lattice=True,
+    )
+    lats = lattices_from_pass(
+        lat_sc, lat_st, lat_ba, fb.n_frames, graph.labels, prune_beam=prune_beam
+    )
+    return lats[: fb.size], res
+
+
 def make_nn_scorer(model, params, log_priors: jax.Array):
     """Hybrid NN-HMM scorer: posteriors -> prior-scaled pseudo-likelihoods.
 
@@ -745,6 +776,91 @@ def decode_with_fmllr(
         out = decode_batch(fb2, scores, graph, dcfg)
         for b in range(fb.size):
             hyps2[fb.utt_ids[b]] = out[b]
+    return hyps2, transforms
+
+
+# ----------------------------- MLLR two-pass decode -------------------------
+
+
+def decode_with_mllr(
+    batches: Sequence[FeatBatch],
+    gmm: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+    dcfg: DecodeConfig,
+    speaker_of=None,
+    min_occ: float = 1.0,
+):
+    """Unsupervised two-pass decoding with per-speaker mean-MLLR adaptation.
+
+    Model-space counterpart of decode_with_fmllr: pass 1 decodes with the
+    speaker-independent GMM, hypotheses are force-aligned, a global mean
+    transform mu' = A mu + b is solved in closed form per speaker
+    (mogasr.am.mllr), and pass 2 re-decodes with each speaker's adapted
+    model. Features are untouched, so MLLR composes with feature-space
+    processing (e.g. apply fMLLR first, MLLR second).
+
+    Returns (hyps_pass2, {speaker: W}).
+    """
+    from mogasr.am import mllr as ml
+
+    if speaker_of is None:
+        speaker_of = lambda uid: uid.split("-")[0] if "-" in uid else "global"
+
+    graph = word_decode_graph(lexicon, topo, dcfg)
+
+    # ---- pass 1: SI decode ----
+    hyps1: Dict[str, List[str]] = {}
+    for fb in batches:
+        scores = score_batch(fb.feats, gmm)
+        out = decode_batch(fb, scores, graph, dcfg)
+        for b in range(fb.size):
+            hyps1[fb.utt_ids[b]] = out[b]
+
+    # ---- align pass-1 hypotheses -> frame labels -> per-speaker stats ----
+    stats_by_spk: Dict[str, ml.MllrStats] = {}
+    for fb in batches:
+        hyp_words = [hyps1.get(uid, []) for uid in fb.utt_ids]
+        hyp_words += [[]] * (len(fb.words) - len(hyp_words))
+        fb_hyp = FeatBatch(fb.utt_ids, fb.feats, fb.n_frames, hyp_words)
+        _res, labels, _ = align_batch(fb_hyp, gmm, lexicon, topo)
+        labels_np = np.asarray(labels)
+        feats_np = np.asarray(fb.feats)
+        by_spk: Dict[str, List[int]] = {}
+        for b in range(fb.size):
+            by_spk.setdefault(speaker_of(fb.utt_ids[b]), []).append(b)
+        D = feats_np.shape[-1]
+        for spk, rows in by_spk.items():
+            s = ml.accumulate_mllr_stats(
+                gmm,
+                jnp.asarray(feats_np[rows].reshape(-1, D)),
+                jnp.asarray(labels_np[rows].reshape(-1)),
+            )
+            prev = stats_by_spk.get(spk)
+            stats_by_spk[spk] = (
+                s if prev is None
+                else ml.MllrStats(prev.occ + s.occ, prev.xsum + s.xsum)
+            )
+
+    transforms = {
+        spk: ml.solve_mllr(gmm, st, min_occ=min_occ)
+        for spk, st in stats_by_spk.items()
+    }
+    adapted = {spk: ml.apply_mllr(gmm, W) for spk, W in transforms.items()}
+
+    # ---- pass 2: decode with each speaker's adapted MODEL. One scoring
+    # dispatch per (batch, speaker-in-batch); rows of other speakers are
+    # computed but discarded (static shapes beat per-utterance dispatch). ----
+    hyps2: Dict[str, List[str]] = {}
+    for fb in batches:
+        spk_rows: Dict[str, List[int]] = {}
+        for b in range(fb.size):
+            spk_rows.setdefault(speaker_of(fb.utt_ids[b]), []).append(b)
+        for spk, rows in spk_rows.items():
+            scores = score_batch(fb.feats, adapted[spk])
+            out = decode_batch(fb, scores, graph, dcfg)
+            for b in rows:
+                hyps2[fb.utt_ids[b]] = out[b]
     return hyps2, transforms
 
 
