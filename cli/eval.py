@@ -41,6 +41,9 @@ def main() -> None:
                         "(single-chip path; hypothesis resume granularity is "
                         "the whole sweep, since the transforms depend on all "
                         "of a speaker's utterances)")
+    p.add_argument("--mllr", action="store_true",
+                   help="unsupervised two-pass per-speaker MLLR (model-space "
+                        "mean) adaptation; same resume granularity as --fmllr")
     p.add_argument("--streaming", action="store_true",
                    help="extract features through the chunked streaming front "
                         "end (BASELINE config[4]) instead of the offline batch path")
@@ -88,12 +91,13 @@ def main() -> None:
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     prof_dir = os.path.join(args.run_dir, "profile") if args.profile else None
     with trace(prof_dir), Timer() as t:
-        if args.fmllr:
-            from mogasr.pipeline import decode_with_fmllr
+        if args.fmllr or args.mllr:
+            from mogasr.pipeline import decode_with_fmllr, decode_with_mllr
 
+            two_pass = decode_with_fmllr if args.fmllr else decode_with_mllr
             all_ids = {u for fb in batches for u in fb.utt_ids}
             if not all_ids <= done:  # skip the two-pass decode when complete
-                hyp_map, _transforms = decode_with_fmllr(batches, gmm, lex, topo, dcfg)
+                hyp_map, _transforms = two_pass(batches, gmm, lex, topo, dcfg)
                 with open(resume_path, "a") as out_f:
                     for fb in batches:
                         for b in range(fb.size):

@@ -162,6 +162,27 @@ def test_decode_cli_bigram_lm(tmp_path, monkeypatch):
     assert len(lines) == 3
 
 
+def test_decode_cli_trigram_nbest(tmp_path, monkeypatch):
+    from cli import decode
+
+    out = str(tmp_path / "hyp_tri.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--trigram-rescore", "--nbest", "3",
+         "--multi-pron", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 3
+    for rec in lines:
+        nb = rec["nbest"]
+        assert 1 <= len(nb) <= 3
+        assert rec["hyp"] == nb[0]["hyp"]  # 1-best consistent with N-best head
+        logps = [h["logp"] for h in nb]
+        assert logps == sorted(logps, reverse=True)
+
+
 def test_eval_cli_profile_writes_trace(tmp_path, monkeypatch):
     from cli import eval as eval_cli
 
@@ -214,6 +235,20 @@ def test_eval_cli_fmllr(tmp_path, monkeypatch):
         eval_cli,
         ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
          "--num-components", "1", "--fmllr"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4
+
+
+def test_eval_cli_mllr(tmp_path, monkeypatch):
+    from cli import eval as eval_cli
+
+    run_cli(
+        eval_cli,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--mllr"],
         monkeypatch,
     )
     metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
