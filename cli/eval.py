@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--mllr", action="store_true",
                    help="unsupervised two-pass per-speaker MLLR (model-space "
                         "mean) adaptation; same resume granularity as --fmllr")
+    p.add_argument("--vtln", action="store_true",
+                   help="unsupervised two-pass per-speaker VTLN warp "
+                        "estimation (grid search over warped mel frontends)")
     p.add_argument("--streaming", action="store_true",
                    help="extract features through the chunked streaming front "
                         "end (BASELINE config[4]) instead of the offline batch path")
@@ -91,10 +94,17 @@ def main() -> None:
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     prof_dir = os.path.join(args.run_dir, "profile") if args.profile else None
     with trace(prof_dir), Timer() as t:
-        if args.fmllr or args.mllr:
-            from mogasr.pipeline import decode_with_fmllr, decode_with_mllr
+        if args.fmllr or args.mllr or args.vtln:
+            from mogasr.pipeline import (
+                decode_with_fmllr, decode_with_mllr, decode_with_vtln,
+            )
 
-            two_pass = decode_with_fmllr if args.fmllr else decode_with_mllr
+            if args.vtln:
+                two_pass = lambda b, g, l, t, d: decode_with_vtln(
+                    corpus, g, l, t, fcfg, bcfg, d
+                )
+            else:
+                two_pass = decode_with_fmllr if args.fmllr else decode_with_mllr
             all_ids = {u for fb in batches for u in fb.utt_ids}
             if not all_ids <= done:  # skip the two-pass decode when complete
                 hyp_map, _transforms = two_pass(batches, gmm, lex, topo, dcfg)

@@ -33,6 +33,12 @@ class FrontendConfig:
     mel_low_hz: float = 20.0
     mel_high_hz: float = 0.0  # 0 => Nyquist
     mel_scale: str = "htk"  # htk (2595 log10(1+f/700)) | slaney
+    # VTLN (vocal tract length normalization): piecewise-linear frequency
+    # warp of the mel filterbank (Kaldi convention). 1.0 = no warp; the
+    # per-speaker warp is estimated by pipeline.decode_with_vtln.
+    vtln_warp: float = 1.0
+    vtln_low_hz: float = 100.0
+    vtln_high_hz: float = -600.0  # <=0 => Nyquist + this value
     # MFCC
     n_ceps: int = 13
     cepstral_lifter: float = 22.0

@@ -57,11 +57,17 @@ class Utterance:
     phone_bounds: np.ndarray  # [n_phones + 1] sample boundaries
 
 
-def phone_wave(phone: str, n: int, sr: int, rng: np.random.Generator) -> np.ndarray:
+def phone_wave(
+    phone: str, n: int, sr: int, rng: np.random.Generator,
+    formant_scale: float = 1.0,
+) -> np.ndarray:
+    """formant_scale simulates a vocal-tract-length change: every phone's
+    formant pair is scaled (the VTLN adaptation target)."""
     t = np.arange(n, dtype=np.float64) / sr
     if phone == SIL:
         return (0.001 * rng.standard_normal(n)).astype(np.float64)
     f1, f2 = PHONE_FORMANTS[phone]
+    f1, f2 = f1 * formant_scale, f2 * formant_scale
     jitter = 1.0 + 0.02 * rng.standard_normal()
     sig = 0.5 * np.sin(2 * np.pi * f1 * jitter * t + rng.uniform(0, 2 * np.pi))
     sig += 0.3 * np.sin(2 * np.pi * f2 * jitter * t + rng.uniform(0, 2 * np.pi))
@@ -98,16 +104,18 @@ def synth_utterance(
     seed: int = 0,
     mean_phone_ms: float = 90.0,
     lexicon: Optional[Dict[str, List[str]]] = None,
+    formant_scale: float = 1.0,
 ) -> Utterance:
     """lexicon overrides the word->phones map (e.g. alternate pronunciations
-    for multi-pron decoding tests); default is the module LEXICON."""
+    for multi-pron decoding tests); formant_scale simulates a different
+    vocal tract length (VTLN tests); default is the module LEXICON."""
     rng = np.random.default_rng(seed)
     phones = words_to_phones(words, lexicon=lexicon)
     waves, bounds = [], [0]
     for p in phones:
         dur_ms = mean_phone_ms * (1.6 if p == SIL else 1.0) * rng.uniform(0.7, 1.4)
         n = max(int(sr * dur_ms / 1000.0), 160)
-        waves.append(phone_wave(p, n, sr, rng))
+        waves.append(phone_wave(p, n, sr, rng, formant_scale=formant_scale))
         bounds.append(bounds[-1] + n)
     wave = np.concatenate(waves)
     wave = (0.3 * wave / max(np.abs(wave).max(), 1e-6)).astype(np.float32)
@@ -120,6 +128,7 @@ def make_corpus(
     sr: int = 16000,
     seed: int = 0,
     vocab: Optional[Sequence[str]] = None,
+    formant_scale: float = 1.0,
 ) -> List[Utterance]:
     rng = np.random.default_rng(seed)
     vocab = list(vocab) if vocab is not None else WORDS
@@ -127,5 +136,10 @@ def make_corpus(
     for i in range(n_utts):
         n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
         words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_words)]
-        utts.append(synth_utterance(f"synth-{i:05d}", words, sr=sr, seed=seed * 100003 + i))
+        utts.append(
+            synth_utterance(
+                f"synth-{i:05d}", words, sr=sr, seed=seed * 100003 + i,
+                formant_scale=formant_scale,
+            )
+        )
     return utts

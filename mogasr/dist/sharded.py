@@ -74,6 +74,27 @@ def make_sharded_align_step(mesh: Mesh, acoustic_scale: float = 1.0):
     return align_step
 
 
+def make_sharded_stats_step(mesh: Mesh, accumulate_fn):
+    """Generic sharded sufficient-statistics step for any accumulator with
+    the (gmm, feats[N, D], labels[N]) -> stats-pytree signature — covers
+    fMLLR (am.fmllr.accumulate_fmllr_stats), MLLR
+    (am.mllr.accumulate_mllr_stats), and hard-EM stats alike. Frames are
+    sharded over chips; the replicated stat outputs make XLA insert the ICI
+    psum (the adaptation counterpart of the EM allreduce)."""
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh),
+        out_shardings=rep,
+    )
+    def stats_step(gmm, feats, labels):
+        return accumulate_fn(gmm, feats, labels)
+
+    return stats_step
+
+
 def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, spec_augment: bool = False):
     """NN train step with the batch sharded and params/opt-state replicated.
 

@@ -65,13 +65,59 @@ def mel_to_hz(mel: np.ndarray, scale: str = "htk") -> np.ndarray:
     raise ValueError(f"unknown mel scale {scale!r}")
 
 
+def vtln_warp_freq(
+    freq: np.ndarray,
+    warp: float,
+    vtln_low: float,
+    vtln_high: float,
+    low_hz: float,
+    high_hz: float,
+) -> np.ndarray:
+    """Kaldi-convention piecewise-linear VTLN frequency warp.
+
+    The central band [l, h] is scaled by 1/warp; the segments
+    [low_hz, l] and [h, high_hz] interpolate linearly so the filterbank
+    endpoints stay fixed (feat/mel-computations.cc VtlnWarpFreq semantics).
+    """
+    freq = np.asarray(freq, np.float64)
+    if warp == 1.0:
+        return freq
+    scale = 1.0 / warp
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
+    Fl = scale * l
+    Fh = scale * h
+    scale_left = (Fl - low_hz) / max(l - low_hz, 1e-9)
+    scale_right = (high_hz - Fh) / max(high_hz - h, 1e-9)
+    out = np.where(
+        freq < l,
+        low_hz + scale_left * (freq - low_hz),
+        np.where(freq < h, scale * freq, high_hz + scale_right * (freq - high_hz)),
+    )
+    return np.where((freq < low_hz) | (freq > high_hz), freq, out)
+
+
 def mel_filterbank_matrix(cfg: FrontendConfig) -> np.ndarray:
-    """[n_fft//2 + 1, n_mels] triangular mel filterbank matrix."""
+    """[n_fft//2 + 1, n_mels] triangular mel filterbank matrix.
+
+    cfg.vtln_warp != 1 warps the triangle corner frequencies (Kaldi
+    convention: warp in linear frequency, then convert to mel)."""
     n_bins = cfg.n_fft // 2 + 1
     high = cfg.mel_high_hz if cfg.mel_high_hz > 0 else cfg.sample_rate / 2.0
     mel_lo = hz_to_mel(np.array(cfg.mel_low_hz), cfg.mel_scale)
     mel_hi = hz_to_mel(np.array(high), cfg.mel_scale)
     centers_mel = np.linspace(mel_lo, mel_hi, cfg.n_mels + 2)
+    if cfg.vtln_warp != 1.0:
+        vtln_high = (
+            cfg.vtln_high_hz if cfg.vtln_high_hz > 0
+            else cfg.sample_rate / 2.0 + cfg.vtln_high_hz
+        )
+        centers_hz = mel_to_hz(centers_mel, cfg.mel_scale)
+        warped_hz = vtln_warp_freq(
+            centers_hz, cfg.vtln_warp, cfg.vtln_low_hz, vtln_high,
+            cfg.mel_low_hz, high,
+        )
+        centers_mel = hz_to_mel(warped_hz, cfg.mel_scale)
     fft_bin_hz = np.arange(n_bins, dtype=np.float64) * cfg.sample_rate / cfg.n_fft
     fft_bin_mel = hz_to_mel(fft_bin_hz, cfg.mel_scale)
     left = centers_mel[:-2][None, :]

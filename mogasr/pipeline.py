@@ -779,6 +779,110 @@ def decode_with_fmllr(
     return hyps2, transforms
 
 
+# ----------------------------- VTLN two-pass decode -------------------------
+
+
+@jax.jit
+def _aligned_loglik_sum(gmm: GmmSet, feats: jax.Array, labels: jax.Array) -> jax.Array:
+    """Sum over valid frames of log p(x_t | pdf label_t) — the VTLN warp
+    selection objective (labels==-1 rows are padding)."""
+    from mogasr.am.gmm import LOG_2PI
+
+    S, K, D = gmm.means.shape
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    mu = gmm.means[safe]
+    var = jnp.maximum(gmm.vars[safe], 1e-8)
+    w = jnp.maximum(gmm.weights[safe], 1e-30)
+    x = feats[:, None, :]
+    ll_k = (
+        jnp.log(w)
+        - 0.5 * (D * LOG_2PI + jnp.sum(jnp.log(var), -1))
+        - 0.5 * jnp.sum((x - mu) ** 2 / var, -1)
+    )
+    ll = jax.nn.logsumexp(ll_k, axis=-1)
+    return jnp.sum(jnp.where(valid, ll, 0.0))
+
+
+def decode_with_vtln(
+    utts: Sequence[Tuple[str, np.ndarray, List[str]]],   # (id, wave, words)
+    gmm: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+    fcfg: FrontendConfig,
+    bcfg: BatchConfig,
+    dcfg: DecodeConfig,
+    warps: Sequence[float] = (0.88, 0.92, 0.96, 1.0, 1.04, 1.08, 1.12),
+    speaker_of=None,
+):
+    """Unsupervised two-pass decoding with per-speaker VTLN warp selection.
+
+    Pass 1 decodes unwarped; hypotheses are force-aligned to frame labels;
+    for each candidate warp the speaker's audio is re-featurized through the
+    warped mel filterbank (one cached fused frontend per warp — framing is
+    warp-invariant so the labels transfer) and the aligned log-likelihood is
+    summed; each speaker takes its argmax warp for the pass-2 decode. This is
+    the standard grid-search VTLN estimator, TPU-shaped: the per-warp work is
+    nw re-runs of the fused frontend GEMM chain plus one scoring reduction.
+
+    Returns (hyps_pass2, {speaker: warp}).
+    """
+    if speaker_of is None:
+        speaker_of = lambda uid: uid.split("-")[0] if "-" in uid else "global"
+
+    graph = word_decode_graph(lexicon, topo, dcfg)
+    base_batches = featurize(utts, fcfg, bcfg)
+
+    # ---- pass 1: unwarped decode + alignment labels ----
+    hyps1: Dict[str, List[str]] = {}
+    for fb in base_batches:
+        out = decode_batch(fb, score_batch(fb.feats, gmm), graph, dcfg)
+        for b in range(fb.size):
+            hyps1[fb.utt_ids[b]] = out[b]
+
+    labels_by_utt: Dict[str, np.ndarray] = {}
+    for fb in base_batches:
+        hyp_words = [hyps1.get(uid, []) for uid in fb.utt_ids]
+        hyp_words += [[]] * (len(fb.words) - len(hyp_words))
+        fb_hyp = FeatBatch(fb.utt_ids, fb.feats, fb.n_frames, hyp_words)
+        _res, labels, _ = align_batch(fb_hyp, gmm, lexicon, topo)
+        labels_np = np.asarray(labels)
+        for b in range(fb.size):
+            labels_by_utt[fb.utt_ids[b]] = labels_np[b]
+
+    # ---- per-warp featurization + aligned loglik per speaker ----
+    ll_by_spk: Dict[str, Dict[float, float]] = {}
+    for warp in warps:
+        wcfg = dataclasses.replace(fcfg, vtln_warp=float(warp))
+        for fb in featurize(utts, wcfg, bcfg):
+            feats_np = np.asarray(fb.feats)
+            by_spk: Dict[str, List[int]] = {}
+            for b in range(fb.size):
+                by_spk.setdefault(speaker_of(fb.utt_ids[b]), []).append(b)
+            D = feats_np.shape[-1]
+            for spk, rows in by_spk.items():
+                flat = feats_np[rows].reshape(-1, D)
+                labs = np.stack([labels_by_utt[fb.utt_ids[b]] for b in rows]).reshape(-1)
+                ll = float(_aligned_loglik_sum(gmm, jnp.asarray(flat), jnp.asarray(labs)))
+                ll_by_spk.setdefault(spk, {})
+                ll_by_spk[spk][warp] = ll_by_spk[spk].get(warp, 0.0) + ll
+
+    best_warp = {
+        spk: max(lls, key=lls.get) for spk, lls in ll_by_spk.items()
+    }
+
+    # ---- pass 2: decode each speaker with its warp ----
+    hyps2: Dict[str, List[str]] = {}
+    for warp in sorted(set(best_warp.values())):
+        wcfg = dataclasses.replace(fcfg, vtln_warp=float(warp))
+        w_utts = [u for u in utts if best_warp[speaker_of(u[0])] == warp]
+        for fb in featurize(w_utts, wcfg, bcfg):
+            out = decode_batch(fb, score_batch(fb.feats, gmm), graph, dcfg)
+            for b in range(fb.size):
+                hyps2[fb.utt_ids[b]] = out[b]
+    return hyps2, best_warp
+
+
 # ----------------------------- MLLR two-pass decode -------------------------
 
 

@@ -254,3 +254,17 @@ def test_eval_cli_mllr(tmp_path, monkeypatch):
     metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
     ev = [m for m in metrics if m.get("stage") == "eval"]
     assert ev and ev[0]["utts"] == 4
+
+
+def test_eval_cli_vtln(tmp_path, monkeypatch):
+    from cli import eval as eval_cli
+
+    run_cli(
+        eval_cli,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--vtln"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4

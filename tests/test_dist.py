@@ -13,6 +13,7 @@ from mogasr.dist import mesh as M
 from mogasr.dist.sharded import (
     make_sharded_align_step,
     make_sharded_em_step,
+    make_sharded_stats_step,
     make_sharded_train_step,
 )
 
@@ -47,6 +48,33 @@ def test_sharded_em_matches_local(mesh, rng):
     np.testing.assert_allclose(np.asarray(dist.occ), np.asarray(local.occ), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dist.sx), np.asarray(local.sx), atol=1e-5)
     np.testing.assert_allclose(float(dist.loglik), float(local.loglik), rtol=1e-6)
+
+
+def test_sharded_adaptation_stats_match_local(mesh, rng):
+    """fMLLR and MLLR sufficient statistics accumulated over the 8-device
+    mesh equal the single-device result (the speaker-adaptation allreduce)."""
+    from mogasr.am.fmllr import accumulate_fmllr_stats
+    from mogasr.am.mllr import accumulate_mllr_stats
+
+    S, K, D, N = 5, 2, 3, 64
+    g = GmmSet(
+        jnp.asarray(rng.dirichlet(np.ones(K), size=S).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((S, K, D)).astype(np.float32)),
+        jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
+    )
+    feats = rng.standard_normal((N, D)).astype(np.float32)
+    labels = rng.integers(0, S, N).astype(np.int64)
+    labels[-3:] = -1
+    gr = M.replicate(g, mesh)
+    fs, ls = M.shard_batch((feats, labels), mesh)
+    for acc in (accumulate_fmllr_stats, accumulate_mllr_stats):
+        local = acc(g, jnp.asarray(feats), jnp.asarray(labels))
+        dist = make_sharded_stats_step(mesh, acc)(gr, fs, ls)
+        for l, d in zip(jax.tree.leaves(local), jax.tree.leaves(dist)):
+            scale = max(float(np.abs(np.asarray(l)).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(l), atol=1e-5 * scale
+            )
 
 
 def test_sharded_align_matches_local(mesh, rng):

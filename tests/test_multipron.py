@@ -30,36 +30,14 @@ def test_load_lexicon_keeps_variants(tmp_path):
     ]
 
 
-VOCAB = ["fish", "cat", "see", "sun", "tree", "dog"]
-
-
 @pytest.fixture(scope="module")
-def multipron_system():
-    """Self-contained small-vocabulary system: every phone of every decodable
-    word (incl. the alternate pron's 'iy') is well covered in training, so
-    decode failures isolate the multi-pron machinery, not model weakness.
-    'fish' gains the alternate pronunciation f-iy-sh (collides with no other
-    word); two eval utterances speak it with that variant."""
-    from mogasr.config import (
-        BatchConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
-    )
-    from mogasr.data.synthetic import make_corpus
-    from mogasr.hmm.topology import build_topology
+def multipron_system(mini_system):
+    """The shared mini system (full phone coverage so decode failures isolate
+    the multi-pron machinery; 'fish' has the alternate pron f-iy-sh) plus two
+    eval utterances that SPEAK the variant."""
+    from mogasr.config import BatchConfig, FrontendConfig
 
-    variants = {w: [list(LEXICON[w])] for w in VOCAB}
-    variants["fish"].append(["f", "iy", "sh"])
-    mlex = make_lexicon_multi(variants)
-    topo = build_topology(mlex, TopologyConfig())
-
-    fcfg = FrontendConfig()
-    bcfg = BatchConfig(batch_size=8, bucket_boundaries=(250, 400))
-    train_utts = make_corpus(24, words_per_utt=(2, 3), seed=1, vocab=VOCAB)
-    batches = pipe.featurize(
-        [(u.utt_id, u.wave, u.words) for u in train_utts], fcfg, bcfg
-    )
-    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=fcfg.feat_dim)
-    gmm, _ = pipe.train_gmm(batches, mlex, topo, gcfg, TrainConfig(num_em_iters=6))
-
+    mlex, topo, gmm, _vocab = mini_system
     alt_lex = dict(LEXICON)
     alt_lex["fish"] = ["f", "iy", "sh"]
     utts = [
@@ -68,7 +46,7 @@ def multipron_system():
     ]
     fbs = pipe.featurize(
         [(u.utt_id, u.wave, u.words) for u in utts],
-        fcfg, BatchConfig(batch_size=2, bucket_boundaries=(400,)),
+        FrontendConfig(), BatchConfig(batch_size=2, bucket_boundaries=(400,)),
     )
     return mlex, topo, gmm, fbs
 
