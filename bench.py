@@ -51,14 +51,19 @@ def main() -> None:
         jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
     )
 
-    # Corpus: 64 synthetic utterances, ~6-13 s each.
-    n_utts = 64
+    # Corpus: 256 synthetic utterances, ~6-13 s each — large enough that the
+    # measurement is steady-state throughput, not Python dispatch ramp-up,
+    # while host-side corpus synthesis stays within the bench time budget
+    # (512 utts measured 1452 utt/s but the 1-core synthesis+prep blew the
+    # 10-minute cap).
+    n_utts = 256
     utts = make_corpus(n_utts, words_per_utt=(8, 16), seed=1)
     audio_seconds = sum(len(u.wave) for u in utts) / fcfg.sample_rate
 
-    # B=16 measured 689 utt/s vs 528 at B=8 (fewer dispatches, fuller kernels);
-    # B=32 adds only ~3% more while fragmenting buckets on small corpora.
-    B = 16
+    # Measured A/B on this chip (same code, 3-rep means): 64utt/B16 578,
+    # 128/B16 792, 128/B32 883, 256/B32 1005, 256/B64 1294, 512/B64 1452,
+    # 512/B128 1370 (padding fragmentation) -> B=64 on 256 utts.
+    B = 64
     bcfg = BatchConfig(batch_size=B, bucket_boundaries=(800, 1100, 1400))
     # Word-loop decode graph; emit ids live in the first n_pdfs of the S=1000
     # state space, matching how a monophone system embeds in a larger

@@ -43,6 +43,9 @@ def main() -> None:
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
     p.add_argument("--max-segment-s", type=float, default=30.0)
+    p.add_argument("--nbest", type=int, default=0,
+                   help="also emit the top-N alternative word sequences per "
+                        "segment from a word lattice (uniform word LM)")
     p.add_argument("--out", help="write transcript (jsonl)")
     args = p.parse_args()
 
@@ -91,18 +94,37 @@ def main() -> None:
                     sorted({500, 1000, 2000, max_frames})
                 )
             )
+            if args.nbest > 0:
+                from mogasr.decoder.lattice import lattice_nbest
+                from mogasr.lm.ngram import uniform_bigram
+                from mogasr.pipeline import decode_batch_lattices
+
+                nbest_lm = uniform_bigram(sorted(set(graph.labels)))
             for fb in featurize(corpus, fcfg, bcfg):
                 scores = score_batch(fb.feats, gmm)
                 out = decode_batch_with_confidence(fb, scores, graph, dcfg)
+                nbests = None
+                if args.nbest > 0:
+                    lats, _res = decode_batch_lattices(
+                        fb, scores, graph, nbest_lm, dcfg
+                    )
+                    nbests = [
+                        [{"words": h, "logp": s}
+                         for h, s in lattice_nbest(lat, nbest_lm, args.nbest)]
+                        for lat in lats
+                    ]
                 for b in range(fb.size):
                     idx = int(fb.utt_ids[b].split("-")[1])
                     a, e = segments[idx]
-                    results.append({
+                    rec = {
                         "start_s": round(a / fcfg.sample_rate, 2),
                         "end_s": round(e / fcfg.sample_rate, 2),
                         "words": [w for w, _c in out[b]],
                         "confidences": [c for _w, c in out[b]],
-                    })
+                    }
+                    if nbests is not None:
+                        rec["nbest"] = nbests[b]
+                    results.append(rec)
     results.sort(key=lambda r: r["start_s"])
     logger.log({
         "stage": "transcribe", "audio_s": round(len(wave) / fcfg.sample_rate, 1),

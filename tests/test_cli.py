@@ -228,6 +228,25 @@ def test_transcribe_cli(tmp_path, monkeypatch):
     assert all("words" in l for l in lines)
 
 
+def test_transcribe_cli_nbest(tmp_path, monkeypatch):
+    from cli import transcribe
+
+    out = str(tmp_path / "transcript.jsonl")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--nbest", "3", "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 4
+    for rec in lines:
+        nb = rec["nbest"]
+        assert 1 <= len(nb) <= 3
+        logps = [h["logp"] for h in nb]
+        assert logps == sorted(logps, reverse=True)
+
+
 def test_eval_cli_fmllr(tmp_path, monkeypatch):
     from cli import eval as eval_cli
 
