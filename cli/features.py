@@ -27,6 +27,8 @@ def main() -> None:
     add_corpus_args(p)
     add_run_args(p)
     p.add_argument("--out", help="write features to this .npz")
+    p.add_argument("--write-ark", help="write features as a Kaldi text "
+                                       "archive (ark,t) to this path")
     p.add_argument("--check-parity", action="store_true",
                    help="compare vs the NumPy oracle (fp32 tolerance)")
     p.add_argument("--feature-type", default="mfcc", choices=["mfcc", "fbank"])
@@ -60,15 +62,21 @@ def main() -> None:
                 worst = max(worst, err)
         logger.log({"stage": "parity", "max_abs_err": worst, "pass": worst < 2e-3})
 
-    if args.out:
+    if args.out or args.write_ark:
         dump = {}
         for fb in batches:
             feats = np.asarray(fb.feats)
             nf = np.asarray(fb.n_frames)
             for i, utt_id in enumerate(fb.utt_ids):
                 dump[utt_id] = feats[i, : nf[i]]
-        np.savez_compressed(args.out, **dump)
-        print(f"wrote {len(dump)} utterances to {args.out}")
+        if args.out:
+            np.savez_compressed(args.out, **dump)
+            print(f"wrote {len(dump)} utterances to {args.out}")
+        if args.write_ark:
+            from mogasr.data.kaldi_io import write_ark_t
+
+            write_ark_t(args.write_ark, sorted(dump.items()))
+            print(f"wrote {len(dump)} utterances to {args.write_ark} (ark,t)")
 
 
 if __name__ == "__main__":

@@ -100,9 +100,12 @@ def main() -> None:
                 from mogasr.pipeline import decode_batch_lattices
 
                 nbest_lm = uniform_bigram(sorted(set(graph.labels)))
+            shift_s = fcfg.frame_shift_ms / 1000.0
             for fb in featurize(corpus, fcfg, bcfg):
                 scores = score_batch(fb.feats, gmm)
-                out = decode_batch_with_confidence(fb, scores, graph, dcfg)
+                out = decode_batch_with_confidence(
+                    fb, scores, graph, dcfg, with_times=True
+                )
                 nbests = None
                 if args.nbest > 0:
                     lats, _res = decode_batch_lattices(
@@ -116,11 +119,18 @@ def main() -> None:
                 for b in range(fb.size):
                     idx = int(fb.utt_ids[b].split("-")[1])
                     a, e = segments[idx]
+                    seg_start = a / fcfg.sample_rate
                     rec = {
-                        "start_s": round(a / fcfg.sample_rate, 2),
+                        "start_s": round(seg_start, 2),
                         "end_s": round(e / fcfg.sample_rate, 2),
-                        "words": [w for w, _c in out[b]],
-                        "confidences": [c for _w, c in out[b]],
+                        "words": [w for w, _c, _t0, _t1 in out[b]],
+                        "confidences": [c for _w, c, _t0, _t1 in out[b]],
+                        # per-word absolute timestamps from the Viterbi spans
+                        "word_times": [
+                            [round(seg_start + t0 * shift_s, 2),
+                             round(seg_start + t1 * shift_s, 2)]
+                            for _w, _c, t0, t1 in out[b]
+                        ],
                     }
                     if nbests is not None:
                         rec["nbest"] = nbests[b]

@@ -47,8 +47,11 @@ class FrontendConfig:
     delta_order: int = 2  # 0 = none, 1 = +delta, 2 = +delta+deltadelta
     delta_window: int = 2
     # CMVN
-    cmvn: str = "utterance"  # utterance | global | none
+    cmvn: str = "utterance"  # utterance | global | sliding | none
     cmvn_norm_var: bool = True
+    # sliding mode: CAUSAL trailing window (frames, incl. current) — the
+    # streaming-safe normalization for online decoding
+    cmvn_window: int = 600
     # Numerics
     log_floor: float = 1.1921e-07  # ~float32 eps; floor before log
     snip_edges: bool = True  # Kaldi frame-count convention

@@ -117,6 +117,37 @@ def _masked_cmvn(feats: jax.Array, mask: jax.Array, norm_var: bool) -> jax.Array
     return out * m
 
 
+def _sliding_cmvn(
+    feats: jax.Array, mask: jax.Array, norm_var: bool, window: int
+) -> jax.Array:
+    """Causal trailing-window CMVN (see numpy_ref.cmvn_sliding_np).
+
+    Cumulative sums turn the windowed stats into two subtractions — O(T)
+    and scan-free, so XLA fuses it into the feature chain."""
+    m = mask[:, :, None]
+    x = feats * m
+    cs = jnp.cumsum(x, axis=1)
+    css = jnp.cumsum(x * x, axis=1)
+    T = feats.shape[1]
+
+    def lag(a):
+        if window >= T:
+            return jnp.zeros_like(a)
+        return jnp.concatenate(
+            [jnp.zeros_like(a[:, :window]), a[:, :-window]], axis=1
+        )
+
+    s = cs - lag(cs)
+    ss = css - lag(css)
+    cnt = jnp.minimum(jnp.arange(T) + 1, window).astype(feats.dtype)[None, :, None]
+    mean = s / cnt
+    out = feats - mean
+    if norm_var:
+        var = ss / cnt - mean**2
+        out = out / jnp.sqrt(jnp.maximum(var, 1e-10))
+    return out * m
+
+
 def make_frontend(cfg: FrontendConfig, max_samples: int):
     """Build the fused batched front end for a fixed max_samples bucket.
 
@@ -203,6 +234,8 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
         mask = (jnp.arange(t_max)[None, :] < n_frames[:, None]).astype(jnp.float32)
         if cfg.cmvn == "utterance":
             out = _masked_cmvn(out, mask, cfg.cmvn_norm_var)
+        elif cfg.cmvn == "sliding":
+            out = _sliding_cmvn(out, mask, cfg.cmvn_norm_var, cfg.cmvn_window)
         else:
             out = out * mask[:, :, None]
         return out, n_frames

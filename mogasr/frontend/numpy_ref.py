@@ -206,6 +206,28 @@ def cmvn_np(feats: np.ndarray, norm_var: bool) -> np.ndarray:
     return out
 
 
+def cmvn_sliding_np(feats: np.ndarray, window: int, norm_var: bool) -> np.ndarray:
+    """CAUSAL sliding-window CMVN: frame t is normalized by the stats of the
+    trailing ``window`` frames (inclusive). Streaming-safe by construction —
+    the online front end emits identical values (tested). Early frames use
+    the shorter available window; frame 0 normalizes to zero."""
+    x = np.asarray(feats, np.float64)
+    T = x.shape[0]
+    cs = np.cumsum(x, axis=0)
+    css = np.cumsum(x * x, axis=0)
+    t = np.arange(T)
+    lo = t - window  # exclusive index of the frame before the window
+    s = cs - np.where(lo[:, None] >= 0, cs[np.maximum(lo, 0)], 0.0)
+    ss = css - np.where(lo[:, None] >= 0, css[np.maximum(lo, 0)], 0.0)
+    cnt = np.minimum(t + 1, window)[:, None].astype(np.float64)
+    mean = s / cnt
+    out = x - mean
+    if norm_var:
+        var = ss / cnt - mean**2
+        out = out / np.sqrt(np.maximum(var, 1e-10))
+    return out.astype(feats.dtype)
+
+
 def extract_features_np(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     """Full front end on one utterance -> [T, feat_dim] float32.
 
@@ -245,4 +267,6 @@ def extract_features_np(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     out = np.concatenate(feats, axis=-1)
     if cfg.cmvn == "utterance":
         out = cmvn_np(out, cfg.cmvn_norm_var)
+    elif cfg.cmvn == "sliding":
+        out = cmvn_sliding_np(out, cfg.cmvn_window, cfg.cmvn_norm_var)
     return out.astype(np.float32)

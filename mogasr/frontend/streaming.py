@@ -10,8 +10,10 @@ frame/context overlap — not attention-style SP. The streamer produces features
 - delta context induces an emission lag of ``delta_order * delta_window``
   frames; ``finalize()`` flushes the tail with offline edge replication;
 - CMVN: per-utterance CMVN is acausal, so streaming supports ``global``
-  (precomputed stats applied frame-wise), ``none``, or deferred per-utterance
-  normalization applied by the caller after finalize.
+  (precomputed stats applied frame-wise), ``sliding`` (CAUSAL trailing-window
+  stats — the true-online normalization, emitted values identical to the
+  offline sliding path), ``none``, or deferred per-utterance normalization
+  applied by the caller after finalize.
 
 The per-chunk spectral pipeline (window+DFT+mel+DCT GEMMs) reuses the same
 fused jitted kernel chain as the offline path, bucketed to a fixed chunk frame
@@ -87,6 +89,9 @@ class StreamingFrontend:
             )
         self.cmvn_mean = cmvn_mean
         self.cmvn_istd = cmvn_istd
+        # sliding CMVN state: trailing raw (pre-normalization) final frames,
+        # at most window-1 of them, plus the global emitted count
+        self._cmvn_hist = np.zeros((0, cfg.feat_dim), np.float64)
 
     @property
     def _lag(self) -> int:
@@ -160,7 +165,36 @@ class StreamingFrontend:
             self._buf_start = new_start
         if self.cfg.cmvn == "global":
             out = (out - self.cmvn_mean) * self.cmvn_istd
+        elif self.cfg.cmvn == "sliding":
+            out = self._sliding_normalize(out)
         return out
+
+    def _sliding_normalize(self, out: np.ndarray) -> np.ndarray:
+        """Causal trailing-window normalization of newly-final frames.
+
+        _cmvn_hist holds exactly min(frames_emitted_so_far, window-1) raw
+        frames, so each new frame's window (trailing ``window`` frames incl.
+        itself) is fully contained in hist+out — values match the offline
+        cmvn_sliding_np exactly."""
+        W = self.cfg.cmvn_window
+        h = self._cmvn_hist.shape[0]
+        allf = np.concatenate([self._cmvn_hist, np.asarray(out, np.float64)])
+        cs = np.cumsum(allf, axis=0)
+        css = np.cumsum(allf * allf, axis=0)
+        t = np.arange(h, allf.shape[0])          # rows to normalize
+        lo = t - W
+        s = cs[t] - np.where(lo[:, None] >= 0, cs[np.maximum(lo, 0)], 0.0)
+        ss = css[t] - np.where(lo[:, None] >= 0, css[np.maximum(lo, 0)], 0.0)
+        cnt = np.minimum(t + 1, W)[:, None].astype(np.float64)
+        mean = s / cnt
+        norm = allf[t] - mean
+        if self.cfg.cmvn_norm_var:
+            var = ss / cnt - mean**2
+            norm = norm / np.sqrt(np.maximum(var, 1e-10))
+        keep = W - 1
+        self._cmvn_hist = allf[allf.shape[0] - min(keep, allf.shape[0]):] if keep > 0 \
+            else allf[:0]
+        return norm.astype(np.float32)
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Feed a chunk of audio; returns newly-final [n, feat_dim] features."""

@@ -77,7 +77,11 @@ def featurize_streaming(
     from mogasr.frontend.numpy_ref import cmvn_np
     from mogasr.frontend.streaming import StreamingFrontend
 
-    stream_cfg = dataclasses.replace(fcfg, cmvn="none")
+    # sliding CMVN is causal -> the streamer applies it online; utterance
+    # CMVN is acausal -> deferred to after finalize
+    stream_cfg = (
+        fcfg if fcfg.cmvn == "sliding" else dataclasses.replace(fcfg, cmvn="none")
+    )
     per_utt = []
     for utt_id, wave, words in utts:
         sf = StreamingFrontend(stream_cfg)
@@ -977,13 +981,16 @@ def decode_batch_with_confidence(
     graph: gr.Graph,
     dcfg: DecodeConfig,
     drop_tokens: Tuple[str, ...] = ("<sil>", "sil"),
-) -> List[List[Tuple[str, float]]]:
+    with_times: bool = False,
+):
     """Viterbi decode + per-word posterior confidence.
 
     Confidence of a decoded word = its chain's posterior mass (from
     forward-backward over the SAME decode graph), averaged over the word's
     Viterbi time span — the standard lattice-free posterior confidence.
-    Returns [(word, confidence)] per utterance.
+    Returns [(word, confidence)] per utterance, or
+    [(word, confidence, start_frame, end_frame)] with ``with_times=True``
+    (end exclusive; frames convert to seconds via frame_shift).
     """
     from mogasr.decoder import forward_backward as fbd
 
@@ -1006,9 +1013,9 @@ def decode_batch_with_confidence(
     entered = np.asarray(res.entered)
     nf = np.asarray(fb.n_frames)
 
-    out: List[List[Tuple[str, float]]] = []
+    out: List[List[tuple]] = []
     for b in range(B):
-        words: List[Tuple[str, float]] = []
+        words: List[tuple] = []
         spans: List[Tuple[int, int, int]] = []  # (chain, start_t, end_t)
         for t in range(int(nf[b])):
             if entered[b, t]:
@@ -1021,7 +1028,8 @@ def decode_batch_with_confidence(
                 continue
             conf = float(chain_post[b, t0:t1, c].mean()) if t1 > t0 else 0.0
             # f32 posteriors can overshoot 1 by ~1e-3
-            words.append((label, round(min(max(conf, 0.0), 1.0), 4)))
+            conf = round(min(max(conf, 0.0), 1.0), 4)
+            words.append((label, conf, t0, t1) if with_times else (label, conf))
         out.append(words)
     return out
 

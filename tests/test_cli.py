@@ -226,6 +226,12 @@ def test_transcribe_cli(tmp_path, monkeypatch):
     for i in range(1, len(lines)):
         assert lines[i]["start_s"] >= lines[i - 1]["end_s"] - 0.5
     assert all("words" in l for l in lines)
+    for rec in lines:
+        assert len(rec["word_times"]) == len(rec["words"])
+        for (t0, t1), prev in zip(rec["word_times"], [None] + rec["word_times"]):
+            assert rec["start_s"] - 0.01 <= t0 <= t1 <= rec["end_s"] + 0.5
+            if prev is not None:
+                assert t0 >= prev[0]  # word times are monotone
 
 
 def test_transcribe_cli_nbest(tmp_path, monkeypatch):
