@@ -21,7 +21,7 @@ per class through the same code path.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,21 +67,15 @@ def accumulate_mllr_stats(
     return MllrStats(occ, xsum)
 
 
-def solve_mllr(gmm: GmmSet, stats: MllrStats, min_occ: float = 1.0) -> np.ndarray:
-    """Closed-form global mean-MLLR solve -> W = [A | b], shape [D, D+1].
-
-    Components with negligible occupancy contribute nothing; if the total
-    occupancy is too small to estimate D*(D+1) parameters, returns identity.
-    """
-    occ = np.asarray(stats.occ, np.float64).reshape(-1)            # [M]
-    xsum = np.asarray(stats.xsum, np.float64).reshape(occ.shape[0], -1)  # [M, D]
-    means = np.asarray(gmm.means, np.float64).reshape(occ.shape[0], -1)
-    var = np.maximum(np.asarray(gmm.vars, np.float64).reshape(occ.shape[0], -1), 1e-8)
+def _solve_rows(
+    occ: np.ndarray, xsum: np.ndarray, means: np.ndarray, var: np.ndarray,
+    min_occ: float,
+) -> Optional[np.ndarray]:
+    """Row-wise closed-form solve over flat [M]-indexed Gaussian stats.
+    Returns W [D, D+1], or None when occupancy is too small to estimate."""
     D = means.shape[1]
-    W_id = np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1).astype(np.float32)
     if occ.sum() < max(min_occ, D + 1):
-        return W_id
-
+        return None
     keep = occ > 1e-8
     occ, xsum, means, var = occ[keep], xsum[keep], means[keep], var[keep]
     xi = np.concatenate([means, np.ones((means.shape[0], 1))], axis=1)  # [M, D+1]
@@ -94,6 +88,76 @@ def solve_mllr(gmm: GmmSet, stats: MllrStats, min_occ: float = 1.0) -> np.ndarra
     for i in range(D):
         W[i] = np.linalg.solve(G[i] + 1e-6 * np.eye(D + 1), k[i])
     return W.astype(np.float32)
+
+
+def _flat_stats(gmm: GmmSet, stats: MllrStats):
+    occ = np.asarray(stats.occ, np.float64).reshape(-1)                  # [M]
+    xsum = np.asarray(stats.xsum, np.float64).reshape(occ.shape[0], -1)  # [M, D]
+    means = np.asarray(gmm.means, np.float64).reshape(occ.shape[0], -1)
+    var = np.maximum(np.asarray(gmm.vars, np.float64).reshape(occ.shape[0], -1), 1e-8)
+    return occ, xsum, means, var
+
+
+def solve_mllr(gmm: GmmSet, stats: MllrStats, min_occ: float = 1.0) -> np.ndarray:
+    """Closed-form GLOBAL mean-MLLR solve -> W = [A | b], shape [D, D+1].
+
+    Components with negligible occupancy contribute nothing; if the total
+    occupancy is too small to estimate D*(D+1) parameters, returns identity.
+    """
+    occ, xsum, means, var = _flat_stats(gmm, stats)
+    D = means.shape[1]
+    W = _solve_rows(occ, xsum, means, var, min_occ)
+    if W is None:
+        return np.concatenate([np.eye(D), np.zeros((D, 1))], axis=1).astype(np.float32)
+    return W
+
+
+def speech_sil_classes(topo) -> np.ndarray:
+    """[n_pdfs] regression classes: 0 = silence pdfs, 1 = speech pdfs — the
+    classic 2-class regression partition (silence behaves like a different
+    'speaker' than speech under channel/noise mismatch)."""
+    classes = np.ones(topo.n_pdfs, np.int32)
+    classes[: topo.sil_states] = 0
+    return classes
+
+
+def solve_mllr_classes(
+    gmm: GmmSet,
+    stats: MllrStats,
+    classes: np.ndarray,     # [S] regression class per pdf state
+    min_occ: float = 1.0,
+) -> np.ndarray:
+    """Per-regression-class mean-MLLR -> W [n_classes, D, D+1].
+
+    Each class solves over its member Gaussians only; classes with too
+    little occupancy back off to the GLOBAL transform (or identity when even
+    the global one is unestimable) — the standard regression-tree backoff,
+    flattened to one level.
+    """
+    occ, xsum, means, var = _flat_stats(gmm, stats)
+    S, K = np.asarray(stats.occ).shape
+    D = means.shape[1]
+    member = np.repeat(np.asarray(classes, np.int32), K)  # [S*K]
+    n_classes = int(classes.max()) + 1
+    W_global = solve_mllr(gmm, stats, min_occ=min_occ)
+    out = np.empty((n_classes, D, D + 1), np.float32)
+    for c in range(n_classes):
+        m = member == c
+        W = _solve_rows(occ[m], xsum[m], means[m], var[m], min_occ)
+        out[c] = W_global if W is None else W
+    return out
+
+
+def apply_mllr_classes(
+    gmm: GmmSet, Ws: np.ndarray, classes: np.ndarray
+) -> GmmSet:
+    """Adapted means with one transform per regression class."""
+    Wj = jnp.asarray(Ws, dtype=gmm.means.dtype)         # [C, D, D+1]
+    cls = jnp.asarray(classes, jnp.int32)               # [S]
+    A = Wj[cls, :, :-1]                                 # [S, D, D]
+    b = Wj[cls, :, -1]                                  # [S, D]
+    new_means = jnp.einsum("skd,sed->ske", gmm.means, A) + b[:, None, :]
+    return gmm._replace(means=new_means)
 
 
 def apply_mllr(gmm: GmmSet, W: np.ndarray) -> GmmSet:

@@ -253,6 +253,25 @@ def test_transcribe_cli_nbest(tmp_path, monkeypatch):
         assert logps == sorted(logps, reverse=True)
 
 
+def test_stream_cli(tmp_path, monkeypatch, capsys):
+    from cli import stream
+
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--chunk-ms", "500"],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    partials = [l for l in lines if "partial" in l]
+    finals = [l for l in lines if "final" in l]
+    assert len(partials) >= 2  # several chunks of a multi-second utterance
+    assert len(finals) == 1
+    # audio time advances monotonically across partial events
+    ts = [l["t_audio_s"] for l in partials]
+    assert ts == sorted(ts)
+
+
 def test_eval_cli_fmllr(tmp_path, monkeypatch):
     from cli import eval as eval_cli
 

@@ -95,6 +95,60 @@ def test_low_occupancy_returns_identity(gmm_and_data):
     np.testing.assert_allclose(W[:, :-1], np.eye(5), atol=1e-6)
 
 
+def test_class_mllr_beats_global_on_classwise_shift(gmm_and_data):
+    """Two state groups shifted by DIFFERENT offsets: a single global mean
+    transform must compromise; per-class MLLR recovers both exactly."""
+    g, x, labels = gmm_and_data
+    classes = np.array([0, 0, 0, 1, 1, 1], np.int32)  # S=6 states
+    b0 = np.array([1.5, 0.0, -1.0, 0.5, 0.0], np.float32)
+    b1 = np.array([-1.0, 1.0, 0.5, -0.5, 1.0], np.float32)
+    shift = np.where((classes[labels] == 0)[:, None], b0, b1)
+    x_bad = (x + shift).astype(np.float32)
+
+    ll_clean = aligned_loglik(g, x, labels)
+    ll_bad = aligned_loglik(g, x_bad, labels)
+    assert ll_bad < ll_clean - 0.5
+
+    stats = M.accumulate_mllr_stats(g, jnp.asarray(x_bad), jnp.asarray(labels))
+    W_g = M.solve_mllr(g, stats)
+    Ws = M.solve_mllr_classes(g, stats, classes)
+    ll_global = aligned_loglik(M.apply_mllr(g, W_g), x_bad, labels)
+    ll_class = aligned_loglik(
+        M.apply_mllr_classes(g, Ws, classes), x_bad, labels
+    )
+    # per-class must beat the compromised global transform AND recover nearly
+    # all of the corruption-induced likelihood loss. (The raw W entries are
+    # NOT checked against the true shifts: with only 6 Gaussians per class
+    # the row solves are exactly determined, so they fit the sampled
+    # sufficient stats — which is precisely the ML objective — rather than
+    # the generating shift.)
+    assert ll_class > ll_global + 0.05, (ll_clean, ll_bad, ll_global, ll_class)
+    assert ll_class > ll_bad + 0.9 * (ll_clean - ll_bad)
+
+
+def test_class_mllr_backs_off_to_global(gmm_and_data):
+    """A class with no occupancy gets the global transform."""
+    g, x, labels = gmm_and_data
+    keep = labels < 3  # starve states 3..5 entirely
+    stats = M.accumulate_mllr_stats(
+        g, jnp.asarray(x[keep]), jnp.asarray(labels[keep])
+    )
+    classes = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    W_g = M.solve_mllr(g, stats)
+    Ws = M.solve_mllr_classes(g, stats, classes)
+    np.testing.assert_allclose(Ws[1], W_g, atol=1e-6)
+
+
+def test_speech_sil_classes_layout(trained_system):
+    from mogasr.am.mllr import speech_sil_classes
+
+    lex, topo, _batches, _gmm = trained_system
+    cls = speech_sil_classes(topo)
+    assert cls.shape == (topo.n_pdfs,)
+    assert (cls[: topo.sil_states] == 0).all()
+    assert (cls[topo.sil_states :] == 1).all()
+
+
 def test_two_pass_mllr_decode_recovers_wer(trained_system):
     """Shifted 'speaker': SI WER degrades, two-pass MLLR restores it."""
     from mogasr import pipeline as pipe
