@@ -92,6 +92,34 @@ def main() -> None:
     wer_lm, _ = corpus_wer(refs, hyps)
     results["heldout_wer_gmm_bigram"] = round(wer_lm, 4)
 
+    # (b2) trigram lattice rescoring: bigram first pass -> word lattices ->
+    # exact second-pass search under an interpolated trigram (train text only)
+    from mogasr.decoder.lattice import rescore_lattice
+    from mogasr.lm.ngram import estimate_trigram
+
+    tri_lm = estimate_trigram(
+        [fb.words[b] for fb in tb for b in range(fb.size)], graph.labels
+    )
+    hyps_tri = []
+    for fb in eb:
+        scores = pipe.score_batch(fb.feats, gmm)
+        lats, _ = pipe.decode_batch_lattices(fb, scores, graph, lm, dcfg)
+        hyps_tri.extend(
+            [[w.lower() for w in rescore_lattice(lat, tri_lm)[0]] for lat in lats]
+        )
+    results["heldout_wer_gmm_trigram_rescore"] = round(
+        corpus_wer(refs, hyps_tri)[0], 4
+    )
+
+    # (b3) MMI discriminative refinement of the ML GMM (dense denominator)
+    from mogasr.am.mmi import train_mmi
+
+    gmm_mmi, mmi_hist = train_mmi(tb, lex, topo_t, gmm, n_iters=3, acoustic_scale=0.1)
+    m_mmi = pipe.evaluate(eb, gmm_mmi, lex, topo_t, dcfg)
+    results["mmi_criterion_first"] = round(mmi_hist[0], 5)
+    results["mmi_criterion_last"] = round(mmi_hist[-1], 5)
+    results["heldout_wer_gmm_mmi"] = round(m_mmi["wer"], 4)
+
     # (c) hybrid MLP AM trained on GMM alignments
     labeled = []
     for fb in tb:
