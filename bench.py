@@ -16,9 +16,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# A/B knob for the Pallas GMM kernel structure (chunked | wide); the driver
+# runs the default. See mogasr/am/gmm_pallas.py and docs/TPU_NOTES.md.
+GMM_LAYOUT = os.environ.get("MOGASR_GMM_LAYOUT", "chunked")
 
 
 def main() -> None:
@@ -76,7 +81,9 @@ def main() -> None:
 
         def run(waves, num_samples, fe):
             feats, n_frames = fe(waves, num_samples)
-            ll = gmm_loglik_batched(feats, gmm, compute_dtype=compute_dtype)
+            ll = gmm_loglik_batched(
+                feats, gmm, compute_dtype=compute_dtype, layout=GMM_LAYOUT
+            )
             res = vit.viterbi(
                 ll, graphs, n_frames, acoustic_scale=dcfg.acoustic_scale
             )

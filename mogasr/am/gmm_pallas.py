@@ -81,6 +81,42 @@ def _gmm_kernel_int8(
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
+def _gmm_kernel_wide(
+    x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision
+):
+    """Wide-dot variant: ONE [TM, r] x [r, kc*TS] MXU dot per grid step
+    (components of the state tile laid out as contiguous column groups),
+    then kc static column slices feed the same online-logsumexp epilogue.
+    Mosaic accepts contiguous 2-D slices where it rejects the
+    [TM, TS, K] reshape; numerically identical to the chunked kernel when
+    kc matches (bitwise: the MXU reduction is over r either way)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    x = x_ref[:]
+    wide = jnp.dot(x, ab_ref[0], preferred_element_type=jnp.float32, precision=precision)
+    wide = wide + c_ref[0].astype(jnp.float32)                 # [TM, kc*TS]
+    scores = [wide[:, kk * ts : (kk + 1) * ts] for kk in range(kc)]
+    cmax = scores[0]
+    for kk in range(1, kc):
+        cmax = jnp.maximum(cmax, scores[kk])
+    csum = jnp.exp(scores[0] - cmax)
+    for kk in range(1, kc):
+        csum = csum + jnp.exp(scores[kk] - cmax)
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, cmax)
+    s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + csum * jnp.exp(cmax - m_new)
+    m_scr[:] = m_new
+
+    @pl.when(k == n_kc - 1)
+    def _():
+        out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
+
+
 def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision):
     k = pl.program_id(2)
 
@@ -119,7 +155,10 @@ def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: i
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_states", "n_comp", "tile_m", "tile_s", "kc", "compute_dtype", "interpret"),
+    static_argnames=(
+        "n_states", "n_comp", "tile_m", "tile_s", "kc", "compute_dtype",
+        "interpret", "layout",
+    ),
 )
 def _gmm_loglik_pallas_impl(
     x2: jax.Array,      # [N, 2D]
@@ -132,6 +171,7 @@ def _gmm_loglik_pallas_impl(
     kc: int,
     compute_dtype: str,
     interpret: bool,
+    layout: str = "chunked",   # chunked (kc small dots) | wide (one wide dot)
 ) -> jax.Array:
     n, two_d = x2.shape
     r = _round_up(two_d, 128)
@@ -184,6 +224,32 @@ def _gmm_loglik_pallas_impl(
     x_spec = pl.BlockSpec((tile_m, r), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM)
     ab_spec = pl.BlockSpec((kc, r, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((kc, 1, tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    if layout == "wide" and dt != jnp.int8:
+        n_st = s_pad // tile_s
+        # state-tile-major column groups: tile j's kc component panels are
+        # contiguous and kk-major -> one wide dot + static slices in-kernel
+        ab_wide = (
+            abp.reshape(n_kc, kc, r, n_st, tile_s)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(n_kc, r, n_st * kc * tile_s)
+        )
+        c_wide = (
+            cp.reshape(n_kc, kc, 1, n_st, tile_s)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(n_kc, 1, n_st * kc * tile_s)
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _gmm_kernel_wide, kc=kc, n_kc=n_kc, ts=tile_s, precision=precision
+            ),
+            in_specs=[
+                x_spec,
+                pl.BlockSpec((1, r, kc * tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, kc * tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(x2p, ab_wide, c_wide)
+        return out[:n, :n_states]
     if dt == jnp.int8:
         sx_spec = pl.BlockSpec((tile_m, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -216,11 +282,14 @@ def gmm_loglik_pallas(
     kc: int = 16,
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
+    layout: str = "chunked",
 ) -> jax.Array:
     """score(features) -> loglik: [N, D] x GmmSet -> [N, S].
 
     Drop-in replacement for mogasr.am.gmm.gmm_loglik; runs the fused Pallas
-    kernel on TPU, interpreter mode elsewhere (tests).
+    kernel on TPU, interpreter mode elsewhere (tests). layout="wide" issues
+    one [TM, r] x [r, kc*TS] dot per grid step instead of kc small dots
+    (bitwise-identical results at equal kc; A/B-able through bench.py).
     """
     S, K, D = gmm.means.shape
     kc = min(kc, K)
@@ -229,7 +298,8 @@ def gmm_loglik_pallas(
     ab_t, c_t = transposed_natural_params(gmm)
     x2 = quadratic_features(x)
     return _gmm_loglik_pallas_impl(
-        x2, ab_t, c_t, S, K, tile_m, tile_s, kc, compute_dtype, interpret
+        x2, ab_t, c_t, S, K, tile_m, tile_s, kc, compute_dtype, interpret,
+        layout=layout,
     )
 
 

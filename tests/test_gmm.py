@@ -105,3 +105,27 @@ def test_int8_scoring_close_and_decode_safe(small_gmm, x):
     got = np.asarray(gmm_loglik_pallas(jnp.asarray(x), small_gmm, tile_m=8, compute_dtype="int8"))
     assert np.abs(got - ref).mean() < 0.2
     assert (got.argmax(1) == ref.argmax(1)).mean() > 0.9
+
+
+def test_pallas_wide_layout_matches_chunked():
+    """layout='wide' (one wide MXU dot per grid step) must reproduce the
+    chunked kernel at equal kc (bitwise on real TPU MXU — measured — and to
+    float rounding in interpreter mode, where XLA may vectorize the single
+    wide dot differently)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mogasr.am.gmm import GmmSet
+    from mogasr.am.gmm_pallas import gmm_loglik_pallas
+
+    rng = np.random.default_rng(7)
+    S, K, D = 12, 8, 6
+    g = GmmSet(
+        jnp.asarray(rng.dirichlet(np.ones(K), size=S).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((S, K, D)).astype(np.float32)),
+        jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
+    )
+    x = jnp.asarray(rng.standard_normal((40, D)).astype(np.float32))
+    a = np.asarray(gmm_loglik_pallas(x, g, tile_m=8, tile_s=8, kc=4, layout="chunked"))
+    b = np.asarray(gmm_loglik_pallas(x, g, tile_m=8, tile_s=8, kc=4, layout="wide"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
