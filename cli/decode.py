@@ -50,6 +50,12 @@ def main() -> None:
     p.add_argument("--nbest", type=int, default=0,
                    help="emit the top-N word sequences per utterance from "
                         "the lattice into --out (implies a lattice pass)")
+    p.add_argument("--arpa", help="read the second-pass rescoring LM from an "
+                                  "ARPA file instead of estimating it "
+                                  "(with --trigram-rescore)")
+    p.add_argument("--write-arpa", help="export the estimated LM (trigram if "
+                                        "--trigram-rescore, else bigram) as "
+                                        "an ARPA file")
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--beam", type=float, default=0.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
@@ -117,7 +123,16 @@ def main() -> None:
         transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
         lm = estimate_bigram(transcripts, lm_tokens)
         if args.trigram_rescore:
-            trigram = estimate_trigram(transcripts, lm_tokens)
+            if args.arpa:
+                from mogasr.lm.arpa import read_arpa_trigram
+
+                trigram = read_arpa_trigram(args.arpa, tokens=lm_tokens)
+            else:
+                trigram = estimate_trigram(transcripts, lm_tokens)
+        if args.write_arpa:
+            from mogasr.lm.arpa import write_arpa
+
+            write_arpa(args.write_arpa, trigram if trigram is not None else lm)
 
     refs, hyps, ids, nbest_lists = [], [], [], []
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate

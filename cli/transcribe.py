@@ -47,6 +47,8 @@ def main() -> None:
                    help="also emit the top-N alternative word sequences per "
                         "segment from a word lattice (uniform word LM)")
     p.add_argument("--out", help="write transcript (jsonl)")
+    p.add_argument("--ctm", help="also write a CTM file (standard scoring "
+                                 "format: utt channel start dur word conf)")
     args = p.parse_args()
 
     fcfg = FrontendConfig()
@@ -142,6 +144,15 @@ def main() -> None:
         "rtf": t.seconds / max(len(wave) / fcfg.sample_rate, 1e-9),
     })
     lines = [json.dumps(r) for r in results]
+    if args.ctm:
+        with open(args.ctm, "w") as f:
+            for r in results:
+                for w, c, (t0, t1) in zip(
+                    r["words"], r["confidences"], r["word_times"]
+                ):
+                    f.write(
+                        f"rec 1 {t0:.2f} {max(t1 - t0, 0.01):.2f} {w} {c:.3f}\n"
+                    )
     if args.out:
         with open(args.out, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -183,6 +183,31 @@ def test_decode_cli_trigram_nbest(tmp_path, monkeypatch):
         assert logps == sorted(logps, reverse=True)
 
 
+def test_decode_cli_arpa_roundtrip(tmp_path, monkeypatch):
+    """Export the trigram as ARPA, re-decode reading it back: same hyps."""
+    from cli import decode
+
+    arpa = str(tmp_path / "lm.arpa")
+    out1, out2 = str(tmp_path / "h1.jsonl"), str(tmp_path / "h2.jsonl")
+    common = ["--synthetic", "3", "--num-components", "1", "--trigram-rescore"]
+    run_cli(
+        decode,
+        common + ["--run-dir", str(tmp_path / "r1"), "--write-arpa", arpa,
+                  "--out", out1],
+        monkeypatch,
+    )
+    assert open(arpa).readline().strip() == "\\data\\"
+    run_cli(
+        decode,
+        common + ["--run-dir", str(tmp_path / "r2"), "--arpa", arpa,
+                  "--out", out2],
+        monkeypatch,
+    )
+    h1 = [json.loads(l)["hyp"] for l in open(out1)]
+    h2 = [json.loads(l)["hyp"] for l in open(out2)]
+    assert h1 == h2
+
+
 def test_eval_cli_profile_writes_trace(tmp_path, monkeypatch):
     from cli import eval as eval_cli
 
@@ -232,6 +257,26 @@ def test_transcribe_cli(tmp_path, monkeypatch):
             assert rec["start_s"] - 0.01 <= t0 <= t1 <= rec["end_s"] + 0.5
             if prev is not None:
                 assert t0 >= prev[0]  # word times are monotone
+
+
+def test_transcribe_cli_ctm(tmp_path, monkeypatch):
+    from cli import transcribe
+
+    out = str(tmp_path / "t.jsonl")
+    ctm = str(tmp_path / "t.ctm")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--out", out, "--ctm", ctm],
+        monkeypatch,
+    )
+    rows = [l.split() for l in open(ctm)]
+    n_words = sum(len(json.loads(l)["words"]) for l in open(out))
+    assert len(rows) == n_words
+    for r in rows:
+        assert len(r) == 6  # utt chan start dur word conf
+        assert float(r[3]) > 0
+        assert 0.0 <= float(r[5]) <= 1.0
 
 
 def test_transcribe_cli_nbest(tmp_path, monkeypatch):
