@@ -70,6 +70,54 @@ class LstmAm(nn.Module):
         return nn.Dense(self.n_pdfs)(x)
 
 
+class LstmAmStream(nn.Module):
+    """Chunked stateful forward of LstmAm: same parameter tree (identical
+    module construction order -> identical flax param names), but carries
+    the per-layer LSTM (c, h) states across calls, so arbitrary chunkings
+    reproduce the full-sequence LstmAm outputs EXACTLY (tested) — the
+    neural-AM leg of the online pipeline (streaming frontend ->
+    streaming scorer -> OnlineDecoder)."""
+
+    n_pdfs: int
+    hidden: int = 512
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, carries):
+        x = feats
+        new_carries = []
+        for l in range(self.layers):
+            rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
+            carry, x = rnn(x, initial_carry=carries[l], return_carry=True)
+            new_carries.append(carry)
+        return nn.Dense(self.n_pdfs)(x), new_carries
+
+
+def lstm_stream_init(model: "LstmAm", batch: int, feat_dim: int):
+    """Zero (c, h) carries for a batch of streams."""
+    cell = nn.OptimizedLSTMCell(model.hidden)
+    return [
+        cell.initialize_carry(jax.random.key(0), (batch, feat_dim))
+        for _ in range(model.layers)
+    ]
+
+
+def make_lstm_stream_step(model: "LstmAm", params, log_priors: jax.Array):
+    """Jitted (carries, feats_chunk [B, Tc, D]) -> (carries, loglik chunk).
+
+    Reuses the OFFLINE LstmAm parameters directly; the scorer applies the
+    same prior scaling as pipeline.make_nn_scorer.
+    """
+    stream = LstmAmStream(n_pdfs=model.n_pdfs, hidden=model.hidden, layers=model.layers)
+
+    @jax.jit
+    def step(carries, feats):
+        logits, new_carries = stream.apply(params, feats, carries)
+        return new_carries, posteriors_to_loglik(logits, log_priors)
+
+    return step
+
+
 class BlstmAm(nn.Module):
     """Bidirectional stacked-LSTM frame classifier (offline decoding)."""
 
