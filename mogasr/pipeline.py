@@ -783,6 +783,48 @@ def decode_with_fmllr(
     return hyps2, transforms
 
 
+# ------------------------- semi-tied covariance (MLLT) ----------------------
+
+
+def estimate_stc_batches(
+    batches: Sequence[FeatBatch],
+    gmm: GmmSet,
+    lexicon: Lexicon,
+    topo: Topology,
+    n_iters: int = 10,
+):
+    """Estimate a global semi-tied covariance transform from forced
+    alignments of the batches (mogasr.am.stc). Returns (A, vars_y,
+    gmm_y, transform_batches) where gmm_y scores the A-transformed
+    features and transform_batches maps FeatBatches into that space —
+    the standard recipe insert between ML-EM passes.
+    """
+    from mogasr.am import stc as st
+    from mogasr.am.fmllr import apply_fmllr
+
+    stats = None
+    for fb in batches:
+        _res, labels, _ = align_batch(fb, gmm, lexicon, topo)
+        D = fb.feats.shape[-1]
+        s = st.accumulate_stc_stats(
+            gmm, fb.feats.reshape(-1, D), labels.reshape(-1)
+        )
+        stats = s if stats is None else st.StcStats(
+            stats.occ + s.occ, stats.scatter + s.scatter
+        )
+    A, vars_y = st.solve_stc(gmm, stats, n_iters=n_iters)
+    gmm_y = st.apply_stc(gmm, A, vars_y)
+    W = st.stc_feature_transform(A)
+
+    def transform_batches(bs: Sequence[FeatBatch]) -> List[FeatBatch]:
+        return [
+            FeatBatch(fb.utt_ids, apply_fmllr(fb.feats, W), fb.n_frames, fb.words)
+            for fb in bs
+        ]
+
+    return A, vars_y, gmm_y, transform_batches
+
+
 # ----------------------------- VTLN two-pass decode -------------------------
 
 
