@@ -35,6 +35,11 @@ def main() -> None:
     p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm", "blstm", "tdnn"],
                    help="acoustic model: GMM or a trained neural classifier")
     p.add_argument("--nn-ckpt", help="orbax NN checkpoint dir (from train_nn)")
+    p.add_argument("--ctc", action="store_true",
+                   help="the NN checkpoint is a CTC model (train_nn "
+                        "--objective ctc): posterior scoring over phones+blank, "
+                        "CTC-topology decode graph (word mode) or greedy "
+                        "best-path phone decode (phone mode)")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
@@ -92,20 +97,39 @@ def main() -> None:
             raise SystemExit("--nn-ckpt is required with --am mlp/lstm")
         tcfg = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
-        model = build_model(args.am, topo.n_pdfs, tcfg)
-        template = {
-            "params": init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(0)).params,
-            "log_priors": jnp.zeros(topo.n_pdfs),
-        }
-        ck = restore_checkpoint(args.nn_ckpt, template)
-        scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
+        if args.ctc:
+            from mogasr.am.ctc import make_ctc_scorer
+
+            model = build_model(args.am, lex.n_phones + 1, tcfg)
+            template = {
+                "params": init_train_state(model, tcfg, fcfg.feat_dim,
+                                           jax.random.key(0)).params,
+            }
+            ck = restore_checkpoint(args.nn_ckpt, template)
+            scorer = make_ctc_scorer(model, ck["params"])
+        else:
+            model = build_model(args.am, topo.n_pdfs, tcfg)
+            template = {
+                "params": init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(0)).params,
+                "log_priors": jnp.zeros(topo.n_pdfs),
+            }
+            ck = restore_checkpoint(args.nn_ckpt, template)
+            scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
         gmm = None
 
     needs_lattice = args.trigram_rescore or args.nbest > 0
     if (needs_lattice or args.multi_pron) and args.mode != "word":
         raise SystemExit("--multi-pron/--trigram-rescore/--nbest require --mode word")
+    if args.ctc and (args.am == "gmm" or args.multi_pron):
+        raise SystemExit("--ctc requires a neural --am and no --multi-pron")
     pron_logp = None
-    if args.mode == "word" and args.multi_pron:
+    if args.ctc:
+        from mogasr.am.ctc import ctc_decode_graph
+
+        # word mode: CTC-topology word loop through the shared Viterbi;
+        # phone mode uses greedy best-path (no graph needed)
+        graph = ctc_decode_graph(lex, dcfg) if args.mode == "word" else None
+    elif args.mode == "word" and args.multi_pron:
         from mogasr.pipeline import word_decode_graph_multi
 
         graph, pron_logp = word_decode_graph_multi(lex, topo, dcfg)
@@ -167,6 +191,13 @@ def main() -> None:
                 )
                 toks = path_to_tokens_lm(res, graph)
                 out = [[w for w in h if w not in ("<sil>", "sil")] for h in toks]
+            elif args.ctc and args.mode == "phone":
+                from mogasr.am.ctc import ctc_greedy_decode
+
+                out = [
+                    [lex.phones[u] for u in seq]
+                    for seq in ctc_greedy_decode(scores, fb.n_frames)
+                ]
             else:
                 out = decode_batch(fb, scores, graph, dcfg)
             for b in range(fb.size):

@@ -1,7 +1,11 @@
 """config[3] training: neural frame classifier (MLP/LSTM) on GMM alignments.
 
 Bootstrap labels come from forced alignment with a trained (or flat-start)
-GMM; training is CE + AdamW (SURVEY.md §3.4)."""
+GMM; training is CE + AdamW (SURVEY.md §3.4).
+
+--objective ctc trains the same architectures ALIGNMENT-FREE with CTC
+(mogasr.am.ctc): no GMM bootstrap, targets are the transcript phone
+sequences; decode with ``cli/decode.py --ctc``."""
 
 from __future__ import annotations
 
@@ -36,6 +40,9 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--spec-augment", action="store_true",
                    help="SpecAugment time/feature masking during training")
+    p.add_argument("--objective", default="ce", choices=["ce", "ctc"],
+                   help="ce: frame CE on GMM forced alignments; "
+                        "ctc: alignment-free CTC on transcript phone targets")
     p.add_argument("--bootstrap-iters", type=int, default=6,
                    help="EM iterations for the GMM that produces labels")
     p.add_argument("--bootstrap-components", type=int, default=4)
@@ -54,6 +61,27 @@ def main() -> None:
     topo = build_topology(lex, TopologyConfig())
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
+
+    if args.objective == "ctc":
+        import jax.numpy as jnp
+
+        from mogasr.pipeline import train_ctc
+
+        tcfg = TrainConfig(
+            nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
+            lr=args.lr, num_nn_steps=args.steps,
+        )
+        with Timer() as t:
+            model, params = train_ctc(
+                batches, lex, tcfg, arch=args.arch,
+                spec_augment=args.spec_augment, logger=logger,
+            )
+        logger.log({"stage": "train_ctc_done", "steps": args.steps,
+                    "wall_sec": t.seconds})
+        ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_ctc_{args.arch}")
+        save_checkpoint(ckpt, {"params": params}, step=args.steps)
+        print(f"saved CTC {args.arch} AM to {ckpt}")
+        return
 
     # GMM bootstrap for alignment labels (stack 3.3)
     gcfg = GmmConfig(

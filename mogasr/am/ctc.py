@@ -1,0 +1,439 @@
+"""Connectionist Temporal Classification: alignment-free training + decoding.
+
+Capability beyond the attested inventory (SURVEY.md §0: reference unreadable;
+BASELINE.json attests a hybrid NN-HMM frame classifier, configs[3]): CTC
+removes the GMM forced-alignment bootstrap entirely — the network trains
+directly on (features, phone sequence) pairs.
+
+TPU-native shape of the implementation:
+
+- The CTC forward recursion is a ``lax.scan`` over frames on the
+  blank-interleaved label sequence z (S = 2L+1 states), exactly the same
+  batched [B, S] log-semiring vector-op structure as
+  :mod:`mogasr.decoder.forward_backward` — no data-dependent shapes, padding
+  frozen out the same way (padded frames carry alpha forward unchanged).
+- Written from first principles; ``tests/test_ctc.py`` cross-checks values
+  AND gradients against ``optax.ctc_loss`` as an independent oracle.
+- Lexicon/LM-constrained CTC decoding reuses the existing chain+loop decode
+  graphs (:mod:`mogasr.hmm.graph`) with the CTC topology expressed as
+  optional-blank states and ``skip_logp`` (j-2 -> j) transitions, so the
+  same jitted Viterbi kernel serves GMM-HMM, hybrid NN-HMM and CTC decoding.
+
+Blank convention: blank is the LAST vocabulary index (V-1), so CTC unit ids
+0..n_phones-1 coincide with lexicon phone ids.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mogasr.config import DecodeConfig, TrainConfig
+from mogasr.hmm import graph as gr
+from mogasr.hmm.lexicon import Lexicon
+
+NEG_INF = -1e30
+
+
+# --------------------------------------------------------------------------
+# Loss
+# --------------------------------------------------------------------------
+
+
+def ctc_expand(
+    labels: jax.Array,    # [B, L] unit ids, -1 padding
+    n_labels: jax.Array,  # [B]
+    blank_id: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Blank-interleave labels: z = (b, y1, b, y2, ..., yL, b), S = 2L+1.
+
+    Returns (z [B, S], skip_ok [B, S] bool, valid_s [B, S] bool) where
+    skip_ok[s] marks states reachable by the s-2 -> s CTC skip (label states
+    whose previous label differs) and valid_s masks states beyond each
+    utterance's own 2*n_labels+1.
+    """
+    B, L = labels.shape
+    S = 2 * L + 1
+    safe = jnp.maximum(labels, 0)
+    z = jnp.full((B, S), blank_id, jnp.int32)
+    z = z.at[:, 1::2].set(safe.astype(jnp.int32))
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    valid_s = s_idx[None, :] < (2 * n_labels[:, None] + 1)
+    zm2 = jnp.concatenate([jnp.full((B, 2), -1, jnp.int32), z[:, :-2]], axis=1)
+    is_label = (s_idx % 2 == 1)[None, :]
+    skip_ok = is_label & (s_idx[None, :] >= 2) & (z != zm2) & valid_s
+    return z, skip_ok, valid_s
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id",))
+def ctc_loss(
+    logits: jax.Array,    # [B, T, V] raw scores (softmax applied here)
+    n_frames: jax.Array,  # [B]
+    labels: jax.Array,    # [B, L] unit ids, -1 padding
+    n_labels: jax.Array,  # [B]
+    blank_id: Optional[int] = None,
+) -> jax.Array:
+    """Per-utterance CTC negative log-likelihood -log p(y|x), shape [B].
+
+    Standard alpha recursion over the blank-interleaved sequence
+    (Graves et al. 2006) in the log semiring; frames beyond n_frames are
+    frozen (carry alpha unchanged) so padding never contributes.
+    """
+    B, T, V = logits.shape
+    bid = V - 1 if blank_id is None else blank_id
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    z, skip_ok, valid_s = ctc_expand(labels, n_labels, bid)
+    S = z.shape[1]
+
+    # one up-front gather of per-frame label scores (viterbi.py pattern)
+    lp_z = jnp.take_along_axis(logp, z[:, None, :], axis=2)  # [B, T, S]
+    lp_tm = jnp.transpose(lp_z, (1, 0, 2))                   # [T, B, S]
+
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    init_ok = (s_idx[None, :] == 0) | (
+        (s_idx[None, :] == 1) & (n_labels[:, None] >= 1)
+    )
+    alpha0 = jnp.where(init_ok, lp_tm[0], NEG_INF)
+
+    def step(alpha, inputs):
+        lp_t, t = inputs
+        a1 = jnp.concatenate([jnp.full((B, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        a2 = jnp.concatenate([jnp.full((B, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        a2 = jnp.where(skip_ok, a2, NEG_INF)
+        new = jnp.logaddexp(jnp.logaddexp(alpha, a1), a2) + lp_t
+        new = jnp.where(valid_s, new, NEG_INF)
+        active = (t < n_frames)[:, None]
+        return jnp.where(active, new, alpha), None
+
+    ts = jnp.arange(1, T)
+    alpha_T, _ = jax.lax.scan(step, alpha0, (lp_tm[1:], ts), unroll=4)
+
+    last = 2 * n_labels  # final blank state index
+    a_blank = jnp.take_along_axis(alpha_T, last[:, None], axis=1)[:, 0]
+    a_label = jnp.take_along_axis(
+        alpha_T, jnp.maximum(last - 1, 0)[:, None], axis=1
+    )[:, 0]
+    a_label = jnp.where(n_labels > 0, a_label, NEG_INF)
+    return -jnp.logaddexp(a_blank, a_label)
+
+
+def ctc_loss_optax_oracle(logits, n_frames, labels, n_labels, blank_id):
+    """Independent oracle via optax.ctc_loss (test use only).
+
+    optax expresses padding as 1.0-masks instead of lengths and takes the
+    same blank_id; this adapter converts our (lengths, -1-padded) convention.
+    """
+    B, T, V = logits.shape
+    logit_pad = (jnp.arange(T)[None, :] >= n_frames[:, None]).astype(jnp.float32)
+    label_pad = (
+        jnp.arange(labels.shape[1])[None, :] >= n_labels[:, None]
+    ).astype(jnp.float32)
+    return optax.ctc_loss(
+        logits, logit_pad, jnp.maximum(labels, 0), label_pad, blank_id=blank_id
+    )
+
+
+# --------------------------------------------------------------------------
+# Training
+# --------------------------------------------------------------------------
+
+
+class CtcTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_ctc_train_step(
+    model,
+    cfg: TrainConfig,
+    blank_id: Optional[int] = None,
+    spec_augment: bool = False,
+):
+    """Jitted (state, feats, n_frames, labels, n_labels) -> (state, metrics).
+
+    Same optimizer recipe as the CE loop (mogasr.am.train_nn.make_optimizer);
+    loss is mean per-utterance CTC NLL normalized by label count (stable
+    across utterance-length mixes).
+    """
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    if spec_augment:
+        from mogasr.am.neural import spec_augment as _sa
+
+    @jax.jit
+    def train_step(state, feats, n_frames, labels, n_labels):
+        if spec_augment:
+            key = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+            feats_in = _sa(feats, n_frames, key)
+        else:
+            feats_in = feats
+
+        def loss_fn(params):
+            logits = model.apply(params, feats_in, n_frames)
+            nll = ctc_loss(logits, n_frames, labels, n_labels, blank_id)
+            # padded batch rows (no frames / no labels) must not contribute
+            valid = (n_frames > 0) & (n_labels > 0)
+            nv = jnp.maximum(jnp.sum(valid), 1)
+            per_label = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
+            mean_nll = jnp.sum(jnp.where(valid, nll, 0.0)) / nv
+            return jnp.sum(per_label) / nv, mean_nll
+
+        (loss, mean_nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return CtcTrainState(params, opt_state, state.step + 1), {
+            "loss": loss,
+            "utt_nll": mean_nll,
+        }
+
+    return train_step
+
+
+def init_ctc_train_state(model, cfg: TrainConfig, feat_dim: int, key) -> CtcTrainState:
+    from mogasr.am.train_nn import make_optimizer
+
+    dummy = jnp.zeros((2, 8, feat_dim), jnp.float32)
+    params = model.init(key, dummy, jnp.asarray([8, 8]))
+    opt = make_optimizer(cfg)
+    return CtcTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+
+def ctc_labels_from_words(
+    lexicon: Lexicon, words: Sequence[str], include_sil: bool = False
+) -> List[int]:
+    """Phone-id target sequence for CTC training (no alignment needed).
+
+    include_sil=False (default): blank absorbs silence; the target is the
+    bare phone sequence of the words.
+    """
+    return lexicon.words_to_phone_ids(
+        words, interword_sil=include_sil, edge_sil=include_sil
+    )
+
+
+def pack_label_batch(
+    seqs: Sequence[Sequence[int]], pad_to: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """List of id sequences -> (labels [B, L] padded with -1, n_labels [B])."""
+    n = np.asarray([len(s) for s in seqs], np.int32)
+    L = int(pad_to) if pad_to is not None else max(int(n.max()), 1)
+    out = np.full((len(seqs), L), -1, np.int32)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out, n
+
+
+# --------------------------------------------------------------------------
+# Decoding
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id",))
+def _greedy_frames(logits, blank_id):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def collapse_ctc(frames: Sequence[int], blank_id: int) -> List[int]:
+    """Collapse repeats then drop blanks (host-side, tiny)."""
+    out: List[int] = []
+    prev = -1
+    for f in frames:
+        if f != prev and f != blank_id:
+            out.append(int(f))
+        prev = f
+    return out
+
+
+def ctc_greedy_decode(
+    logits: jax.Array,    # [B, T, V]
+    n_frames: jax.Array,  # [B]
+    blank_id: Optional[int] = None,
+) -> List[List[int]]:
+    """Best-path decode: per-frame argmax -> collapse repeats -> drop blank."""
+    V = logits.shape[-1]
+    bid = V - 1 if blank_id is None else blank_id
+    frames = np.asarray(_greedy_frames(logits, bid))
+    nf = np.asarray(n_frames)
+    return [collapse_ctc(frames[b, : nf[b]], bid) for b in range(frames.shape[0])]
+
+
+def ctc_prefix_beam_decode(
+    logp: np.ndarray,  # [T, V] log posteriors of ONE utterance (valid frames)
+    beam_size: int = 8,
+    blank_id: Optional[int] = None,
+    ext_score: Optional[Callable[[Tuple[int, ...], int], float]] = None,
+    ext_weight: float = 1.0,
+    prune_logp: float = -12.0,
+) -> List[Tuple[float, List[int]]]:
+    """Prefix beam search (Hannun et al. 2014) over CTC posteriors.
+
+    Host-side by design: the beam's hypothesis set is a data-dependent dict —
+    exactly what XLA is bad at — while all the FLOPs (the network forward)
+    stay on device. ext_score(prefix, unit) adds shallow-fusion LM scores.
+
+    Returns the beam as [(total_logp, unit_seq)] best-first.
+    """
+    T, V = logp.shape
+    bid = V - 1 if blank_id is None else blank_id
+    # beams: prefix -> (p_blank, p_nonblank) log-probs of ending in blank / label
+    beams: Dict[Tuple[int, ...], Tuple[float, float]] = {(): (0.0, NEG_INF)}
+
+    def lse(a: float, b: float) -> float:
+        return float(np.logaddexp(a, b))
+
+    for t in range(T):
+        frame = logp[t]
+        # candidate units worth extending with this frame
+        units = np.nonzero(frame > frame.max() + prune_logp)[0]
+        new: Dict[Tuple[int, ...], Tuple[float, float]] = {}
+
+        def add(prefix, pb, pnb):
+            opb, opnb = new.get(prefix, (NEG_INF, NEG_INF))
+            new[prefix] = (lse(opb, pb), lse(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            ptot = lse(pb, pnb)
+            for u in units:
+                lp = float(frame[u])
+                if u == bid:
+                    add(prefix, ptot + lp, NEG_INF)
+                    continue
+                last = prefix[-1] if prefix else -1
+                if u == last:
+                    # same unit: staying in the label extends p_nb of the SAME
+                    # prefix; a new occurrence needs a blank in between (p_b)
+                    add(prefix, NEG_INF, pnb + lp)
+                    ext = prefix + (int(u),)
+                    s = pb + lp
+                    if ext_score is not None:
+                        s += ext_weight * ext_score(prefix, int(u))
+                    add(ext, NEG_INF, s)
+                else:
+                    ext = prefix + (int(u),)
+                    s = ptot + lp
+                    if ext_score is not None:
+                        s += ext_weight * ext_score(prefix, int(u))
+                    add(ext, NEG_INF, s)
+        beams = dict(
+            sorted(new.items(), key=lambda kv: -lse(*kv[1]))[:beam_size]
+        )
+    ranked = sorted(
+        ((lse(pb, pnb), list(prefix)) for prefix, (pb, pnb) in beams.items()),
+        key=lambda x: -x[0],
+    )
+    return ranked
+
+
+# --------------------------------------------------------------------------
+# Lexicon/LM-constrained graph decoding (reuses the chain+loop Viterbi)
+# --------------------------------------------------------------------------
+
+
+def ctc_token_chain(
+    phone_ids: Sequence[int], blank_id: int
+) -> Tuple[List[int], List[float], List[bool], List[bool]]:
+    """CTC topology for one token: states (b0, y1, b1, ..., yn, bn).
+
+    Returns (emit_ids, skip_logp, is_entry, is_exit) per state. All CTC
+    transitions are unweighted (mass lives in the emission posteriors);
+    skip j-2 -> j is open where consecutive labels differ (blank optional).
+    Entry at b0 or y1; exit from yn or bn.
+    """
+    emit: List[int] = []
+    skip: List[float] = []
+    entry: List[bool] = []
+    exits: List[bool] = []
+    n = len(phone_ids)
+    for k, p in enumerate(phone_ids):
+        # leading blank before label k
+        emit.append(blank_id)
+        skip.append(float(NEG_INF))
+        entry.append(k == 0)
+        exits.append(False)
+        # label state
+        emit.append(int(p))
+        skip.append(
+            0.0 if (k > 0 and phone_ids[k] != phone_ids[k - 1]) else float(NEG_INF)
+        )
+        entry.append(k == 0)
+        exits.append(k == n - 1)
+    # trailing blank
+    emit.append(blank_id)
+    skip.append(float(NEG_INF))
+    entry.append(False)
+    exits.append(True)
+    return emit, skip, entry, exits
+
+
+def ctc_decode_graph(
+    lexicon: Lexicon,
+    dcfg: DecodeConfig,
+    word_logp: Optional[np.ndarray] = None,
+    blank_id: Optional[int] = None,
+) -> gr.Graph:
+    """Word-loop decode graph over CTC units (phones + blank).
+
+    Same Graph struct the GMM/hybrid decoders consume, plus ``skip_logp``
+    for the optional-blank skips; chain labels are words, emissions index
+    the CTC softmax (blank = n_phones by convention).
+
+    Approximation shared with compact CTC decoders (EESEN-style): a word
+    boundary may omit the blank, so two adjacent identical phones across a
+    boundary are not forced to merge — standard and tested to be benign.
+    """
+    bid = lexicon.n_phones if blank_id is None else blank_id
+    words = list(lexicon.words)
+    if word_logp is None:
+        word_logp = np.full(len(words), -np.log(max(len(words), 1)), np.float32)
+    emit, selfp, advp, enterp, exitp, skipp, chain = [], [], [], [], [], [], []
+    labels: List[str] = []
+    for ci, w in enumerate(words):
+        labels.append(w)
+        e, sk, en, ex = ctc_token_chain(lexicon.word_phone_ids(w), bid)
+        base = float(word_logp[ci]) - dcfg.word_insertion_penalty
+        for k in range(len(e)):
+            emit.append(e[k])
+            selfp.append(0.0)
+            advp.append(float(NEG_INF) if k == 0 else 0.0)
+            enterp.append(base if en[k] else float(NEG_INF))
+            exitp.append(0.0 if ex[k] else float(NEG_INF))
+            skipp.append(sk[k])
+            chain.append(ci)
+    j = len(emit)
+    enter = np.asarray(enterp, np.float32)
+    exit_ = np.asarray(exitp, np.float32)
+    return gr.Graph(
+        emit_id=np.asarray(emit, np.int32),
+        self_logp=np.asarray(selfp, np.float32),
+        adv_logp=np.asarray(advp, np.float32),
+        enter_logp=enter,
+        exit_logp=exit_,
+        init_logp=enter.copy(),
+        final_logp=exit_.copy(),
+        chain_id=np.asarray(chain, np.int32),
+        labels=labels,
+        skip_logp=np.asarray(skipp, np.float32),
+    )
+
+
+def make_ctc_scorer(model, params):
+    """``fb -> [B, T, V]`` log-posterior scorer for graph decoding.
+
+    CTC emissions are already normalized posteriors — decode with
+    acoustic_scale=1.0 (the hybrid prior division does not apply).
+    """
+
+    @jax.jit
+    def score(feats, n_frames):
+        return jax.nn.log_softmax(model.apply(params, feats, n_frames), axis=-1)
+
+    return lambda fb: score(fb.feats, fb.n_frames)

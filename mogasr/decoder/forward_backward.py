@@ -44,6 +44,8 @@ def forward_backward(
     adv_logp = graphs["adv_logp"]
     enter_logp = graphs["enter_logp"]
     exit_logp = graphs["exit_logp"]
+    # optional (j-2 -> j) skip transitions (CTC optional-blank topology)
+    skip_logp = graphs.get("skip_logp")
     J = emit_id.shape[1]
 
     # One up-front gather to graph-state emissions (see viterbi.py).
@@ -63,7 +65,14 @@ def forward_backward(
             [jnp.full((B, 1), NEG_INF), alpha[:, :-1] + adv_logp[:, 1:]], axis=1
         )
         ent = exit_lse[:, None] + enter_logp
-        new_alpha = _lse(_lse(stay, adv), ent) + emit_t
+        new_alpha = _lse(_lse(stay, adv), ent)
+        if skip_logp is not None:
+            skp = jnp.concatenate(
+                [jnp.full((B, 2), NEG_INF), alpha[:, :-2] + skip_logp[:, 2:]],
+                axis=1,
+            )
+            new_alpha = _lse(new_alpha, skp)
+        new_alpha = new_alpha + emit_t
         active = (t < n_frames)[:, None]
         alpha_out = jnp.where(active, new_alpha, alpha)
         return alpha_out, jnp.where(active, new_alpha, NEG_INF)
@@ -90,6 +99,11 @@ def forward_backward(
         )
         ext = exit_logp + enter_lse[:, None]
         new_beta = _lse(_lse(stay, adv), ext)
+        if skip_logp is not None:
+            skb = jnp.concatenate(
+                [skip_logp[:, 2:] + eb[:, 2:], jnp.full((B, 2), NEG_INF)], axis=1
+            )
+            new_beta = _lse(new_beta, skb)
         # frame t+1 is beyond this utterance -> keep beta frozen at final_logp
         active = (t + 1 < n_frames)[:, None]
         beta_out = jnp.where(active, new_beta, beta)

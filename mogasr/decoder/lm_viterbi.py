@@ -63,6 +63,7 @@ def _viterbi_lm_impl(
     pair_logp, lm_init, lm_final,
     acoustic_scale, insertion_penalty,
     with_lattice: bool = False,
+    skip_logp=None,  # optional [J]: (j-2 -> j) skips (CTC topology)
 ):
     B, T, P = emit_ll.shape
     J = emit_id.shape[0]
@@ -103,6 +104,11 @@ def _viterbi_lm_impl(
             [jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1
         )
 
+    def shift2(x, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 2), fill, x.dtype), x[:, :-2]], axis=1
+        )
+
     def step(carry, inputs):
         delta, ent_t, ent_base = carry
         emit_t, t = inputs
@@ -124,6 +130,13 @@ def _viterbi_lm_impl(
         bp = jnp.where(
             best == ent, jnp.uint8(2), jnp.where(best == adv, jnp.uint8(1), jnp.uint8(0))
         )
+        if skip_logp is not None:
+            skp = jnp.concatenate(
+                [jnp.full((B, 2), NEG_INF), delta[:, :-2] + skip_logp[2:][None, :]],
+                axis=1,
+            )
+            bp = jnp.where(skp > best, jnp.uint8(3), bp)
+            best = jnp.maximum(best, skp)
         bp = jnp.where(best == stay, jnp.uint8(0), bp)
         new_delta = best + emit_t
 
@@ -136,11 +149,13 @@ def _viterbi_lm_impl(
 
         ent_t_new = jnp.where(
             bp == 2, t.astype(jnp.int32),
-            jnp.where(bp == 1, shift1(ent_t, 0), ent_t),
+            jnp.where(bp == 1, shift1(ent_t, 0),
+                      jnp.where(bp == 3, shift2(ent_t, 0), ent_t)),
         )
         ent_base_new = jnp.where(
             bp == 2, ent_word[:, word_of_state],
-            jnp.where(bp == 1, shift1(ent_base, NEG_INF), ent_base),
+            jnp.where(bp == 1, shift1(ent_base, NEG_INF),
+                      jnp.where(bp == 3, shift2(ent_base, NEG_INF), ent_base)),
         )
         ent_t_new = jnp.where(active, ent_t_new, ent_t)
         ent_base_new = jnp.where(active, ent_base_new, ent_base)
@@ -178,7 +193,10 @@ def _viterbi_lm_impl(
         w_prev = jnp.take_along_axis(prevw_t, cur_word[:, None], axis=1)[:, 0]
         c_prev = jnp.take_along_axis(warg_t, w_prev[:, None], axis=1)[:, 0]
         j_ent = jnp.take_along_axis(exit_t, c_prev[:, None], axis=1)[:, 0]
-        j_prev = jnp.where(b == 0, j, jnp.where(b == 1, j - 1, j_ent))
+        j_prev = jnp.where(
+            b == 0, j,
+            jnp.where(b == 1, j - 1, jnp.where(b == 3, j - 2, j_ent)),
+        )
         return j_prev, (j, b == 2)
 
     j0, (path_rev, entered_rev) = jax.lax.scan(
@@ -243,6 +261,7 @@ def viterbi_lm(
         acoustic_scale,
         insertion_penalty,
         with_lattice=with_lattice,
+        skip_logp=None if graph.skip_logp is None else jnp.asarray(graph.skip_logp),
     )
 
 

@@ -47,6 +47,8 @@ def viterbi(
     adv_logp = graphs["adv_logp"]
     enter_logp = graphs["enter_logp"]
     exit_logp = graphs["exit_logp"]
+    # optional (j-2 -> j) skip transitions (CTC optional-blank topology)
+    skip_logp = graphs.get("skip_logp")
     J = emit_id.shape[1]
 
     # Pre-gather emissions for every (frame, graph-state) in ONE gather —
@@ -75,6 +77,13 @@ def viterbi(
         bp = jnp.where(
             best == ent, jnp.uint8(2), jnp.where(best == adv, jnp.uint8(1), jnp.uint8(0))
         )
+        if skip_logp is not None:
+            skip = jnp.concatenate(
+                [jnp.full((B, 2), NEG_INF), delta[:, :-2] + skip_logp[:, 2:]],
+                axis=1,
+            )
+            bp = jnp.where(skip > best, jnp.uint8(3), bp)
+            best = jnp.maximum(best, skip)
         # prefer stay on ties (bp computed above prefers enter then adv; make
         # stay win exact ties for deterministic alignments)
         bp = jnp.where(best == stay, jnp.uint8(0), bp)
@@ -107,7 +116,7 @@ def viterbi(
         bp_t, exit_t = inputs
         b = jnp.take_along_axis(bp_t, j[:, None], axis=1)[:, 0]  # [B]
         j_prev = jnp.where(
-            b == 0, j, jnp.where(b == 1, j - 1, exit_t)
+            b == 0, j, jnp.where(b == 1, j - 1, jnp.where(b == 3, j - 2, exit_t))
         )
         return j_prev, (j, b == 2)
 

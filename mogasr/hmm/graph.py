@@ -41,6 +41,8 @@ class Graph:
     final_logp: [J] end-of-utterance weights
     chain_id:   [J] which token each state belongs to
     labels:     token label per chain (phone or word string)
+    skip_logp:  optional [J] log-prob of the (j-2 -> j) within-chain skip
+                (CTC optional-blank topology; None for HMM chain graphs)
     """
 
     emit_id: np.ndarray
@@ -52,6 +54,7 @@ class Graph:
     final_logp: np.ndarray
     chain_id: np.ndarray
     labels: List[str]
+    skip_logp: Optional[np.ndarray] = None
 
     @property
     def n_states(self) -> int:
@@ -76,6 +79,7 @@ class Graph:
             final_logp=padf(self.final_logp, NEG_INF),
             chain_id=padf(self.chain_id, -1),
             labels=self.labels,
+            skip_logp=None if self.skip_logp is None else padf(self.skip_logp, NEG_INF),
         )
 
 
@@ -170,7 +174,15 @@ def batch_graphs(graphs: Sequence[Graph], j_max: Optional[int] = None) -> dict:
     """Stack per-utterance graphs into [B, J_max] device-ready arrays."""
     jm = j_max if j_max is not None else max(g.n_states for g in graphs)
     padded = [g.pad_to(jm) for g in graphs]
+    out = {}
+    if any(g.skip_logp is not None for g in padded):
+        out["skip_logp"] = np.stack([
+            g.skip_logp if g.skip_logp is not None
+            else np.full(jm, NEG_INF, np.float32)
+            for g in padded
+        ])
     return {
+        **out,
         "emit_id": np.stack([g.emit_id for g in padded]),
         "self_logp": np.stack([g.self_logp for g in padded]),
         "adv_logp": np.stack([g.adv_logp for g in padded]),

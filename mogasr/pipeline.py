@@ -537,6 +537,65 @@ def make_nn_scorer(model, params, log_priors: jax.Array):
     return lambda fb: score(fb.feats, fb.n_frames)
 
 
+def make_ctc_scorer(model, params):
+    """Re-export of mogasr.am.ctc.make_ctc_scorer for pipeline users."""
+    from mogasr.am.ctc import make_ctc_scorer as _m
+
+    return _m(model, params)
+
+
+def train_ctc(
+    batches: Sequence[FeatBatch],
+    lexicon: Lexicon,
+    tcfg: TrainConfig,
+    arch: str = "mlp",
+    steps: Optional[int] = None,
+    spec_augment: bool = False,
+    include_sil: bool = False,
+    logger=None,
+):
+    """Alignment-free CTC training: (features, phone sequence) pairs only.
+
+    No GMM bootstrap, no forced alignment — the capability the hybrid CE
+    path cannot offer. Vocabulary is lexicon phones + blank (last index).
+    Returns (model, params); decode via mogasr.am.ctc.ctc_decode_graph +
+    the shared Viterbi (plain or LM), or greedy/prefix-beam phone decode.
+    """
+    from mogasr.am import ctc as C
+    from mogasr.am.neural import build_model
+
+    V = lexicon.n_phones + 1
+    model = build_model(arch, V, tcfg)
+    state = C.init_ctc_train_state(
+        model, tcfg, batches[0].feats.shape[-1], jax.random.key(tcfg.seed)
+    )
+    step_fn = C.make_ctc_train_step(model, tcfg, spec_augment=spec_augment)
+
+    seqs_all = [
+        [C.ctc_labels_from_words(lexicon, fb.words[b], include_sil) for b in range(fb.size)]
+        for fb in batches
+    ]
+    l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)
+    labeled = []
+    for fb, seqs in zip(batches, seqs_all):
+        rows = int(fb.feats.shape[0])
+        seqs = seqs + [[] for _ in range(rows - fb.size)]
+        labels, n_labels = C.pack_label_batch(seqs, pad_to=l_max)
+        labeled.append((fb, jnp.asarray(labels), jnp.asarray(n_labels)))
+
+    total = steps if steps is not None else tcfg.num_nn_steps
+    i, m = 0, {"loss": jnp.asarray(0.0)}
+    while i < total:
+        for fb, labels, n_labels in labeled:
+            state, m = step_fn(state, fb.feats, fb.n_frames, labels, n_labels)
+            i += 1
+            if logger is not None and i % 50 == 0:
+                logger.log({"stage": "train_ctc", "step": i, "loss": float(m["loss"])})
+            if i >= total:
+                break
+    return model, state.params
+
+
 def evaluate(
     batches: Sequence[FeatBatch],
     gmm: Optional[GmmSet],
@@ -544,13 +603,16 @@ def evaluate(
     topo: Topology,
     dcfg: DecodeConfig,
     scorer=None,
+    graph: Optional[gr.Graph] = None,
 ) -> Dict[str, float]:
     """Full decode + WER over featurized batches (single-chip path).
 
     scorer: optional ``fb -> [B, T, n_pdfs]`` override (e.g. make_nn_scorer);
-    defaults to the GMM scorer.
+    defaults to the GMM scorer. graph: optional decode-graph override (e.g.
+    a CTC graph from mogasr.am.ctc.ctc_decode_graph).
     """
-    graph = word_decode_graph(lexicon, topo, dcfg)
+    if graph is None:
+        graph = word_decode_graph(lexicon, topo, dcfg)
     refs, hyps = [], []
     for fb in batches:
         scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)

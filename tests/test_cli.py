@@ -236,6 +236,43 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
 
 
+def test_train_ctc_then_ctc_decode_cli(tmp_path, monkeypatch):
+    """Alignment-free path: train_nn --objective ctc (no GMM bootstrap) ->
+    decode --ctc in word mode (CTC graph) and phone mode (greedy)."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "10",
+         "--objective", "ctc"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any(m.get("stage") == "train_ctc_done" for m in metrics)
+
+    ckpt = str(tmp_path / "run" / "nn_ctc_mlp")
+    out = str(tmp_path / "ctc_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run2"),
+         "--am", "mlp", "--ctc", "--nn-ckpt", ckpt,
+         "--nn-hidden", "32", "--nn-layers", "1", "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 4
+
+    out2 = str(tmp_path / "ctc_phones.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run3"),
+         "--am", "mlp", "--ctc", "--nn-ckpt", ckpt, "--mode", "phone",
+         "--nn-hidden", "32", "--nn-layers", "1", "--out", out2],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out2)]) == 4
+
+
 def test_transcribe_cli(tmp_path, monkeypatch):
     from cli import transcribe
 

@@ -1,0 +1,320 @@
+"""CTC tests: loss vs the optax oracle (values AND grads), padding
+invariance, greedy/prefix-beam decoding, skip-transition Viterbi vs
+brute-force enumeration, and an end-to-end learn-then-decode smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mogasr.am import ctc as C
+from mogasr.config import DecodeConfig, TrainConfig
+from mogasr.hmm import graph as gr
+from mogasr.hmm.lexicon import make_lexicon
+
+
+def _rand_problem(seed=0, B=3, T=20, V=6, L=5):
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    n_frames = rng.integers(L * 2 + 2, T + 1, B).astype(np.int32)
+    n_labels = rng.integers(1, L + 1, B).astype(np.int32)
+    labels = np.full((B, L), -1, np.int32)
+    for b in range(B):
+        labels[b, : n_labels[b]] = rng.integers(0, V - 1, n_labels[b])
+    return jnp.asarray(logits), jnp.asarray(n_frames), jnp.asarray(labels), jnp.asarray(n_labels)
+
+
+def test_ctc_loss_matches_optax_values_and_grads():
+    logits, n_frames, labels, n_labels = _rand_problem()
+    bid = logits.shape[-1] - 1
+
+    ours = C.ctc_loss(logits, n_frames, labels, n_labels, bid)
+    oracle = C.ctc_loss_optax_oracle(logits, n_frames, labels, n_labels, bid)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(oracle), rtol=1e-4, atol=1e-4)
+
+    g_ours = jax.grad(lambda x: jnp.sum(C.ctc_loss(x, n_frames, labels, n_labels, bid)))(logits)
+    g_oracle = jax.grad(
+        lambda x: jnp.sum(C.ctc_loss_optax_oracle(x, n_frames, labels, n_labels, bid))
+    )(logits)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_oracle), rtol=1e-3, atol=1e-4)
+
+
+def test_ctc_loss_default_blank_is_last():
+    logits, n_frames, labels, n_labels = _rand_problem(seed=1)
+    a = C.ctc_loss(logits, n_frames, labels, n_labels)
+    b = C.ctc_loss(logits, n_frames, labels, n_labels, logits.shape[-1] - 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ctc_loss_padding_invariance():
+    logits, n_frames, labels, n_labels = _rand_problem(seed=2)
+    base = np.asarray(C.ctc_loss(logits, n_frames, labels, n_labels))
+    # garbage in padded frames and extra label padding must not matter
+    B, T, V = logits.shape
+    pad_t = jnp.concatenate([logits, jnp.full((B, 4, V), 37.0)], axis=1)
+    mask = jnp.arange(T + 4)[None, :, None] >= n_frames[:, None, None]
+    pad_t = jnp.where(mask, 99.0, pad_t)
+    pad_l = jnp.concatenate([labels, jnp.full((B, 3), -1, jnp.int32)], axis=1)
+    out = np.asarray(C.ctc_loss(pad_t, n_frames, pad_l, n_labels))
+    np.testing.assert_allclose(out, base, rtol=1e-5)
+
+
+def test_greedy_collapse():
+    assert C.collapse_ctc([2, 2, 3, 3, 1, 0, 0, 1], blank_id=3) == [2, 1, 0, 1]
+    # one-hot style logits: frames spell b,a,a,blank,a  -> [b? no...]
+    V, bid = 3, 2
+    frames = [0, 0, 1, 2, 1, 1]
+    logits = np.full((1, len(frames), V), -5.0, np.float32)
+    for t, u in enumerate(frames):
+        logits[0, t, u] = 5.0
+    out = C.ctc_greedy_decode(jnp.asarray(logits), jnp.asarray([len(frames)]), bid)
+    assert out == [[0, 1, 1]]
+
+
+def _brute_force_best_labelling(logp, bid):
+    """Max over ALL frame labellings of each collapsed sequence (tiny T, V)."""
+    import itertools
+
+    T, V = logp.shape
+    best = {}
+    for path in itertools.product(range(V), repeat=T):
+        seq = tuple(C.collapse_ctc(path, bid))
+        score = sum(logp[t, u] for t, u in enumerate(path))
+        if seq not in best or score > best[seq]:
+            best[seq] = score
+    return best
+
+
+def test_prefix_beam_finds_exact_best_sequence_small():
+    rng = np.random.default_rng(3)
+    T, V = 5, 3
+    bid = V - 1
+    logits = rng.standard_normal((T, V)).astype(np.float32)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+    # exact: sum path probs per collapsed sequence
+    import itertools
+    from collections import defaultdict
+
+    tot = defaultdict(lambda: -np.inf)
+    for path in itertools.product(range(V), repeat=T):
+        seq = tuple(C.collapse_ctc(path, bid))
+        score = sum(logp[t, u] for t, u in enumerate(path))
+        tot[seq] = np.logaddexp(tot[seq], score)
+    exact_best = max(tot.items(), key=lambda kv: kv[1])
+
+    ranked = C.ctc_prefix_beam_decode(logp, beam_size=64, blank_id=bid, prune_logp=-1e9)
+    assert tuple(ranked[0][1]) == exact_best[0]
+    np.testing.assert_allclose(ranked[0][0], exact_best[1], rtol=1e-6)
+
+
+def _brute_force_graph_viterbi(g: gr.Graph, emit, T):
+    """Enumerate all state paths of a chain+loop graph incl. skip transitions."""
+    import itertools
+
+    J = g.n_states
+    trans = np.full((J, J), -np.inf)
+    for i in range(J):
+        for j in range(J):
+            opts = []
+            if i == j and g.self_logp[j] > -1e29:
+                opts.append(g.self_logp[j])
+            if j == i + 1 and g.adv_logp[j] > -1e29:
+                opts.append(g.adv_logp[j])
+            if g.skip_logp is not None and j == i + 2 and g.skip_logp[j] > -1e29:
+                opts.append(g.skip_logp[j])
+            if g.exit_logp[i] > -1e29 and g.enter_logp[j] > -1e29:
+                opts.append(g.exit_logp[i] + g.enter_logp[j])
+            if opts:
+                trans[i, j] = max(opts)
+    best = -np.inf
+    for path in itertools.product(range(J), repeat=T):
+        if g.init_logp[path[0]] < -1e29 or g.final_logp[path[-1]] < -1e29:
+            continue
+        s = g.init_logp[path[0]] + emit[0, path[0]] + g.final_logp[path[-1]]
+        ok = True
+        for t in range(1, T):
+            tr = trans[path[t - 1], path[t]]
+            if tr == -np.inf:
+                ok = False
+                break
+            s += tr + emit[t, path[t]]
+        if ok:
+            best = max(best, s)
+    return best
+
+
+def test_ctc_graph_viterbi_matches_brute_force():
+    """Skip-transition Viterbi == exhaustive path enumeration on a tiny graph."""
+    from mogasr.decoder import viterbi as vit
+
+    lex = make_lexicon({"ab": ["a", "b"], "ba": ["b", "a"]})
+    bid = lex.n_phones
+    g = C.ctc_decode_graph(lex, DecodeConfig(), blank_id=bid)
+    assert g.skip_logp is not None
+    rng = np.random.default_rng(4)
+    T, V = 4, bid + 1
+    scores = rng.standard_normal((1, T, V)).astype(np.float32)
+    emit_graph = scores[0][:, g.emit_id]  # [T, J]
+    expect = _brute_force_graph_viterbi(g, emit_graph, T)
+
+    graphs = {k: jnp.asarray(v) for k, v in gr.batch_graphs([g]).items()}
+    res = vit.viterbi(
+        jnp.asarray(scores), graphs, jnp.asarray([T]), acoustic_scale=1.0
+    )
+    np.testing.assert_allclose(float(res.score[0]), expect, rtol=1e-5)
+    # the decoded path must be a valid labelling: emissions along the path
+    # plus transitions re-score to the same total
+    path = np.asarray(res.path[0])
+    assert path.min() >= 0
+
+
+def test_ctc_skip_required_for_blankless_transition():
+    """Emissions with no blank frames force the y1 -> y2 skip; without
+    skip_logp the chain graph could not explain them at all."""
+    from mogasr.decoder import viterbi as vit
+
+    lex = make_lexicon({"ab": ["a", "b"]})
+    bid = lex.n_phones
+    g = C.ctc_decode_graph(lex, DecodeConfig(), blank_id=bid)
+    ids = {p: i for i, p in enumerate(lex.phones)}
+    T, V = 4, bid + 1
+    scores = np.full((1, T, V), -20.0, np.float32)
+    for t, u in enumerate([ids["a"], ids["a"], ids["b"], ids["b"]]):
+        scores[0, t, u] = 0.0
+    graphs = {k: jnp.asarray(v) for k, v in gr.batch_graphs([g]).items()}
+    res = vit.viterbi(jnp.asarray(scores), graphs, jnp.asarray([T]), acoustic_scale=1.0)
+    # best path stays on 0-logp emissions: a a b b via the skip
+    assert float(res.score[0]) > -5.0
+
+
+def _make_unit_task(seed=0, B=4, V=4, units_T=8, frames_per=6):
+    """Frames carry a noisy one-hot of their unit; labels are the unit seq."""
+    rng = np.random.default_rng(seed)
+    D = V + 1
+    seqs, feats, n_frames = [], [], []
+    T = units_T * frames_per
+    for b in range(B):
+        n_units = int(rng.integers(3, units_T + 1))
+        seq = []
+        while len(seq) < n_units:
+            u = int(rng.integers(0, V - 1))
+            if not seq or seq[-1] != u:
+                seq.append(u)
+        x = np.zeros((T, D), np.float32)
+        t = 0
+        for u in seq:
+            for _ in range(frames_per):
+                x[t, u] = 1.0
+                t += 1
+        n_frames.append(t)
+        x += 0.1 * rng.standard_normal((T, D)).astype(np.float32)
+        seqs.append(seq)
+        feats.append(x)
+    labels, n_labels = C.pack_label_batch(seqs)
+    return (
+        jnp.asarray(np.stack(feats)),
+        jnp.asarray(np.asarray(n_frames, np.int32)),
+        jnp.asarray(labels),
+        jnp.asarray(n_labels),
+        seqs,
+    )
+
+
+def test_ctc_training_learns_and_greedy_decodes():
+    from mogasr.am.neural import build_model
+
+    feats, n_frames, labels, n_labels, seqs = _make_unit_task()
+    V = 4  # 3 units + blank
+    cfg = TrainConfig(nn_hidden=32, nn_layers=2, nn_context=1, lr=3e-3, num_nn_steps=120)
+    model = build_model("mlp", V, cfg)
+    state = C.init_ctc_train_state(model, cfg, feats.shape[-1], jax.random.key(0))
+    step = C.make_ctc_train_step(model, cfg)
+    first = None
+    for _ in range(cfg.num_nn_steps):
+        state, m = step(state, feats, n_frames, labels, n_labels)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.3
+    logits = model.apply(state.params, feats, n_frames)
+    hyps = C.ctc_greedy_decode(logits, n_frames)
+    assert hyps == seqs
+    # prefix beam agrees with greedy on this easy task
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    for b, seq in enumerate(seqs):
+        ranked = C.ctc_prefix_beam_decode(logp[b, : int(n_frames[b])], beam_size=4)
+        assert ranked[0][1] == seq
+
+
+@pytest.fixture(scope="module")
+def ctc_system():
+    """Alignment-free CTC system on real synthetic speech: small vocab,
+    MLP CTC model — NO GMM bootstrap anywhere in this path."""
+    from mogasr import pipeline as pipe
+    from mogasr.config import BatchConfig, FrontendConfig
+    from mogasr.data.synthetic import LEXICON, make_corpus
+
+    vocab = ["fish", "cat", "see", "sun", "tree", "dog"]
+    lex = make_lexicon({w: LEXICON[w] for w in vocab})
+    fcfg = FrontendConfig()
+    utts = make_corpus(24, words_per_utt=(2, 3), seed=7, vocab=vocab)
+    batches = pipe.featurize(
+        [(u.utt_id, u.wave, u.words) for u in utts],
+        fcfg, BatchConfig(batch_size=8, bucket_boundaries=(250, 400)),
+    )
+    tcfg = TrainConfig(nn_hidden=128, nn_layers=2, nn_context=3, lr=3e-3,
+                       num_nn_steps=220)
+    model, params = pipe.train_ctc(batches, lex, tcfg, arch="mlp")
+    return lex, batches, model, params
+
+
+def test_ctc_end_to_end_word_decode(ctc_system):
+    from mogasr import pipeline as pipe
+
+    lex, batches, model, params = ctc_system
+    scorer = C.make_ctc_scorer(model, params)
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=0.0)
+    graph = C.ctc_decode_graph(lex, dcfg)
+    metrics = pipe.evaluate(batches, None, lex, None, dcfg, scorer=scorer, graph=graph)
+    assert metrics["wer"] < 0.25, metrics
+
+
+def test_ctc_lm_decode_not_worse(ctc_system):
+    """CTC graph + exact bigram LM through the SAME LM-Viterbi kernel the
+    GMM/hybrid systems use (skip transitions active)."""
+    from mogasr.decoder.lm_viterbi import path_to_tokens_lm, viterbi_lm
+    from mogasr.eval.wer import corpus_wer
+    from mogasr.lm.ngram import estimate_bigram
+
+    lex, batches, model, params = ctc_system
+    scorer = C.make_ctc_scorer(model, params)
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=0.0)
+    graph = C.ctc_decode_graph(lex, dcfg)
+    transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
+    lm = estimate_bigram(transcripts, sorted(set(graph.labels)))
+    refs, hyps = [], []
+    for fb in batches:
+        scores = scorer(fb)
+        res = viterbi_lm(scores, graph, lm, fb.n_frames, acoustic_scale=1.0)
+        toks = path_to_tokens_lm(res, graph)
+        for b in range(fb.size):
+            refs.append([w.lower() for w in fb.words[b]])
+            hyps.append([w.lower() for w in toks[b]])
+    wer, _ = corpus_wer(refs, hyps)
+    assert wer < 0.25, wer
+
+
+def test_ctc_greedy_phone_decode_quality(ctc_system):
+    """Greedy best-path phone decode roughly recovers the spoken phones."""
+    from mogasr.eval.wer import corpus_wer
+
+    lex, batches, model, params = ctc_system
+    refs, hyps = [], []
+    for fb in batches:
+        logits = model.apply(params, fb.feats, fb.n_frames)
+        out = C.ctc_greedy_decode(logits, fb.n_frames)
+        for b in range(fb.size):
+            refs.append([lex.phones[p] for p in C.ctc_labels_from_words(lex, fb.words[b])])
+            hyps.append([lex.phones[p] for p in out[b]])
+    per, _ = corpus_wer(refs, hyps)
+    assert per < 0.25, per
