@@ -61,6 +61,13 @@ def main() -> None:
     p.add_argument("--write-arpa", help="export the estimated LM (trigram if "
                                         "--trigram-rescore, else bigram) as "
                                         "an ARPA file")
+    p.add_argument("--consensus", default="off", choices=["off", "cn", "mbr"],
+                   help="minimum-Bayes-risk decoding over the word lattice: "
+                        "cn = confusion-network consensus, mbr = N-best MBR "
+                        "(expected-WER minimization); implies a lattice pass")
+    p.add_argument("--lm-smoothing", default="addalpha", choices=["addalpha", "kn"],
+                   help="n-gram estimation: add-alpha or interpolated "
+                        "Kneser-Ney (continuation counts)")
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--beam", type=float, default=0.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
@@ -117,9 +124,10 @@ def main() -> None:
             scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
         gmm = None
 
-    needs_lattice = args.trigram_rescore or args.nbest > 0
+    needs_lattice = args.trigram_rescore or args.nbest > 0 or args.consensus != "off"
     if (needs_lattice or args.multi_pron) and args.mode != "word":
-        raise SystemExit("--multi-pron/--trigram-rescore/--nbest require --mode word")
+        raise SystemExit("--multi-pron/--trigram-rescore/--nbest/--consensus "
+                         "require --mode word")
     if args.ctc and (args.am == "gmm" or args.multi_pron):
         raise SystemExit("--ctc requires a neural --am and no --multi-pron")
     pron_logp = None
@@ -141,18 +149,23 @@ def main() -> None:
     if args.bigram_lm or needs_lattice:
         if args.mode != "word":
             raise SystemExit("--bigram-lm requires --mode word")
-        from mogasr.lm.ngram import estimate_bigram, estimate_trigram
+        from mogasr.lm.ngram import (
+            estimate_bigram, estimate_bigram_kn, estimate_trigram,
+            estimate_trigram_kn,
+        )
 
         lm_tokens = sorted(set(graph.labels))
         transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
-        lm = estimate_bigram(transcripts, lm_tokens)
+        est_bi = estimate_bigram_kn if args.lm_smoothing == "kn" else estimate_bigram
+        est_tri = estimate_trigram_kn if args.lm_smoothing == "kn" else estimate_trigram
+        lm = est_bi(transcripts, lm_tokens)
         if args.trigram_rescore:
             if args.arpa:
                 from mogasr.lm.arpa import read_arpa_trigram
 
                 trigram = read_arpa_trigram(args.arpa, tokens=lm_tokens)
             else:
-                trigram = estimate_trigram(transcripts, lm_tokens)
+                trigram = est_tri(transcripts, lm_tokens)
         if args.write_arpa:
             from mogasr.lm.arpa import write_arpa
 
@@ -171,7 +184,24 @@ def main() -> None:
                     fb, scores, graph, lm, dcfg, chain_entry_logp=pron_logp
                 )
                 second = trigram if trigram is not None else lm
-                out = [rescore_lattice(lat, second)[0] for lat in lats]
+                if args.consensus == "cn":
+                    from mogasr.decoder.confusion import (
+                        confusion_network, consensus_decode,
+                    )
+
+                    out = [
+                        consensus_decode(confusion_network(lat, second))[0]
+                        for lat in lats
+                    ]
+                elif args.consensus == "mbr":
+                    from mogasr.decoder.confusion import mbr_nbest_decode
+
+                    out = [
+                        mbr_nbest_decode(lat, second, n=max(args.nbest, 16))[0]
+                        for lat in lats
+                    ]
+                else:
+                    out = [rescore_lattice(lat, second)[0] for lat in lats]
                 if args.nbest > 0:
                     nbest_lists.extend(
                         [

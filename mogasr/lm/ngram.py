@@ -172,6 +172,114 @@ def estimate_trigram(
     return TrigramLm(tokens=tokens, logp=np.log(np.maximum(p, 1e-30)).astype(np.float32))
 
 
+def estimate_bigram_kn(
+    transcripts: Sequence[Sequence[str]],
+    tokens: Sequence[str],
+    discount: float = 0.75,
+) -> BigramLm:
+    """Interpolated Kneser-Ney bigram.
+
+    P(w|a) = max(n(a,w)-D, 0)/n(a,.) + lam(a) * Pcont(w), with the
+    continuation unigram Pcont(w) proportional to the number of DISTINCT
+    contexts w follows — the property add-alpha lacks (a word frequent in
+    one context only, e.g. "york" after "new", gets low continuation mass).
+    Contexts: C words + BOS; events: C words + EOS.
+    """
+    tokens = list(tokens)
+    idx = {t: i for i, t in enumerate(tokens)}
+    C = len(tokens)
+    S = C + 1  # context BOS / event EOS sentinel index
+    n = np.zeros((S, S), np.float64)
+    for words in transcripts:
+        seq = [idx[w] for w in words if w in idx]
+        if not seq:
+            continue
+        padded = [C] + seq + [C]
+        for a, w in zip(padded, padded[1:]):
+            n[a, w] += 1
+    D = float(discount)
+    types_following = (n > 0).sum(0).astype(np.float64)  # N1+(., w)
+    p_cont = types_following / max(types_following.sum(), 1.0)
+    if p_cont.sum() <= 0:
+        p_cont = np.full(S, 1.0 / S)
+    row_tot = n.sum(1)
+    row_types = (n > 0).sum(1).astype(np.float64)
+    p = np.empty((S, S), np.float64)
+    for a in range(S):
+        if row_tot[a] > 0:
+            lam = D * row_types[a] / row_tot[a]
+            p[a] = np.maximum(n[a] - D, 0.0) / row_tot[a] + lam * p_cont
+        else:
+            p[a] = p_cont
+    p /= p.sum(1, keepdims=True)
+    tiny = 1e-30
+    # BigramLm convention: init row normalizes over words only (no empty utts)
+    init = p[C, :C] / max(p[C, :C].sum(), tiny)
+    return BigramLm(
+        tokens=tokens,
+        pair_logp=np.log(np.maximum(p[:C, :C], tiny)).astype(np.float32),
+        init_logp=np.log(np.maximum(init, tiny)).astype(np.float32),
+        final_logp=np.log(np.maximum(p[:C, C], tiny)).astype(np.float32),
+    )
+
+
+def estimate_trigram_kn(
+    transcripts: Sequence[Sequence[str]],
+    tokens: Sequence[str],
+    discount: float = 0.75,
+) -> TrigramLm:
+    """Interpolated Kneser-Ney trigram (dense closed-vocab, TrigramLm table).
+
+    Highest order discounts real counts; the bigram level uses CONTINUATION
+    counts N1+(., b, w) (how many distinct left contexts precede (b, w)),
+    and the unigram level continuation types — standard interpolated KN.
+    """
+    tokens = list(tokens)
+    idx = {t: i for i, t in enumerate(tokens)}
+    C = len(tokens)
+    S = C + 1
+    c3 = np.zeros((S, S, S), np.float64)
+    for words in transcripts:
+        seq = [idx[w] for w in words if w in idx]
+        if not seq:
+            continue
+        padded = [C, C] + seq + [C]
+        for i in range(2, len(padded)):
+            c3[padded[i - 2], padded[i - 1], padded[i]] += 1
+    D = float(discount)
+    # continuation bigram counts: distinct a preceding (b, w)
+    cont2 = (c3 > 0).sum(0).astype(np.float64)          # [S(b), S(w)]
+    cont1 = (cont2 > 0).sum(0).astype(np.float64)       # [S(w)] distinct b before w
+    p1 = cont1 / max(cont1.sum(), 1.0)
+    if p1.sum() <= 0:
+        p1 = np.full(S, 1.0 / S)
+    # KN bigram from continuation counts
+    b_tot = cont2.sum(1)
+    b_types = (cont2 > 0).sum(1).astype(np.float64)
+    p2 = np.empty((S, S), np.float64)
+    for b in range(S):
+        if b_tot[b] > 0:
+            lam = D * b_types[b] / b_tot[b]
+            p2[b] = np.maximum(cont2[b] - D, 0.0) / b_tot[b] + lam * p1
+        else:
+            p2[b] = p1
+    # top level: real counts
+    t_tot = c3.sum(2)
+    t_types = (c3 > 0).sum(2).astype(np.float64)
+    p3 = np.empty((S, S, S), np.float64)
+    for a in range(S):
+        for b in range(S):
+            if t_tot[a, b] > 0:
+                lam = D * t_types[a, b] / t_tot[a, b]
+                p3[a, b] = np.maximum(c3[a, b] - D, 0.0) / t_tot[a, b] + lam * p2[b]
+            else:
+                p3[a, b] = p2[b]
+    p3 /= p3.sum(2, keepdims=True)
+    return TrigramLm(
+        tokens=tokens, logp=np.log(np.maximum(p3, 1e-30)).astype(np.float32)
+    )
+
+
 def sequence_logp(lm, words: Sequence[str]) -> float:
     """Total log P(words </s>) under a BigramLm or TrigramLm (host-side)."""
     idx = {t: i for i, t in enumerate(lm.tokens)}

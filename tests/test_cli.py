@@ -236,6 +236,29 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
 
 
+def test_decode_cli_consensus_and_kn(tmp_path, monkeypatch):
+    """Lattice consensus (CN) + Kneser-Ney smoothing through the decode CLI."""
+    from cli import decode
+
+    out = str(tmp_path / "hyp_cn.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--consensus", "cn", "--lm-smoothing", "kn",
+         "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 3
+    out2 = str(tmp_path / "hyp_mbr.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run2"),
+         "--num-components", "1", "--consensus", "mbr", "--out", out2],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out2)]) == 3
+
+
 def test_train_ctc_then_ctc_decode_cli(tmp_path, monkeypatch):
     """Alignment-free path: train_nn --objective ctc (no GMM bootstrap) ->
     decode --ctc in word mode (CTC graph) and phone mode (greedy)."""

@@ -42,6 +42,65 @@ def test_trigram_learns_third_word_context():
     assert sequence_logp(tri, ["x", "a", "p"]) > sequence_logp(tri, ["x", "a", "q"]) + 1.0
 
 
+def test_kneser_ney_continuation_property():
+    """KN's signature behaviour: in an unseen context, a word attested after
+    MANY distinct contexts ("house") outranks a word attested only after ONE
+    ("york"), even though "york" has more raw occurrences. Add-alpha cannot
+    tell them apart."""
+    from mogasr.lm.ngram import estimate_bigram_kn
+
+    corpus = [["new", "york"]] * 8 + [
+        ["the", "house"], ["a", "house"], ["my", "house"], ["her", "house"],
+    ]
+    toks = sorted({w for s in corpus for w in s})
+    i = {t: k for k, t in enumerate(toks)}
+    kn = estimate_bigram_kn(corpus, toks)
+    # context "york" never precedes either word -> pure continuation backoff
+    assert kn.pair_logp[i["york"], i["house"]] > kn.pair_logp[i["york"], i["york"]] + 0.5
+    aa = estimate_bigram(corpus, toks, alpha=0.5)
+    np.testing.assert_allclose(
+        aa.pair_logp[i["york"], i["house"]], aa.pair_logp[i["york"], i["york"]], atol=1e-6
+    )
+
+
+def test_kneser_ney_rows_normalize():
+    from mogasr.lm.ngram import estimate_bigram_kn, estimate_trigram_kn
+
+    corpus = [["a", "b", "c"], ["b", "c", "a"], ["c"], ["a", "b"]]
+    toks = ["a", "b", "c"]
+    kn2 = estimate_bigram_kn(corpus, toks)
+    # each context row: P(words|a) + P(EOS|a) == 1
+    row = np.exp(kn2.pair_logp).sum(1) + np.exp(kn2.final_logp)
+    np.testing.assert_allclose(row, 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.exp(kn2.init_logp).sum(), 1.0, atol=1e-5)
+    kn3 = estimate_trigram_kn(corpus, toks)
+    np.testing.assert_allclose(np.exp(kn3.logp).sum(2), 1.0, atol=1e-5)
+
+
+def test_kneser_ney_decodes_through_lm_viterbi(trained_system):
+    """KN bigram plugs into the same decode path; sanity: corpus WER stays
+    in the same range as the add-alpha bigram."""
+    from mogasr.lm.ngram import estimate_bigram_kn
+
+    lex, topo, batches, gmm = trained_system
+    graph = pipe.word_decode_graph(lex, topo, DecodeConfig())
+    transcripts = [list(fb.words[b]) for fb in batches for b in range(fb.size)]
+    lm = estimate_bigram_kn(transcripts, graph.labels)
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=0.0)
+    refs, hyps = [], []
+    for fb in batches:
+        scores = pipe.score_batch(fb.feats, gmm)
+        res = viterbi_lm(scores, graph, lm, fb.n_frames, acoustic_scale=1.0)
+        toks = path_to_tokens_lm(res, graph)
+        for b in range(fb.size):
+            refs.append([w.lower() for w in fb.words[b]])
+            hyps.append([w.lower() for w in toks[b] if w not in ("<sil>", "sil")])
+    from mogasr.eval.wer import corpus_wer
+
+    wer, _ = corpus_wer(refs, hyps)
+    assert wer < 0.2, wer
+
+
 def test_sequence_logp_bigram_matches_manual():
     lm = estimate_bigram([["a", "b"], ["a", "b"]], ["a", "b"], alpha=0.0)
     got = sequence_logp(lm, ["a", "b"])
