@@ -21,6 +21,11 @@ import time
 
 import numpy as np
 
+# Persist XLA/Pallas compiles across bench processes (verified to work in
+# this environment, docs/TPU_NOTES.md): a warm cache turns the multi-minute
+# Pallas kernel compiles into file reads. Must be set before jax imports.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 # A/B knob for the Pallas GMM kernel structure (chunked | wide); the driver
 # runs the default. See mogasr/am/gmm_pallas.py and docs/TPU_NOTES.md.
 GMM_LAYOUT = os.environ.get("MOGASR_GMM_LAYOUT", "chunked")
@@ -56,12 +61,13 @@ def main() -> None:
         jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
     )
 
-    # Corpus: 256 synthetic utterances, ~6-13 s each — large enough that the
-    # measurement is steady-state throughput, not Python dispatch ramp-up,
-    # while host-side corpus synthesis stays within the bench time budget
-    # (512 utts measured 1452 utt/s but the 1-core synthesis+prep blew the
-    # 10-minute cap).
-    n_utts = 256
+    # Corpus: 512 synthetic utterances, ~6-13 s each — large enough that the
+    # measurement is steady-state throughput, not Python dispatch ramp-up
+    # (512/B64 measured 1452 utt/s vs 1294 at 256/B64). The former blocker
+    # for 512 was the CPU-reference baseline (~130 s/utterance at full
+    # length); it now times a frame-sliced prefix and extrapolates per frame
+    # (both its stages are linear in frame count), freeing the budget.
+    n_utts = 512
     utts = make_corpus(n_utts, words_per_utt=(8, 16), seed=1)
     audio_seconds = sum(len(u.wave) for u in utts) / fcfg.sample_rate
 
@@ -122,10 +128,13 @@ def main() -> None:
     tpu_utts_per_sec = n_utts / tpu_dt
     tpu_rtf = tpu_dt / audio_seconds
 
-    # ---- CPU reference baseline on a subset, extrapolated by frame count ---
-    cpu_subset = 2
+    # ---- CPU reference baseline: frame-sliced, extrapolated by frame count.
+    # Both stages are linear in frames (per-frame NumPy front end + GEMM
+    # scoring; Viterbi scan), so per-frame cost on a prefix extrapolates
+    # exactly; timing full utterances measured ~130 s/utt and dominated the
+    # bench budget.
+    cpu_frames = 300
     total_frames = sum(fcfg.num_frames(len(u.wave)) for u in utts)
-    subset_frames = sum(fcfg.num_frames(len(u.wave)) for u in utts[:cpu_subset])
     cpu_viterbi = jax.jit(
         lambda ll, graphs, nf: vit.viterbi(
             ll, graphs, nf, acoustic_scale=dcfg.acoustic_scale
@@ -136,22 +145,23 @@ def main() -> None:
     w_np = np.asarray(gmm.weights)
     mu_np = np.asarray(gmm.means)
     var_np = np.asarray(gmm.vars)
+    u0 = utts[0]
+    wave_slice = u0.wave[: (cpu_frames - 1) * fcfg.frame_shift + fcfg.frame_length]
 
-    def cpu_run(u):
-        feats = npref.extract_features_np(u.wave, fcfg)
+    def cpu_run():
+        feats = npref.extract_features_np(wave_slice, fcfg)
+        assert feats.shape[0] == cpu_frames, feats.shape
         ll = gmm_loglik_np_gemm(feats, w_np, mu_np, var_np)
         res = cpu_viterbi(
             jnp.asarray(ll[None]), g1, jnp.asarray([ll.shape[0]])
         )
         jax.block_until_ready(res)
 
-    for u in utts[:cpu_subset]:
-        cpu_run(u)  # warm the viterbi compile for EVERY timed shape
+    cpu_run()  # warm the viterbi compile for the timed shape
     t0 = time.perf_counter()
-    for u in utts[:cpu_subset]:
-        cpu_run(u)
+    cpu_run()
     cpu_dt_subset = time.perf_counter() - t0
-    cpu_dt_full = cpu_dt_subset * (total_frames / subset_frames)
+    cpu_dt_full = cpu_dt_subset * (total_frames / cpu_frames)
     cpu_utts_per_sec = n_utts / cpu_dt_full
 
     print(

@@ -120,6 +120,43 @@ def main() -> None:
     results["mmi_criterion_last"] = round(mmi_hist[-1], 5)
     results["heldout_wer_gmm_mmi"] = round(m_mmi["wer"], 4)
 
+    # (b4) sMBR discriminative refinement (expected frame accuracy objective)
+    from mogasr.am.smbr import train_smbr
+
+    gmm_smbr, smbr_hist = train_smbr(tb, lex, topo_t, gmm, n_iters=3, acoustic_scale=0.1)
+    m_smbr = pipe.evaluate(eb, gmm_smbr, lex, topo_t, dcfg)
+    results["smbr_expected_acc_first"] = round(smbr_hist[0], 5)
+    results["smbr_expected_acc_last"] = round(smbr_hist[-1], 5)
+    results["heldout_wer_gmm_smbr"] = round(m_smbr["wer"], 4)
+
+    # (b5) consensus (confusion-network MBR) decoding of the bigram lattices
+    from mogasr.decoder.confusion import confusion_network, consensus_decode
+
+    hyps_cn = []
+    for fb in eb:
+        scores = pipe.score_batch(fb.feats, gmm)
+        lats, _ = pipe.decode_batch_lattices(fb, scores, graph, lm, dcfg)
+        hyps_cn.extend(
+            [[w.lower() for w in consensus_decode(confusion_network(lat, lm))[0]]
+             for lat in lats]
+        )
+    results["heldout_wer_gmm_consensus"] = round(corpus_wer(refs, hyps_cn)[0], 4)
+
+    # (b6) alignment-free CTC system (no GMM anywhere in its training path)
+    from mogasr.am import ctc as C
+
+    ctc_tcfg = TrainConfig(
+        nn_hidden=128, nn_layers=2, nn_context=3, lr=3e-3, num_nn_steps=300
+    )
+    ctc_model, ctc_params = pipe.train_ctc(tb, lex, ctc_tcfg, arch="mlp")
+    ctc_dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=0.0)
+    m_ctc = pipe.evaluate(
+        eb, None, lex, None, ctc_dcfg,
+        scorer=C.make_ctc_scorer(ctc_model, ctc_params),
+        graph=C.ctc_decode_graph(lex, ctc_dcfg),
+    )
+    results["heldout_wer_ctc"] = round(m_ctc["wer"], 4)
+
     # (c) hybrid MLP AM trained on GMM alignments
     labeled = []
     for fb in tb:

@@ -49,6 +49,14 @@ def main() -> None:
     p.add_argument("--insertion-penalty", type=float, default=2.0)
     p.add_argument("--chunk-ms", type=float, default=250.0)
     p.add_argument("--cmvn-window", type=int, default=600)
+    p.add_argument("--ctc", action="store_true",
+                   help="neural online CTC instead of the GMM: a streaming "
+                        "LSTM (train_nn --objective ctc --arch lstm ckpt via "
+                        "--nn-ckpt) scores chunks statefully; words decode "
+                        "through the OnlineDecoder on the CTC graph")
+    p.add_argument("--nn-ckpt", help="CTC LSTM checkpoint dir (with --ctc)")
+    p.add_argument("--nn-hidden", type=int, default=512)
+    p.add_argument("--nn-layers", type=int, default=3)
     args = p.parse_args()
 
     fcfg = FrontendConfig(cmvn="sliding", cmvn_window=args.cmvn_window)
@@ -72,10 +80,47 @@ def main() -> None:
         acoustic_scale=args.acoustic_scale,
         word_insertion_penalty=args.insertion_penalty,
     )
-    gmm = load_or_random_gmm(args, fcfg.feat_dim)
     logger = make_logger(args)
 
-    graph = word_decode_graph(lex, topo, dcfg)
+    if args.ctc:
+        import jax
+
+        from mogasr.am.ctc import ctc_decode_graph
+        from mogasr.am.neural import (
+            LstmAm, LstmAmStream, lstm_stream_init,
+        )
+        from mogasr.am.train_nn import init_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--ctc requires --nn-ckpt (train_nn --objective "
+                             "ctc --arch lstm)")
+        V = lex.n_phones + 1
+        tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        model = LstmAm(n_pdfs=V, hidden=args.nn_hidden,
+                       layers=max(args.nn_layers - 1, 1))
+        template = {
+            "params": init_train_state(model, tcfg, fcfg.feat_dim,
+                                       jax.random.key(0)).params,
+        }
+        nn_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        stream_model = LstmAmStream(
+            n_pdfs=V, hidden=args.nn_hidden, layers=max(args.nn_layers - 1, 1)
+        )
+        carries = lstm_stream_init(model, 1, fcfg.feat_dim)
+
+        @jax.jit
+        def score_chunk(carries, feats):
+            logits, new_carries = stream_model.apply(nn_params, feats, carries)
+            return jax.nn.log_softmax(logits, axis=-1), new_carries
+
+        graph = ctc_decode_graph(lex, dcfg)
+        gmm = None
+    else:
+        gmm = load_or_random_gmm(args, fcfg.feat_dim)
+        graph = word_decode_graph(lex, topo, dcfg)
     graphs_np = gr.batch_graphs([graph])
     graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
 
@@ -95,13 +140,22 @@ def main() -> None:
     dec = OnlineDecoder(graphs, acoustic_scale=dcfg.acoustic_scale)
     chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
     consumed = 0
+
+    def score_feats(feats):
+        nonlocal carries
+        if args.ctc:
+            sc, carries = score_chunk(carries, jnp.asarray(feats[None]))
+            return sc
+        return score_batch(jnp.asarray(feats[None]), gmm)
+
+    if not args.ctc:
+        carries = None
     with Timer() as t:
         for i in range(0, len(wave), chunk):
             consumed = min(i + chunk, len(wave))
             feats = sf.process(wave[i : i + chunk])
             if feats.size:
-                sc = score_batch(jnp.asarray(feats[None]), gmm)
-                dec.process(sc, np.asarray([feats.shape[0]]))
+                dec.process(score_feats(feats), np.asarray([feats.shape[0]]))
             path, entered, _score = dec.partial()
             print(json.dumps({
                 "t_audio_s": round(consumed / fcfg.sample_rate, 2),
@@ -109,8 +163,7 @@ def main() -> None:
             }), flush=True)
         feats = sf.finalize()
         if feats.size:
-            sc = score_batch(jnp.asarray(feats[None]), gmm)
-            dec.process(sc, np.asarray([feats.shape[0]]))
+            dec.process(score_feats(feats), np.asarray([feats.shape[0]]))
         path, entered, score = dec.finalize()
     audio_s = len(wave) / fcfg.sample_rate
     final = words_of(path, entered)

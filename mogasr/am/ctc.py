@@ -266,6 +266,67 @@ def ctc_greedy_decode(
     return [collapse_ctc(frames[b, : nf[b]], bid) for b in range(frames.shape[0])]
 
 
+def _lse2(a: float, b: float) -> float:
+    return float(np.logaddexp(a, b))
+
+
+def ctc_beam_start() -> Dict[Tuple[int, ...], Tuple[float, float]]:
+    """Initial prefix-beam state: the empty prefix, ending 'in blank'."""
+    return {(): (0.0, NEG_INF)}
+
+
+def ctc_beam_step(
+    beams: Dict[Tuple[int, ...], Tuple[float, float]],
+    frame: np.ndarray,  # [V] log posteriors of one frame
+    beam_size: int,
+    blank_id: int,
+    ext_score: Optional[Callable[[Tuple[int, ...], int], float]] = None,
+    ext_weight: float = 1.0,
+    prune_logp: float = -12.0,
+) -> Dict[Tuple[int, ...], Tuple[float, float]]:
+    """One frame of prefix beam search; pure state -> state (streamable)."""
+    units = np.nonzero(frame > frame.max() + prune_logp)[0]
+    new: Dict[Tuple[int, ...], Tuple[float, float]] = {}
+
+    def add(prefix, pb, pnb):
+        opb, opnb = new.get(prefix, (NEG_INF, NEG_INF))
+        new[prefix] = (_lse2(opb, pb), _lse2(opnb, pnb))
+
+    for prefix, (pb, pnb) in beams.items():
+        ptot = _lse2(pb, pnb)
+        for u in units:
+            lp = float(frame[u])
+            if u == blank_id:
+                add(prefix, ptot + lp, NEG_INF)
+                continue
+            last = prefix[-1] if prefix else -1
+            if u == last:
+                # same unit: staying in the label extends p_nb of the SAME
+                # prefix; a new occurrence needs a blank in between (p_b)
+                add(prefix, NEG_INF, pnb + lp)
+                ext = prefix + (int(u),)
+                s = pb + lp
+                if ext_score is not None:
+                    s += ext_weight * ext_score(prefix, int(u))
+                add(ext, NEG_INF, s)
+            else:
+                ext = prefix + (int(u),)
+                s = ptot + lp
+                if ext_score is not None:
+                    s += ext_weight * ext_score(prefix, int(u))
+                add(ext, NEG_INF, s)
+    return dict(sorted(new.items(), key=lambda kv: -_lse2(*kv[1]))[:beam_size])
+
+
+def ctc_beam_ranked(
+    beams: Dict[Tuple[int, ...], Tuple[float, float]]
+) -> List[Tuple[float, List[int]]]:
+    return sorted(
+        ((_lse2(pb, pnb), list(prefix)) for prefix, (pb, pnb) in beams.items()),
+        key=lambda x: -x[0],
+    )
+
+
 def ctc_prefix_beam_decode(
     logp: np.ndarray,  # [T, V] log posteriors of ONE utterance (valid frames)
     beam_size: int = 8,
@@ -280,57 +341,75 @@ def ctc_prefix_beam_decode(
     exactly what XLA is bad at — while all the FLOPs (the network forward)
     stay on device. ext_score(prefix, unit) adds shallow-fusion LM scores.
 
-    Returns the beam as [(total_logp, unit_seq)] best-first.
+    Returns the beam as [(total_logp, unit_seq)] best-first. Frame-sequential
+    by construction: the same ctc_beam_step drives streaming decoding
+    (CtcStreamDecoder) with EXACT offline equivalence.
     """
     T, V = logp.shape
     bid = V - 1 if blank_id is None else blank_id
-    # beams: prefix -> (p_blank, p_nonblank) log-probs of ending in blank / label
-    beams: Dict[Tuple[int, ...], Tuple[float, float]] = {(): (0.0, NEG_INF)}
-
-    def lse(a: float, b: float) -> float:
-        return float(np.logaddexp(a, b))
-
+    beams = ctc_beam_start()
     for t in range(T):
-        frame = logp[t]
-        # candidate units worth extending with this frame
-        units = np.nonzero(frame > frame.max() + prune_logp)[0]
-        new: Dict[Tuple[int, ...], Tuple[float, float]] = {}
-
-        def add(prefix, pb, pnb):
-            opb, opnb = new.get(prefix, (NEG_INF, NEG_INF))
-            new[prefix] = (lse(opb, pb), lse(opnb, pnb))
-
-        for prefix, (pb, pnb) in beams.items():
-            ptot = lse(pb, pnb)
-            for u in units:
-                lp = float(frame[u])
-                if u == bid:
-                    add(prefix, ptot + lp, NEG_INF)
-                    continue
-                last = prefix[-1] if prefix else -1
-                if u == last:
-                    # same unit: staying in the label extends p_nb of the SAME
-                    # prefix; a new occurrence needs a blank in between (p_b)
-                    add(prefix, NEG_INF, pnb + lp)
-                    ext = prefix + (int(u),)
-                    s = pb + lp
-                    if ext_score is not None:
-                        s += ext_weight * ext_score(prefix, int(u))
-                    add(ext, NEG_INF, s)
-                else:
-                    ext = prefix + (int(u),)
-                    s = ptot + lp
-                    if ext_score is not None:
-                        s += ext_weight * ext_score(prefix, int(u))
-                    add(ext, NEG_INF, s)
-        beams = dict(
-            sorted(new.items(), key=lambda kv: -lse(*kv[1]))[:beam_size]
+        beams = ctc_beam_step(
+            beams, logp[t], beam_size, bid,
+            ext_score=ext_score, ext_weight=ext_weight, prune_logp=prune_logp,
         )
-    ranked = sorted(
-        ((lse(pb, pnb), list(prefix)) for prefix, (pb, pnb) in beams.items()),
-        key=lambda x: -x[0],
-    )
-    return ranked
+    return ctc_beam_ranked(beams)
+
+
+class CtcStreamDecoder:
+    """Online CTC decoding over chunked log-posteriors.
+
+    mode="greedy": best-path collapse carrying the previous frame's argmax
+    across chunk boundaries. mode="beam": streaming prefix beam search
+    (ctc_beam_step per frame). Both are EXACTLY equal to their offline
+    counterparts for any chunking (frame-sequential algorithms; tested).
+
+    Pairs with neural.LstmAmStream for the full online neural CTC pipeline:
+    streaming frontend -> stateful LSTM chunks -> this decoder's partial().
+    """
+
+    def __init__(
+        self,
+        blank_id: int,
+        mode: str = "greedy",
+        beam_size: int = 8,
+        ext_score: Optional[Callable[[Tuple[int, ...], int], float]] = None,
+        ext_weight: float = 1.0,
+    ):
+        assert mode in ("greedy", "beam")
+        self.blank_id = int(blank_id)
+        self.mode = mode
+        self.beam_size = beam_size
+        self.ext_score = ext_score
+        self.ext_weight = ext_weight
+        self._prev = -1
+        self._tokens: List[int] = []
+        self._beams = ctc_beam_start()
+
+    def step(self, logp_chunk: np.ndarray) -> List[int]:
+        """Consume [Tc, V] log posteriors; returns the current partial hyp."""
+        logp_chunk = np.asarray(logp_chunk)
+        if self.mode == "greedy":
+            for f in np.argmax(logp_chunk, axis=-1):
+                f = int(f)
+                if f != self._prev and f != self.blank_id:
+                    self._tokens.append(f)
+                self._prev = f
+        else:
+            for t in range(logp_chunk.shape[0]):
+                self._beams = ctc_beam_step(
+                    self._beams, logp_chunk[t], self.beam_size, self.blank_id,
+                    ext_score=self.ext_score, ext_weight=self.ext_weight,
+                )
+        return self.partial()
+
+    def partial(self) -> List[int]:
+        if self.mode == "greedy":
+            return list(self._tokens)
+        return ctc_beam_ranked(self._beams)[0][1]
+
+    def finalize(self) -> List[int]:
+        return self.partial()
 
 
 # --------------------------------------------------------------------------

@@ -47,6 +47,8 @@ def _chunk_step(
     adv_logp = graphs["adv_logp"]
     enter_logp = graphs["enter_logp"]
     exit_logp = graphs["exit_logp"]
+    # optional (j-2 -> j) skips (CTC optional-blank topology), as in viterbi.py
+    skip_logp = graphs.get("skip_logp")
 
     emit_graph = jnp.take_along_axis(
         emit_ll * acoustic_scale, emit_id[:, None, :], axis=2
@@ -71,6 +73,13 @@ def _chunk_step(
         bp = jnp.where(
             best == ent, jnp.uint8(2), jnp.where(best == adv, jnp.uint8(1), jnp.uint8(0))
         )
+        if skip_logp is not None:
+            skip = jnp.concatenate(
+                [jnp.full((B, 2), NEG_INF), delta[:, :-2] + skip_logp[:, 2:]],
+                axis=1,
+            )
+            bp = jnp.where(skip > best, jnp.uint8(3), bp)
+            best = jnp.maximum(best, skip)
         bp = jnp.where(best == stay, jnp.uint8(0), bp)
         new_delta = best + emit_t
         if beam > 0:
@@ -148,7 +157,14 @@ class OnlineDecoder:
                 path[b, t] = j
                 bcode = bps[t, b, j]
                 entered[b, t] = bcode == 2
-                j = j if bcode == 0 else (j - 1 if bcode == 1 else int(exits[t, b]))
+                if bcode == 0:
+                    pass
+                elif bcode == 1:
+                    j = j - 1
+                elif bcode == 3:
+                    j = j - 2
+                else:
+                    j = int(exits[t, b])
             path[b, 0] = j
             entered[b, 0] = True
         return path, entered

@@ -236,6 +236,55 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
 
 
+def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
+    """Online neural CTC: stateful LSTM chunks -> OnlineDecoder on the CTC
+    graph, partial events then a final hypothesis."""
+    from cli import stream, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "ctc"],
+        monkeypatch,
+    )
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--ctc",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_lstm"),
+         "--nn-hidden", "16", "--nn-layers", "2"],
+        monkeypatch,
+    )
+    events = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    partials = [e for e in events if "partial" in e]
+    finals = [e for e in events if "final" in e]
+    assert len(partials) >= 3 and len(finals) == 1
+    assert isinstance(finals[0]["final"], list)
+
+
+def test_kws_cli(tmp_path, monkeypatch):
+    from cli import search
+
+    out = str(tmp_path / "hits.jsonl")
+    run_cli(
+        search,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--terms", "cat,dog fish",
+         "--threshold", "0.1", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 3
+    for r in recs:
+        for h in r["hits"]:
+            assert h["end_sec"] >= h["start_sec"] >= 0
+            assert 0 <= h["posterior"] <= 1.0001
+
+
 def test_decode_cli_consensus_and_kn(tmp_path, monkeypatch):
     """Lattice consensus (CN) + Kneser-Ney smoothing through the decode CLI."""
     from cli import decode

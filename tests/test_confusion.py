@@ -112,6 +112,46 @@ def test_consensus_and_mbr_match_viterbi_quality(lattices):
     assert wer_mbr <= wer_vit + 0.05, (wer_mbr, wer_vit)
 
 
+def test_kws_detects_spoken_words(lattices):
+    """Posterior keyword search: words in the reference are detected, words
+    absent from the utterance are not (high-threshold operating point)."""
+    from mogasr.decoder.kws import keyword_search
+
+    lm, items = lattices
+    vocab = sorted({w for _, ref, _ in items for w in ref})
+    tp = fn = fp = 0
+    for lat, ref, _ in items:
+        present = set(ref)
+        absent = [w for w in vocab if w not in present][:3]
+        hits = keyword_search(lat, lm, [[w] for w in present] + [[w] for w in absent],
+                              threshold=0.5)
+        hit_terms = {h.term for h in hits}
+        tp += sum(1 for w in present if w in hit_terms)
+        fn += sum(1 for w in present if w not in hit_terms)
+        fp += sum(1 for w in absent if w in hit_terms)
+    assert tp / max(tp + fn, 1) > 0.8, (tp, fn)
+    assert fp <= 0.1 * len(items) + 1, fp
+
+
+def test_kws_phrase_and_times(lattices):
+    from mogasr.decoder.kws import keyword_search
+
+    lm, items = lattices
+    found_phrase = 0
+    tried = 0
+    for lat, ref, _ in items:
+        if len(ref) < 2:
+            continue
+        tried += 1
+        hits = keyword_search(lat, lm, [ref[:2]], threshold=0.25)
+        for h in hits:
+            assert 0 <= h.start <= h.end < lat.n_frames
+            assert 0.0 < h.posterior <= 1.0 + 1e-6
+        if any(h.term == " ".join(ref[:2]) for h in hits):
+            found_phrase += 1
+    assert tried and found_phrase / tried > 0.7, (found_phrase, tried)
+
+
 def test_consensus_confidences_are_probabilities(lattices):
     lm, items = lattices
     lat, _, _ = items[0]

@@ -246,6 +246,62 @@ def test_ctc_training_learns_and_greedy_decodes():
         assert ranked[0][1] == seq
 
 
+def test_ctc_stream_decoder_exact_vs_offline():
+    """Greedy and prefix-beam streaming decodes are EXACTLY the offline
+    results for any chunking (frame-sequential algorithms)."""
+    rng = np.random.default_rng(9)
+    T, V = 40, 5
+    bid = V - 1
+    logits = rng.standard_normal((T, V)).astype(np.float32)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+    off_greedy = C.collapse_ctc(np.argmax(logp, -1), bid)
+    off_beam = C.ctc_prefix_beam_decode(logp, beam_size=6, blank_id=bid)[0][1]
+
+    for chunks in ([7, 13, 20], [1] * T, [40], [3, 3, 34]):
+        assert sum(chunks) == T
+        g = C.CtcStreamDecoder(bid, mode="greedy")
+        b = C.CtcStreamDecoder(bid, mode="beam", beam_size=6)
+        pos = 0
+        partial_lens = []
+        for c in chunks:
+            part = g.step(logp[pos:pos + c])
+            b.step(logp[pos:pos + c])
+            partial_lens.append(len(part))
+            pos += c
+        assert g.finalize() == off_greedy, chunks
+        assert b.finalize() == off_beam, chunks
+        # greedy partials are monotone (prefix property of collapse)
+        assert partial_lens == sorted(partial_lens)
+
+
+def test_ctc_stream_with_lstm_scorer():
+    """Full online neural CTC: LstmAmStream chunks -> streaming greedy equals
+    the offline greedy decode of the SAME offline LstmAm params."""
+    from mogasr.am.neural import LstmAm, lstm_stream_init, LstmAmStream
+
+    rng = np.random.default_rng(11)
+    B, T, D, V = 2, 30, 6, 4
+    model = LstmAm(n_pdfs=V, hidden=16, layers=1)
+    feats = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    n_frames = jnp.asarray([T, T])
+    params = model.init(jax.random.key(0), feats, n_frames)
+    logits_off = model.apply(params, feats, n_frames)
+    off = C.ctc_greedy_decode(logits_off, n_frames)
+
+    stream = LstmAmStream(n_pdfs=V, hidden=16, layers=1)
+    carries = lstm_stream_init(model, B, D)
+    decs = [C.CtcStreamDecoder(V - 1) for _ in range(B)]
+    pos = 0
+    for c in [11, 5, 14]:
+        chunk_logits, carries = stream.apply(params, feats[:, pos:pos + c], carries)
+        logp = np.asarray(jax.nn.log_softmax(chunk_logits, axis=-1))
+        for b in range(B):
+            decs[b].step(logp[b])
+        pos += c
+    assert [d.finalize() for d in decs] == off
+
+
 @pytest.fixture(scope="module")
 def ctc_system():
     """Alignment-free CTC system on real synthetic speech: small vocab,
@@ -302,6 +358,38 @@ def test_ctc_lm_decode_not_worse(ctc_system):
             hyps.append([w.lower() for w in toks[b]])
     wer, _ = corpus_wer(refs, hyps)
     assert wer < 0.25, wer
+
+
+def test_ctc_online_word_decode_equals_offline(ctc_system):
+    """OnlineDecoder over the CTC graph (skip transitions in the chunked
+    step) finalizes to the offline Viterbi path exactly."""
+    from mogasr.decoder import viterbi as vit
+    from mogasr.decoder.online import OnlineDecoder
+
+    lex, batches, model, params = ctc_system
+    scorer = C.make_ctc_scorer(model, params)
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=0.0)
+    graph = C.ctc_decode_graph(lex, dcfg)
+    fb = batches[0]
+    scores = scorer(fb)
+    Bp = scores.shape[0]
+    graphs = {k: jnp.asarray(v) for k, v in gr.batch_graphs([graph] * Bp).items()}
+    off = vit.viterbi(scores, graphs, fb.n_frames, acoustic_scale=1.0)
+
+    dec = OnlineDecoder(graphs, acoustic_scale=1.0)
+    T = scores.shape[1]
+    nf = np.asarray(fb.n_frames)
+    pos = 0
+    for c in [33, 50, T - 83]:
+        n_valid = np.clip(nf - pos, 0, c)
+        dec.process(scores[:, pos:pos + c], n_valid)
+        pos += c
+    path, entered, score = dec.finalize()
+    np.testing.assert_allclose(score, np.asarray(off.score), rtol=1e-6)
+    off_path = np.asarray(off.path)
+    for b in range(Bp):
+        n = int(nf[b])
+        np.testing.assert_array_equal(path[b, :n], off_path[b, :n])
 
 
 def test_ctc_greedy_phone_decode_quality(ctc_system):
