@@ -40,6 +40,11 @@ def main() -> None:
                         "--objective ctc): posterior scoring over phones+blank, "
                         "CTC-topology decode graph (word mode) or greedy "
                         "best-path phone decode (phone mode)")
+    p.add_argument("--rnnt", action="store_true",
+                   help="the NN checkpoint is an RNN-transducer (train_nn "
+                        "--objective rnnt): frame-synchronous greedy phone "
+                        "decode (--mode phone only; --am lstm/blstm picks "
+                        "the encoder)")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
@@ -104,7 +109,31 @@ def main() -> None:
             raise SystemExit("--nn-ckpt is required with --am mlp/lstm")
         tcfg = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
-        if args.ctc:
+        if args.rnnt:
+            from mogasr.am.rnnt import (
+                RnntModel, init_rnnt_train_state, rnnt_greedy_decode,
+            )
+
+            if args.am not in ("lstm", "blstm") or args.mode != "phone":
+                raise SystemExit("--rnnt needs --am lstm/blstm and --mode phone")
+            model = RnntModel(
+                n_labels=lex.n_phones,
+                enc_hidden=args.nn_hidden,
+                enc_layers=max(args.nn_layers - 1, 1),
+                pred_hidden=max(args.nn_hidden // 4, 16),
+                joint_hidden=max(args.nn_hidden // 2, 32),
+                encoder_arch=args.am,
+            )
+            template = {
+                "params": init_rnnt_train_state(
+                    model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+                ).params,
+            }
+            ck = restore_checkpoint(args.nn_ckpt, template)
+
+            def scorer(fb, _m=model, _p=ck["params"]):
+                return rnnt_greedy_decode(_m, _p, fb.feats, fb.n_frames)
+        elif args.ctc:
             from mogasr.am.ctc import make_ctc_scorer
 
             model = build_model(args.am, lex.n_phones + 1, tcfg)
@@ -128,10 +157,12 @@ def main() -> None:
     if (needs_lattice or args.multi_pron) and args.mode != "word":
         raise SystemExit("--multi-pron/--trigram-rescore/--nbest/--consensus "
                          "require --mode word")
-    if args.ctc and (args.am == "gmm" or args.multi_pron):
-        raise SystemExit("--ctc requires a neural --am and no --multi-pron")
+    if (args.ctc or args.rnnt) and (args.am == "gmm" or args.multi_pron):
+        raise SystemExit("--ctc/--rnnt require a neural --am and no --multi-pron")
     pron_logp = None
-    if args.ctc:
+    if args.rnnt:
+        graph = None  # frame-synchronous transducer decode needs no graph
+    elif args.ctc:
         from mogasr.am.ctc import ctc_decode_graph
 
         # word mode: CTC-topology word loop through the shared Viterbi;
@@ -175,6 +206,13 @@ def main() -> None:
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
         for fb in batches:
+            if args.rnnt:
+                out = [[lex.phones[u] for u in seq] for seq in scorer(fb)]
+                for b in range(fb.size):
+                    ids.append(fb.utt_ids[b])
+                    refs.append([w.lower() for w in fb.words[b]])
+                    hyps.append([w.lower() for w in out[b]])
+                continue
             scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)
             if needs_lattice:
                 from mogasr.decoder.lattice import lattice_nbest, rescore_lattice

@@ -40,9 +40,11 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--spec-augment", action="store_true",
                    help="SpecAugment time/feature masking during training")
-    p.add_argument("--objective", default="ce", choices=["ce", "ctc"],
+    p.add_argument("--objective", default="ce", choices=["ce", "ctc", "rnnt"],
                    help="ce: frame CE on GMM forced alignments; "
-                        "ctc: alignment-free CTC on transcript phone targets")
+                        "ctc: alignment-free CTC on transcript phone targets; "
+                        "rnnt: RNN-transducer (label-history-conditioned, "
+                        "streaming-native; --arch picks the encoder lstm/blstm)")
     p.add_argument("--bootstrap-iters", type=int, default=6,
                    help="EM iterations for the GMM that produces labels")
     p.add_argument("--bootstrap-components", type=int, default=4)
@@ -62,25 +64,34 @@ def main() -> None:
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
 
-    if args.objective == "ctc":
+    if args.objective in ("ctc", "rnnt"):
         import jax.numpy as jnp
 
-        from mogasr.pipeline import train_ctc
+        from mogasr.pipeline import train_ctc, train_rnnt
 
         tcfg = TrainConfig(
             nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
             lr=args.lr, num_nn_steps=args.steps,
         )
         with Timer() as t:
-            model, params = train_ctc(
-                batches, lex, tcfg, arch=args.arch,
-                spec_augment=args.spec_augment, logger=logger,
-            )
-        logger.log({"stage": "train_ctc_done", "steps": args.steps,
+            if args.objective == "ctc":
+                model, params = train_ctc(
+                    batches, lex, tcfg, arch=args.arch,
+                    spec_augment=args.spec_augment, logger=logger,
+                )
+            else:
+                if args.arch not in ("lstm", "blstm"):
+                    raise SystemExit("--objective rnnt needs --arch lstm/blstm")
+                model, params = train_rnnt(
+                    batches, lex, tcfg, encoder_arch=args.arch, logger=logger,
+                )
+        logger.log({"stage": f"train_{args.objective}_done", "steps": args.steps,
                     "wall_sec": t.seconds})
-        ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_ctc_{args.arch}")
+        ckpt = os.path.join(
+            os.path.abspath(args.run_dir), f"nn_{args.objective}_{args.arch}"
+        )
         save_checkpoint(ckpt, {"params": params}, step=args.steps)
-        print(f"saved CTC {args.arch} AM to {ckpt}")
+        print(f"saved {args.objective.upper()} {args.arch} AM to {ckpt}")
         return
 
     # GMM bootstrap for alignment labels (stack 3.3)

@@ -596,6 +596,60 @@ def train_ctc(
     return model, state.params
 
 
+def train_rnnt(
+    batches: Sequence[FeatBatch],
+    lexicon: Lexicon,
+    tcfg: TrainConfig,
+    encoder_arch: str = "lstm",
+    steps: Optional[int] = None,
+    include_sil: bool = False,
+    logger=None,
+):
+    """RNN-Transducer training on (features, phone sequence) pairs.
+
+    Like train_ctc, fully alignment-free; unlike CTC, emissions condition on
+    the label history through the prediction network (mogasr.am.rnnt).
+    Returns (model, params); decode with rnnt_greedy_decode.
+    """
+    from mogasr.am import ctc as C
+    from mogasr.am import rnnt as R
+
+    model = R.RnntModel(
+        n_labels=lexicon.n_phones,
+        enc_hidden=tcfg.nn_hidden,
+        enc_layers=max(tcfg.nn_layers - 1, 1),
+        pred_hidden=max(tcfg.nn_hidden // 4, 16),
+        joint_hidden=max(tcfg.nn_hidden // 2, 32),
+        encoder_arch=encoder_arch,
+    )
+    seqs_all = [
+        [C.ctc_labels_from_words(lexicon, fb.words[b], include_sil) for b in range(fb.size)]
+        for fb in batches
+    ]
+    l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)
+    labeled = []
+    for fb, seqs in zip(batches, seqs_all):
+        rows = int(fb.feats.shape[0])
+        seqs = seqs + [[] for _ in range(rows - fb.size)]
+        labels, n_labels = C.pack_label_batch(seqs, pad_to=l_max)
+        labeled.append((fb, jnp.asarray(labels), jnp.asarray(n_labels)))
+    state = R.init_rnnt_train_state(
+        model, tcfg, batches[0].feats.shape[-1], l_max, jax.random.key(tcfg.seed)
+    )
+    step_fn = R.make_rnnt_train_step(model, tcfg)
+    total = steps if steps is not None else tcfg.num_nn_steps
+    i, m = 0, {"loss": jnp.asarray(0.0)}
+    while i < total:
+        for fb, labels, n_labels in labeled:
+            state, m = step_fn(state, fb.feats, fb.n_frames, labels, n_labels)
+            i += 1
+            if logger is not None and i % 50 == 0:
+                logger.log({"stage": "train_rnnt", "step": i, "loss": float(m["loss"])})
+            if i >= total:
+                break
+    return model, state.params
+
+
 def evaluate(
     batches: Sequence[FeatBatch],
     gmm: Optional[GmmSet],

@@ -236,6 +236,32 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
 
 
+def test_train_rnnt_then_decode_cli(tmp_path, monkeypatch):
+    """RNN-transducer smoke: train_nn --objective rnnt -> decode --rnnt
+    (greedy phone mode)."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "32", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any(m.get("stage") == "train_rnnt_done" for m in metrics)
+
+    out = str(tmp_path / "rnnt_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run2"),
+         "--am", "lstm", "--rnnt", "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--mode", "phone", "--nn-hidden", "32", "--nn-layers", "2", "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 3
+
+
 def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
     """Online neural CTC: stateful LSTM chunks -> OnlineDecoder on the CTC
     graph, partial events then a final hypothesis."""

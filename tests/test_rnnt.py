@@ -1,0 +1,173 @@
+"""RNN-T tests: loss vs an independent NumPy DP oracle (values + numerical
+gradients), padding invariance, and learn-then-greedy-decode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mogasr.am import rnnt as R
+from mogasr.config import TrainConfig
+
+
+def _rand_problem(seed=0, B=3, T=6, U=3, V=5):
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+    n_frames = rng.integers(2, T + 1, B).astype(np.int32)
+    n_labels = rng.integers(1, U + 1, B).astype(np.int32)
+    labels = np.full((B, U), -1, np.int32)
+    for b in range(B):
+        labels[b, : n_labels[b]] = rng.integers(0, V - 1, n_labels[b])
+    return logits, n_frames, labels, n_labels
+
+
+def test_rnnt_loss_matches_numpy_oracle():
+    logits, n_frames, labels, n_labels = _rand_problem()
+    got = np.asarray(
+        R.rnnt_loss(
+            jnp.asarray(logits), jnp.asarray(n_frames),
+            jnp.asarray(labels), jnp.asarray(n_labels),
+        )
+    )
+    for b in range(logits.shape[0]):
+        logp = np.asarray(
+            jax.nn.log_softmax(jnp.asarray(logits[b, : n_frames[b]]), axis=-1)
+        )
+        want = R.rnnt_loss_np(logp, list(labels[b, : n_labels[b]]))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-5)
+
+
+def test_rnnt_loss_grad_matches_finite_differences():
+    logits, n_frames, labels, n_labels = _rand_problem(seed=1, B=1, T=4, U=2, V=4)
+
+    def f(x):
+        return R.rnnt_loss(
+            jnp.asarray(x), jnp.asarray(n_frames),
+            jnp.asarray(labels), jnp.asarray(n_labels),
+        )[0]
+
+    g = np.asarray(jax.grad(lambda x: f(x))(jnp.asarray(logits)))
+    rng = np.random.default_rng(2)
+    eps = 1e-3
+    for _ in range(6):
+        idx = tuple(rng.integers(0, s) for s in logits.shape)
+        if idx[1] >= n_frames[0]:
+            continue
+        d = np.zeros_like(logits)
+        d[idx] = eps
+        num = (float(f(logits + d)) - float(f(logits - d))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], num, rtol=2e-2, atol=2e-3)
+
+
+def test_rnnt_loss_padding_invariance():
+    logits, n_frames, labels, n_labels = _rand_problem(seed=3)
+    base = np.asarray(
+        R.rnnt_loss(
+            jnp.asarray(logits), jnp.asarray(n_frames),
+            jnp.asarray(labels), jnp.asarray(n_labels),
+        )
+    )
+    B, T, U1, V = logits.shape
+    pad = np.concatenate(
+        [logits, 37.0 * np.ones((B, 2, U1, V), np.float32)], axis=1
+    )
+    for b in range(B):
+        pad[b, n_frames[b]:] = 99.0  # garbage on padded frames
+    pad = np.concatenate(
+        [pad, 55.0 * np.ones((B, T + 2, 2, V), np.float32)], axis=2
+    )
+    pad_labels = np.concatenate([labels, np.full((B, 2), -1, np.int32)], axis=1)
+    out = np.asarray(
+        R.rnnt_loss(
+            jnp.asarray(pad), jnp.asarray(n_frames),
+            jnp.asarray(pad_labels), jnp.asarray(n_labels),
+        )
+    )
+    np.testing.assert_allclose(out, base, rtol=1e-4)
+
+
+def _make_unit_task(seed=0, B=4, n_units=3, units_T=6, frames_per=5):
+    rng = np.random.default_rng(seed)
+    D = n_units + 1
+    T = units_T * frames_per
+    seqs, feats, n_frames = [], [], []
+    for b in range(B):
+        n = int(rng.integers(2, units_T + 1))
+        seq = []
+        while len(seq) < n:  # no consecutive repeats: keeps the task about
+            u = int(rng.integers(0, n_units))  # transduction, not counting
+            if not seq or seq[-1] != u:
+                seq.append(u)
+        x = np.zeros((T, D), np.float32)
+        t = 0
+        for u in seq:
+            for _ in range(frames_per):
+                x[t, u] = 1.0
+                t += 1
+        x += 0.05 * rng.standard_normal((T, D)).astype(np.float32)
+        seqs.append(seq)
+        feats.append(x)
+        n_frames.append(t)
+    U = max(len(s) for s in seqs)
+    labels = np.full((B, U), -1, np.int32)
+    for b, s in enumerate(seqs):
+        labels[b, : len(s)] = s
+    n_labels = np.asarray([len(s) for s in seqs], np.int32)
+    return (
+        jnp.asarray(np.stack(feats)), jnp.asarray(np.asarray(n_frames, np.int32)),
+        jnp.asarray(labels), jnp.asarray(n_labels), seqs,
+    )
+
+
+def test_rnnt_speech_phone_recognition():
+    """Pipeline-level RNN-T on real synthetic speech: alignment-free
+    transducer training, greedy phone decode recovers the phone sequences
+    (probed at PER 0.0 in ~30 s; threshold kept loose for CI noise)."""
+    from mogasr import pipeline as pipe
+    from mogasr.am import ctc as C
+    from mogasr.am.rnnt import rnnt_greedy_decode
+    from mogasr.config import BatchConfig, FrontendConfig
+    from mogasr.data.synthetic import LEXICON, make_corpus
+    from mogasr.eval.wer import corpus_wer
+    from mogasr.hmm.lexicon import make_lexicon
+
+    vocab = ["fish", "cat", "see", "sun", "tree", "dog"]
+    lex = make_lexicon({w: LEXICON[w] for w in vocab})
+    fcfg = FrontendConfig()
+    utts = make_corpus(16, words_per_utt=(2, 2), seed=7, vocab=vocab)
+    batches = pipe.featurize(
+        [(u.utt_id, u.wave, u.words) for u in utts],
+        fcfg, BatchConfig(batch_size=8, bucket_boundaries=(250, 400)),
+    )
+    tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=280)
+    model, params = pipe.train_rnnt(batches, lex, tcfg)
+    refs, hyps = [], []
+    for fb in batches:
+        out = rnnt_greedy_decode(model, params, fb.feats, fb.n_frames)
+        for b in range(fb.size):
+            refs.append([lex.phones[p] for p in C.ctc_labels_from_words(lex, fb.words[b])])
+            hyps.append([lex.phones[p] for p in out[b]])
+    per, _ = corpus_wer(refs, hyps)
+    assert per < 0.15, per
+
+
+def test_rnnt_trains_and_greedy_decodes():
+    feats, n_frames, labels, n_labels, seqs = _make_unit_task()
+    n_units = 3
+    model = R.RnntModel(
+        n_labels=n_units, enc_hidden=32, enc_layers=1,
+        pred_hidden=16, joint_hidden=32,
+    )
+    cfg = TrainConfig(lr=5e-3, num_nn_steps=300)
+    state = R.init_rnnt_train_state(
+        model, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step = R.make_rnnt_train_step(model, cfg)
+    first = None
+    for _ in range(cfg.num_nn_steps):
+        state, m = step(state, feats, n_frames, labels, n_labels)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.3, (first, float(m["loss"]))
+    hyps = R.rnnt_greedy_decode(model, state.params, feats, n_frames)
+    assert hyps == seqs, (hyps, seqs)
