@@ -95,6 +95,73 @@ def make_sharded_stats_step(mesh: Mesh, accumulate_fn):
     return stats_step
 
 
+def make_sharded_ctc_train_step(model, cfg: TrainConfig, mesh: Mesh):
+    """CTC train step, batch sharded / params replicated (alignment-free
+    counterpart of make_sharded_train_step; same derived ICI grad psum)."""
+    import optax
+
+    from mogasr.am.ctc import CtcTrainState, ctc_loss
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames, labels, n_labels):
+        def loss_fn(params):
+            logits = model.apply(params, feats, n_frames)
+            nll = ctc_loss(logits, n_frames, labels, n_labels)
+            valid = (n_frames > 0) & (n_labels > 0)
+            nv = jnp.maximum(jnp.sum(valid), 1)
+            per = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
+            return jnp.sum(per) / nv
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return CtcTrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return train_step
+
+
+def make_sharded_rnnt_train_step(model, cfg: TrainConfig, mesh: Mesh):
+    """RNN-T train step, batch sharded / params replicated."""
+    import optax
+
+    from mogasr.am.rnnt import RnntTrainState, rnnt_loss
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames, labels, n_labels):
+        def loss_fn(params):
+            logits = model.apply(params, feats, n_frames, labels)
+            nll = rnnt_loss(logits, n_frames, labels, n_labels)
+            valid = (n_frames > 0) & (n_labels > 0)
+            nv = jnp.maximum(jnp.sum(valid), 1)
+            per = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
+            return jnp.sum(per) / nv
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return RnntTrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return train_step
+
+
 def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, spec_augment: bool = False):
     """NN train step with the batch sharded and params/opt-state replicated.
 
