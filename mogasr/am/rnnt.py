@@ -261,6 +261,82 @@ def make_rnnt_train_step(model: RnntModel, cfg: TrainConfig):
 # --------------------------------------------------------------------------
 
 
+class RnntDecoderFns(NamedTuple):
+    """Jitted prediction/joint closures shared by greedy, beam, streaming."""
+
+    pred_of: Any   # (hist [B, U_cap] -1-padded, lens [B]) -> [B, Hp]
+    joint_of: Any  # (enc_t [B, He], pred_t [B, Hp]) -> [B, V] logits
+    blank: int
+
+
+def make_rnnt_decoder_fns(model: RnntModel, params) -> RnntDecoderFns:
+    pred_def = RnntPrediction(model.n_labels, hidden=model.pred_hidden)
+    pred_params = {"params": params["params"]["prediction"]}
+    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
+    joint_params = {"params": params["params"]["joint"]}
+
+    @jax.jit
+    def pred_of(hist, lens):
+        """Prediction output at each row's OWN position (index len(history);
+        <sos> offsets by one, so that conditions on exactly the history)."""
+        out = pred_def.apply(pred_params, hist)  # [B, U+1, H]
+        return jnp.take_along_axis(out, lens[:, None, None], axis=1)[:, 0, :]
+
+    @jax.jit
+    def joint_of(enc_t, pred_t):  # [B, He], [B, Hp] -> [B, V]
+        return joint_def.apply(
+            joint_params, enc_t[:, None, :], pred_t[:, None, :]
+        )[:, 0, 0, :]
+
+    return RnntDecoderFns(pred_of, joint_of, model.n_labels)
+
+
+class RnntGreedyState:
+    """Greedy decode state for a batch of streams: fixed-size history buffer
+    (ONE prediction-net compile — a growing-history shape recompiles per
+    emission, which is pathological through a remote compiler: measured as
+    an effectively hung decode on the TPU tunnel)."""
+
+    def __init__(self, fns: RnntDecoderFns, batch: int, u_cap: int):
+        self.fns = fns
+        self.u_cap = u_cap
+        self.hyps: List[List[int]] = [[] for _ in range(batch)]
+        self.u_hist = np.full((batch, u_cap), -1, np.int32)
+        self.frames_done = np.zeros(batch, np.int64)
+        self._pred = None
+
+    def _pred_now(self):
+        lens = np.asarray([len(h) for h in self.hyps], np.int32)
+        return self.fns.pred_of(jnp.asarray(self.u_hist), jnp.asarray(lens))
+
+    def consume(self, enc_chunk, n_valid, max_symbols_per_frame: int = 4):
+        """enc_chunk [B, Tc, He]; n_valid [B] valid frames in this chunk."""
+        if self._pred is None:
+            self._pred = self._pred_now()
+        n_valid = np.asarray(n_valid)
+        Tc = enc_chunk.shape[1]
+        for t in range(Tc):
+            active = n_valid > t
+            if not active.any():
+                break
+            for _ in range(max_symbols_per_frame):
+                logits = np.asarray(self.fns.joint_of(enc_chunk[:, t], self._pred))
+                best = logits.argmax(-1)
+                emit = active & (best != self.fns.blank) & np.asarray(
+                    [len(h) < self.u_cap for h in self.hyps]
+                )
+                if not emit.any():
+                    break
+                for b in np.nonzero(emit)[0]:
+                    self.u_hist[b, len(self.hyps[b])] = int(best[b])
+                    self.hyps[b].append(int(best[b]))
+                self._pred = self._pred_now()
+        self.frames_done += n_valid
+
+    def partial(self) -> List[List[int]]:
+        return [list(h) for h in self.hyps]
+
+
 def rnnt_greedy_decode(
     model: RnntModel,
     params,
@@ -275,63 +351,109 @@ def rnnt_greedy_decode(
     blank wins or the per-frame cap hits, then move to the next frame. The
     caps make the loop finite without changing results on real posteriors
     (blank dominates after the cap in practice).
-
-    The label history lives in ONE fixed [B, max_symbols] buffer so the
-    prediction network compiles exactly once — a growing-history shape
-    recompiles per emission, which is pathological through a remote
-    compiler (measured: an effectively hung decode on the TPU tunnel).
     """
     enc = model.apply(params, feats, n_frames, method=RnntModel.encode)
-    B = enc.shape[0]
-    V = model.n_labels + 1
-    blank = V - 1
-
-    pred_def = RnntPrediction(model.n_labels, hidden=model.pred_hidden)
-    pred_params = {"params": params["params"]["prediction"]}
-    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
-    joint_params = {"params": params["params"]["joint"]}
-
-    @jax.jit
-    def pred_of(hist, lens):
-        """hist [B, U] (-1 pad), lens [B] -> [B, H]: the prediction output
-        at each stream's OWN position (index len(history); <sos> offsets by
-        one, so that is the state conditioned on exactly its history)."""
-        out = pred_def.apply(pred_params, hist)  # [B, U+1, H]
-        return jnp.take_along_axis(out, lens[:, None, None], axis=1)[:, 0, :]
-
-    @jax.jit
-    def joint_of(enc_t, pred_t):  # [B, He], [B, Hp] -> [B, V]
-        return joint_def.apply(
-            joint_params, enc_t[:, None, :], pred_t[:, None, :]
-        )[:, 0, 0, :]
-
-    nf = np.asarray(n_frames)
-    T = enc.shape[1]
+    B, T = enc.shape[0], enc.shape[1]
     u_cap = int(max_symbols) if max_symbols is not None else min(2 * T, 400)
-    hyps: List[List[int]] = [[] for _ in range(B)]
-    u_hist = np.full((B, u_cap), -1, np.int32)  # fixed shape: ONE compile
-    # prediction state is recomputed from history per emission (histories are
-    # short at this scale; a carry-based LSTM stepper is the optimization)
+    state = RnntGreedyState(make_rnnt_decoder_fns(model, params), B, u_cap)
+    state.consume(enc, np.asarray(n_frames), max_symbols_per_frame)
+    return state.partial()
 
-    def pred_now():
-        lens = np.asarray([len(h) for h in hyps], np.int32)
-        return pred_of(jnp.asarray(u_hist), jnp.asarray(lens))
 
-    pred_t = pred_now()
+def make_rnnt_stream_encoder(model: RnntModel, params, batch: int, feat_dim: int):
+    """Chunked stateful encoder for online RNN-T (lstm encoder_arch only).
+
+    Returns (step, carries): ``carries, enc_chunk = step(carries, feats)``.
+    Reuses the OFFLINE encoder parameters through LstmAmStream (identical
+    param tree), so chunked outputs equal the offline encoder exactly and
+    streaming greedy == offline greedy for any chunking (tested).
+    """
+    from mogasr.am.neural import LstmAm, LstmAmStream, lstm_stream_init
+
+    assert model.encoder_arch == "lstm", "streaming needs the lstm encoder"
+    layers = model.enc_layers
+    stream = LstmAmStream(n_pdfs=model.enc_hidden, hidden=model.enc_hidden, layers=layers)
+    enc_params = {"params": params["params"]["encoder"]}
+    offline = LstmAm(n_pdfs=model.enc_hidden, hidden=model.enc_hidden, layers=layers)
+    carries = lstm_stream_init(offline, batch, feat_dim)
+
+    @jax.jit
+    def step(carries, feats):
+        enc, new_carries = stream.apply(enc_params, feats, carries)
+        return new_carries, enc
+
+    return step, carries
+
+
+def rnnt_beam_decode(
+    model: RnntModel,
+    params,
+    feats: jax.Array,     # [1 or B, T, D] (decoded one utterance at a time)
+    n_frames: jax.Array,
+    beam_size: int = 4,
+    max_symbols_per_frame: int = 4,
+    u_cap: int = 200,
+) -> List[Tuple[float, List[int]]]:
+    """Monotonic (batch-synchronous) RNN-T beam search for ONE utterance.
+
+    At each frame, every live hypothesis expands over {blank, labels}; blank
+    moves a hypothesis to the next frame, labels re-expand within the frame
+    (up to the per-frame cap); identical prefixes are merged by logaddexp.
+    All hypotheses' joints evaluate in ONE batched call per expansion round,
+    and histories live in a fixed [beam, u_cap] buffer (single compile).
+
+    Returns [(logp, label_seq)] best-first for the FIRST utterance.
+    """
+    fns = make_rnnt_decoder_fns(model, params)
+    enc = model.apply(params, feats, n_frames, method=RnntModel.encode)
+    T = int(np.asarray(n_frames)[0])
+    blank = fns.blank
+
+    # hypothesis set entering each frame: prefix -> logp
+    beams: Dict[Tuple[int, ...], float] = {(): 0.0}
+
+    def batch_pred(prefixes):
+        H = len(prefixes)
+        hist = np.full((H, u_cap), -1, np.int32)
+        lens = np.zeros(H, np.int32)
+        for i, p in enumerate(prefixes):
+            hist[i, : len(p)] = p
+            lens[i] = len(p)
+        return fns.pred_of(jnp.asarray(hist), jnp.asarray(lens))
+
     for t in range(T):
-        active = nf > t
-        if not active.any():
-            break
-        for _ in range(max_symbols_per_frame):
-            logits = np.asarray(joint_of(enc[:, t], pred_t))
-            best = logits.argmax(-1)
-            emit_mask = active & (best != blank) & np.asarray(
-                [len(h) < u_cap for h in hyps]
-            )
-            if not emit_mask.any():
+        # A: hyps still consuming frame t; done: hyps that emitted blank at t
+        A = dict(beams)
+        done: Dict[Tuple[int, ...], float] = {}
+        for _round in range(max_symbols_per_frame + 1):
+            if not A:
                 break
-            for b in np.nonzero(emit_mask)[0]:
-                u_hist[b, len(hyps[b])] = int(best[b])
-                hyps[b].append(int(best[b]))
-            pred_t = pred_now()
-    return hyps
+            prefixes = list(A.keys())
+            scores = np.asarray([A[p] for p in prefixes])
+            pred = batch_pred(prefixes)
+            enc_t = jnp.broadcast_to(enc[0, t][None, :], (len(prefixes), enc.shape[2]))
+            logp = np.asarray(
+                jax.nn.log_softmax(fns.joint_of(enc_t, pred), axis=-1)
+            )  # [H, V]
+            # blank: finish the frame
+            for i, p in enumerate(prefixes):
+                s = scores[i] + logp[i, blank]
+                done[p] = np.logaddexp(done[p], s) if p in done else s
+            if _round == max_symbols_per_frame:
+                break
+            # labels: stay in the frame
+            new_A: Dict[Tuple[int, ...], float] = {}
+            for i, p in enumerate(prefixes):
+                if len(p) >= u_cap:
+                    continue
+                for v in range(blank):
+                    s = scores[i] + logp[i, v]
+                    q = p + (v,)
+                    new_A[q] = np.logaddexp(new_A[q], s) if q in new_A else s
+            # prune the in-frame set against the best finished hypothesis
+            if done:
+                thresh = max(done.values())
+                new_A = {p: s for p, s in new_A.items() if s > thresh - 10.0}
+            A = dict(sorted(new_A.items(), key=lambda kv: -kv[1])[:beam_size])
+        beams = dict(sorted(done.items(), key=lambda kv: -kv[1])[:beam_size])
+    return sorted(((s, list(p)) for p, s in beams.items()), key=lambda x: -x[0])

@@ -119,6 +119,61 @@ def _make_unit_task(seed=0, B=4, n_units=3, units_T=6, frames_per=5):
     )
 
 
+@pytest.fixture(scope="module")
+def trained_unit_rnnt():
+    feats, n_frames, labels, n_labels, seqs = _make_unit_task()
+    model = R.RnntModel(
+        n_labels=3, enc_hidden=32, enc_layers=1, pred_hidden=16, joint_hidden=32,
+    )
+    cfg = TrainConfig(lr=5e-3, num_nn_steps=300)
+    state = R.init_rnnt_train_state(
+        model, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step = R.make_rnnt_train_step(model, cfg)
+    for _ in range(cfg.num_nn_steps):
+        state, _ = step(state, feats, n_frames, labels, n_labels)
+    return model, state.params, feats, n_frames, seqs
+
+
+def test_rnnt_beam_decode_matches_greedy_on_peaked(trained_unit_rnnt):
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+    greedy = R.rnnt_greedy_decode(model, params, feats, n_frames)
+    for b in range(feats.shape[0]):
+        ranked = R.rnnt_beam_decode(
+            model, params, feats[b:b + 1], n_frames[b:b + 1], beam_size=4
+        )
+        assert ranked[0][1] == greedy[b] == seqs[b]
+        scores = [s for s, _ in ranked]
+        assert scores == sorted(scores, reverse=True)
+        prefixes = [tuple(p) for _, p in ranked]
+        assert len(set(prefixes)) == len(prefixes)
+
+
+def test_rnnt_streaming_greedy_exact(trained_unit_rnnt):
+    """Chunked stateful encoder + incremental greedy == offline greedy for
+    ragged chunkings, with monotone partials."""
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+    offline = R.rnnt_greedy_decode(model, params, feats, n_frames)
+    B, T, D = feats.shape
+    nf = np.asarray(n_frames)
+    for chunks in ([7, 11, T - 18], [T], [1] * 5 + [T - 5]):
+        assert sum(chunks) == T
+        step, carries = R.make_rnnt_stream_encoder(model, params, B, D)
+        dec = R.RnntGreedyState(R.make_rnnt_decoder_fns(model, params), B, 100)
+        pos = 0
+        lens = []
+        for c in chunks:
+            carries, enc_chunk = step(carries, feats[:, pos:pos + c])
+            n_valid = np.clip(nf - pos, 0, c)
+            dec.consume(enc_chunk, n_valid)
+            lens.append([len(h) for h in dec.partial()])
+            pos += c
+        assert dec.partial() == offline, chunks
+        for b in range(B):
+            col = [l[b] for l in lens]
+            assert col == sorted(col)
+
+
 def test_rnnt_speech_phone_recognition():
     """Pipeline-level RNN-T on real synthetic speech: alignment-free
     transducer training, greedy phone decode recovers the phone sequences
