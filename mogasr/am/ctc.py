@@ -356,6 +356,71 @@ def ctc_prefix_beam_decode(
     return ctc_beam_ranked(beams)
 
 
+def ctc_prefix_beam_decode_native(
+    logp: np.ndarray,  # [T, V] log posteriors of ONE utterance
+    beam_size: int = 8,
+    blank_id: Optional[int] = None,
+    prune_logp: float = -12.0,
+) -> Optional[List[Tuple[float, List[int]]]]:
+    """C++ prefix beam search (mogasr/native/ctc_beam_native.cpp).
+
+    Exact-parity with ctc_prefix_beam_decode (same algorithm, iteration
+    order, and double-precision logaddexp — tested); the host-side
+    production path for wide beams / long utterances. Returns None when the
+    native library is unavailable (caller falls back to Python); LM
+    shallow fusion (ext_score) is Python-only.
+    """
+    import ctypes
+
+    from mogasr.native import load_ctc_beam_lib
+
+    lib = load_ctc_beam_lib()
+    if lib is None:
+        return None
+    logp = np.ascontiguousarray(logp, np.float32)
+    T, V = logp.shape
+    bid = V - 1 if blank_id is None else blank_id
+    max_len = max(T, 1)
+    out_seqs = np.empty((beam_size, max_len), np.int32)
+    out_lens = np.empty(beam_size, np.int32)
+    out_scores = np.empty(beam_size, np.float64)
+    as_ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    n = lib.ctc_prefix_beam(
+        as_ptr(logp, ctypes.c_float), T, V, beam_size, bid, prune_logp,
+        as_ptr(out_seqs, ctypes.c_int32), as_ptr(out_lens, ctypes.c_int32),
+        as_ptr(out_scores, ctypes.c_double), max_len,
+    )
+    return [
+        (float(out_scores[i]), out_seqs[i, : out_lens[i]].tolist())
+        for i in range(n)
+    ]
+
+
+def ctc_beam_decode_batch(
+    logp: np.ndarray,     # [B, T, V]
+    n_frames: np.ndarray,  # [B]
+    beam_size: int = 8,
+    blank_id: Optional[int] = None,
+    prune_logp: float = -12.0,
+    native: bool = True,
+) -> List[List[int]]:
+    """Top-1 prefix-beam hypotheses for a batch (native when available)."""
+    logp = np.asarray(logp)
+    n_frames = np.asarray(n_frames)
+    out = []
+    for b in range(logp.shape[0]):
+        lp = logp[b, : int(n_frames[b])]
+        ranked = ctc_prefix_beam_decode_native(
+            lp, beam_size, blank_id, prune_logp
+        ) if native else None
+        if ranked is None:
+            ranked = ctc_prefix_beam_decode(
+                lp, beam_size, blank_id, prune_logp=prune_logp
+            )
+        out.append(ranked[0][1] if ranked else [])
+    return out
+
+
 class CtcStreamDecoder:
     """Online CTC decoding over chunked log-posteriors.
 

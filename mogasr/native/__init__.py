@@ -18,6 +18,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_CTC_LIB: Optional[ctypes.CDLL] = None
+_CTC_TRIED = False
 
 
 def _build(src: str, so_path: str) -> bool:
@@ -60,3 +62,36 @@ def load_wer_lib() -> Optional[ctypes.CDLL]:
         lib.batch_edit_counts.restype = None
         _LIB = lib
         return _LIB
+
+
+def load_ctc_beam_lib() -> Optional[ctypes.CDLL]:
+    """The CTC prefix-beam shared library; None if g++/dlopen unavailable."""
+    global _CTC_LIB, _CTC_TRIED
+    with _LOCK:
+        if _CTC_LIB is not None or _CTC_TRIED:
+            return _CTC_LIB
+        _CTC_TRIED = True
+        src = os.path.join(_HERE, "ctc_beam_native.cpp")
+        so_path = os.path.join(_HERE, "_ctc_beam_native.so")
+        if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
+            if not _build(src, so_path):
+                return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+        lib.ctc_prefix_beam.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+        ]
+        lib.ctc_prefix_beam.restype = ctypes.c_int32
+        _CTC_LIB = lib
+        return _CTC_LIB

@@ -246,6 +246,37 @@ def test_ctc_training_learns_and_greedy_decodes():
         assert ranked[0][1] == seq
 
 
+def test_native_prefix_beam_exact_parity():
+    """C++ prefix beam == Python prefix beam: same ranked sequences, scores
+    to double precision (same algorithm + iteration order by construction)."""
+    from mogasr.native import load_ctc_beam_lib
+
+    if load_ctc_beam_lib() is None:
+        pytest.skip("native build unavailable")
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        T, V = int(rng.integers(5, 40)), int(rng.integers(3, 12))
+        logits = rng.standard_normal((T, V)).astype(np.float32)
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        py = C.ctc_prefix_beam_decode(logp, beam_size=6, prune_logp=-9.0)
+        nat = C.ctc_prefix_beam_decode_native(logp, beam_size=6, prune_logp=-9.0)
+        assert [s for _, s in nat] == [s for _, s in py]
+        np.testing.assert_allclose(
+            [sc for sc, _ in nat], [sc for sc, _ in py], rtol=1e-9
+        )
+
+
+def test_ctc_beam_decode_batch_native_matches_python():
+    rng = np.random.default_rng(7)
+    B, T, V = 3, 20, 6
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    nf = np.asarray([20, 15, 9])
+    a = C.ctc_beam_decode_batch(logp, nf, beam_size=4, native=True)
+    b = C.ctc_beam_decode_batch(logp, nf, beam_size=4, native=False)
+    assert a == b
+
+
 def test_ctc_stream_decoder_exact_vs_offline():
     """Greedy and prefix-beam streaming decodes are EXACTLY the offline
     results for any chunking (frame-sequential algorithms)."""
