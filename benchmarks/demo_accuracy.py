@@ -157,6 +157,37 @@ def main() -> None:
     )
     results["heldout_wer_ctc"] = round(m_ctc["wer"], 4)
 
+    # (b7) RNN-transducer (alignment-free, streaming-native): held-out PER
+    from mogasr.am.rnnt import rnnt_greedy_decode
+
+    rnnt_tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=500)
+    rnnt_model, rnnt_params = pipe.train_rnnt(tb, lex, rnnt_tcfg)
+
+    def phone_refs_hyps(decode_fn):
+        refs_p, hyps_p = [], []
+        for fb in eb:
+            out = decode_fn(fb)
+            for b in range(fb.size):
+                refs_p.append([
+                    lex.phones[p]
+                    for p in C.ctc_labels_from_words(lex, fb.words[b])
+                ])
+                hyps_p.append([lex.phones[p] for p in out[b]])
+        return refs_p, hyps_p
+
+    refs_p, hyps_p = phone_refs_hyps(
+        lambda fb: rnnt_greedy_decode(rnnt_model, rnnt_params, fb.feats, fb.n_frames)
+    )
+    results["heldout_per_rnnt"] = round(corpus_wer(refs_p, hyps_p)[0], 4)
+
+    # CTC greedy phone decode on the same metric, for comparison
+    refs_p, hyps_p = phone_refs_hyps(
+        lambda fb: C.ctc_greedy_decode(
+            ctc_model.apply(ctc_params, fb.feats, fb.n_frames), fb.n_frames
+        )
+    )
+    results["heldout_per_ctc_greedy"] = round(corpus_wer(refs_p, hyps_p)[0], 4)
+
     # (c) hybrid MLP AM trained on GMM alignments
     labeled = []
     for fb in tb:

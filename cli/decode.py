@@ -51,6 +51,11 @@ def main() -> None:
     p.add_argument("--bigram-lm", action="store_true",
                    help="decode with a bigram word LM estimated from the "
                         "corpus transcripts (word mode only)")
+    p.add_argument("--grammar", metavar="FILE",
+                   help="FSA-style command-grammar decoding: FILE has one "
+                        "allowed word sequence per line; hypotheses are "
+                        "constrained to the grammar's adjacency graph "
+                        "(word mode only)")
     p.add_argument("--multi-pron", action="store_true",
                    help="expand one decode chain per pronunciation variant "
                         "(lexicons with WORD(2) alternates)")
@@ -177,7 +182,18 @@ def main() -> None:
     else:
         graph = gr.loop_graph(topo)
     lm = trigram = None
-    if args.bigram_lm or needs_lattice:
+    if args.grammar:
+        if args.mode != "word":
+            raise SystemExit("--grammar requires --mode word")
+        from mogasr.lm.ngram import grammar_bigram
+
+        with open(args.grammar) as f:
+            sentences = [line.split() for line in f if line.split()]
+        lm = grammar_bigram(
+            [[w.lower() for w in s] for s in sentences],
+            tokens=sorted(set(graph.labels)),
+        )
+    elif args.bigram_lm or needs_lattice:
         if args.mode != "word":
             raise SystemExit("--bigram-lm requires --mode word")
         from mogasr.lm.ngram import (

@@ -32,6 +32,14 @@ def main() -> None:
     p.add_argument("--triphones", type=int, default=0, metavar="N_PDFS",
                    help="after monophone training, build a tied-triphone "
                         "system with ~N_PDFS states and run CD EM")
+    p.add_argument("--mmi", type=int, default=0, metavar="ITERS",
+                   help="discriminative MMI refinement iterations after ML "
+                        "training (dense denominator, extended Baum-Welch)")
+    p.add_argument("--smbr", type=int, default=0, metavar="ITERS",
+                   help="discriminative sMBR refinement iterations after ML "
+                        "training (expected frame accuracy, I-smoothed EBW)")
+    p.add_argument("--disc-acoustic-scale", type=float, default=0.1,
+                   help="acoustic scale (kappa) for --mmi/--smbr")
     args = p.parse_args()
 
     corpus, lex = load_corpus(args)
@@ -54,6 +62,33 @@ def main() -> None:
         "final_avg_loglik": history[-1], "wall_sec": t.seconds,
         "K": gmm.n_components, "S": gmm.n_states,
     })
+    if args.mmi > 0:
+        from mogasr.am.mmi import train_mmi
+
+        with Timer() as tm:
+            gmm, mmi_hist = train_mmi(
+                batches, lex, topo, gmm, n_iters=args.mmi,
+                acoustic_scale=args.disc_acoustic_scale, logger=logger,
+            )
+        logger.log({
+            "stage": "train_mmi_done", "iters": len(mmi_hist),
+            "criterion_first": mmi_hist[0], "criterion_last": mmi_hist[-1],
+            "wall_sec": tm.seconds,
+        })
+    if args.smbr > 0:
+        from mogasr.am.smbr import train_smbr
+
+        with Timer() as ts:
+            gmm, smbr_hist = train_smbr(
+                batches, lex, topo, gmm, n_iters=args.smbr,
+                acoustic_scale=args.disc_acoustic_scale, logger=logger,
+            )
+        logger.log({
+            "stage": "train_smbr_done", "iters": len(smbr_hist),
+            "expected_acc_first": smbr_hist[0], "expected_acc_last": smbr_hist[-1],
+            "wall_sec": ts.seconds,
+        })
+
     ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm")
     save_checkpoint(ckpt, gmm._asdict(), step=len(history))
     print(f"saved GMM ({gmm.n_states} states x {gmm.n_components} comps) to {ckpt}")

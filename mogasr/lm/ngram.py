@@ -10,7 +10,7 @@ ordinary token (documented simplification vs LM-transparent silence).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -290,6 +290,73 @@ def sequence_logp(lm, words: Sequence[str]) -> float:
         lp, ctx = step(ctx, idx[w])
         total += lp
     return total + final(ctx)
+
+
+def grammar_bigram(
+    sentences: Sequence[Sequence[str]],
+    tokens: Optional[Sequence[str]] = None,
+    transparent: Sequence[str] = ("<sil>",),
+) -> BigramLm:
+    """Hard command-grammar "LM": FSA-style constrained decoding.
+
+    Only the word adjacencies / sentence starts / sentence ends attested in
+    ``sentences`` get probability mass (uniform over each state's allowed
+    continuations); everything else is -inf. Decoding with this LM through
+    decoder.lm_viterbi therefore only ever produces grammar-consistent word
+    sequences — command-and-control style decoding through the SAME exact
+    kernel as n-gram decoding (a grammar IS a bigram with hard zeros here).
+
+    transparent: tokens (silence) allowed between any two grammar words and
+    at the edges. Known approximation: a bigram cannot carry context across
+    a transparent token, so "a <sil> b" is accepted whenever some grammar
+    word may precede sil and some may follow — the standard bigram-grammar
+    silence caveat.
+    """
+    words = sorted({w for s in sentences for w in s})
+    if tokens is None:
+        tokens = words + [t for t in transparent if t not in words]
+    tokens = list(tokens)
+    idx = {t: i for i, t in enumerate(tokens)}
+    C = len(tokens)
+    allowed_pair = np.zeros((C, C), bool)
+    allowed_init = np.zeros(C, bool)
+    allowed_final = np.zeros(C, bool)
+    for s in sentences:
+        seq = [idx[w] for w in s if w in idx]
+        if not seq:
+            continue
+        allowed_init[seq[0]] = True
+        allowed_final[seq[-1]] = True
+        for a, b in zip(seq, seq[1:]):
+            allowed_pair[a, b] = True
+    for t in transparent:
+        if t not in idx:
+            continue
+        ti = idx[t]
+        # sil may follow anything that has any continuation, precede anything
+        # that has any predecessor (incl. edges), and self-loop
+        allowed_pair[:, ti] = True
+        allowed_pair[ti, :] = allowed_pair.any(axis=0) | allowed_init
+        allowed_pair[ti, ti] = True
+        allowed_init[ti] = True
+        allowed_final[ti] = True
+    NEG = np.float32(-1e30)  # hard zero: forbidden, not merely improbable
+    n_out = allowed_pair.sum(1) + allowed_final
+    pair_logp = np.where(
+        allowed_pair, -np.log(np.maximum(n_out, 1))[:, None], NEG
+    ).astype(np.float32)
+    final_logp = np.where(
+        allowed_final, -np.log(np.maximum(n_out, 1)), NEG
+    ).astype(np.float32)
+    init_logp = np.where(
+        allowed_init, -np.log(max(allowed_init.sum(), 1)), NEG
+    ).astype(np.float32)
+    return BigramLm(
+        tokens=tokens,
+        pair_logp=pair_logp,
+        init_logp=init_logp,
+        final_logp=final_logp,
+    )
 
 
 def uniform_bigram(tokens: Sequence[str]) -> BigramLm:

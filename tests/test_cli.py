@@ -236,6 +236,40 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
 
 
+def test_train_gmm_cli_discriminative(tmp_path, monkeypatch):
+    """ML EM -> MMI -> sMBR refinement through the train_gmm CLI."""
+    from cli import train_gmm
+
+    run_cli(
+        train_gmm,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--num-iters", "2", "--mmi", "1", "--smbr", "1"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    stages = {m.get("stage") for m in metrics}
+    assert {"train_mmi_done", "train_smbr_done"} <= stages, stages
+
+
+def test_decode_cli_grammar(tmp_path, monkeypatch):
+    from cli import decode
+
+    gfile = tmp_path / "grammar.txt"
+    gfile.write_text("cat fish\ndog tree\n")
+    out = str(tmp_path / "hyp_gr.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--grammar", str(gfile), "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 3
+    for r in recs:
+        for w in r["hyp"]:
+            assert w in {"cat", "fish", "dog", "tree"}, r
+
+
 def test_train_rnnt_then_decode_cli(tmp_path, monkeypatch):
     """RNN-transducer smoke: train_nn --objective rnnt -> decode --rnnt
     (greedy phone mode)."""
