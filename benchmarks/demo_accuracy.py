@@ -158,7 +158,7 @@ def main() -> None:
     results["heldout_wer_ctc"] = round(m_ctc["wer"], 4)
 
     # (b7) RNN-transducer (alignment-free, streaming-native): held-out PER
-    from mogasr.am.rnnt import rnnt_greedy_decode
+    from mogasr.am.rnnt import rnnt_greedy_decode_device as rnnt_greedy_decode
 
     rnnt_tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=500)
     rnnt_model, rnnt_params = pipe.train_rnnt(tb, lex, rnnt_tcfg)

@@ -116,7 +116,7 @@ def main() -> None:
                            nn_layers=args.nn_layers)
         if args.rnnt:
             from mogasr.am.rnnt import (
-                RnntModel, init_rnnt_train_state, rnnt_greedy_decode,
+                RnntModel, init_rnnt_train_state, rnnt_greedy_decode_device,
             )
 
             if args.am not in ("lstm", "blstm") or args.mode != "phone":
@@ -137,7 +137,7 @@ def main() -> None:
             ck = restore_checkpoint(args.nn_ckpt, template)
 
             def scorer(fb, _m=model, _p=ck["params"]):
-                return rnnt_greedy_decode(_m, _p, fb.feats, fb.n_frames)
+                return rnnt_greedy_decode_device(_m, _p, fb.feats, fb.n_frames)
         elif args.ctc:
             from mogasr.am.ctc import make_ctc_scorer
 

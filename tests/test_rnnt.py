@@ -149,6 +149,23 @@ def test_rnnt_beam_decode_matches_greedy_on_peaked(trained_unit_rnnt):
         assert len(set(prefixes)) == len(prefixes)
 
 
+def test_rnnt_device_greedy_equals_host(trained_unit_rnnt):
+    """The single-dispatch lax.scan greedy == the host greedy loop exactly,
+    on both a trained model and a random one (equal caps)."""
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+    host = R.rnnt_greedy_decode(model, params, feats, n_frames, max_symbols=50)
+    dev = R.rnnt_greedy_decode_device(model, params, feats, n_frames, max_symbols=50)
+    assert dev == host == seqs
+
+    rand = R.RnntModel(n_labels=3, enc_hidden=32, enc_layers=1,
+                       pred_hidden=16, joint_hidden=32)
+    cfg = TrainConfig()
+    rstate = R.init_rnnt_train_state(rand, cfg, feats.shape[-1], 4, jax.random.key(3))
+    host_r = R.rnnt_greedy_decode(rand, rstate.params, feats, n_frames, max_symbols=30)
+    dev_r = R.rnnt_greedy_decode_device(rand, rstate.params, feats, n_frames, max_symbols=30)
+    assert dev_r == host_r
+
+
 def test_rnnt_streaming_greedy_exact(trained_unit_rnnt):
     """Chunked stateful encoder + incremental greedy == offline greedy for
     ragged chunkings, with monotone partials."""
