@@ -160,7 +160,10 @@ def main() -> None:
     # (b7) RNN-transducer (alignment-free, streaming-native): held-out PER
     from mogasr.am.rnnt import rnnt_greedy_decode_device as rnnt_greedy_decode
 
-    rnnt_tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=500)
+    # low-data transducer recipe (TPU_NOTES): stateless prediction net +
+    # auxiliary CTC loss (pipe.train_rnnt defaults) — the LSTM prediction
+    # net without aux supervision memorizes this 48-utt set (PER 0.87)
+    rnnt_tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=800)
     rnnt_model, rnnt_params = pipe.train_rnnt(tb, lex, rnnt_tcfg)
 
     def phone_refs_hyps(decode_fn):

@@ -45,6 +45,12 @@ def main() -> None:
                         "--objective rnnt): frame-synchronous greedy phone "
                         "decode (--mode phone only; --am lstm/blstm picks "
                         "the encoder)")
+    p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
+                   help="prediction-network architecture of the RNN-T "
+                        "checkpoint (must match training)")
+    p.add_argument("--rnnt-plain", action="store_true",
+                   help="the RNN-T checkpoint was trained WITHOUT the "
+                        "auxiliary CTC head (train_rnnt aux_ctc=False)")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
@@ -128,6 +134,8 @@ def main() -> None:
                 pred_hidden=max(args.nn_hidden // 4, 16),
                 joint_hidden=max(args.nn_hidden // 2, 32),
                 encoder_arch=args.am,
+                pred_arch=args.rnnt_pred,
+                aux_ctc=not args.rnnt_plain,
             )
             template = {
                 "params": init_rnnt_train_state(

@@ -66,6 +66,31 @@ class RnntPrediction(nn.Module):
         return nn.RNN(nn.OptimizedLSTMCell(self.hidden))(emb)
 
 
+class RnntPredictionStateless(nn.Module):
+    """Stateless (last-label-only) prediction network.
+
+    Output at position u depends ONLY on label u-1 (embed + Dense) — the
+    low-data regularizer of Ghodsi et al. 2020: with no recurrent state the
+    network cannot memorize training transcripts, so the acoustics must
+    carry the modeling load (measured here: the LSTM prediction net drove
+    held-out PER to ~0.87 on 48 training utts while train loss hit 0.01).
+    Same [B, U] -> [B, U+1, H] interface as RnntPrediction, so every
+    decoder (greedy/beam/device/streaming) works unchanged.
+    """
+
+    n_labels: int
+    hidden: int = 256
+    embed: int = 128
+
+    @nn.compact
+    def __call__(self, labels: jax.Array) -> jax.Array:
+        B, U = labels.shape
+        sos = jnp.full((B, 1), self.n_labels, jnp.int32)
+        x = jnp.concatenate([sos, jnp.maximum(labels, 0).astype(jnp.int32)], axis=1)
+        emb = nn.Embed(self.n_labels + 1, self.embed)(x)
+        return nn.Dense(self.hidden)(jnp.tanh(emb))
+
+
 class RnntJoint(nn.Module):
     """Joint network: enc [B, T, He] x pred [B, U1, Hp] -> [B, T, U1, V]."""
 
@@ -88,6 +113,8 @@ class RnntModel(nn.Module):
     pred_hidden: int = 256
     joint_hidden: int = 256
     encoder_arch: str = "lstm"  # lstm (streaming) | blstm (offline)
+    pred_arch: str = "lstm"     # lstm | stateless (low-data regularizer)
+    aux_ctc: bool = False       # add a CTC head on the encoder (joint loss)
 
     def setup(self):
         from mogasr.am.neural import BlstmAm, LstmAm
@@ -97,13 +124,26 @@ class RnntModel(nn.Module):
         self.encoder = cls(
             n_pdfs=self.enc_hidden, hidden=self.enc_hidden, layers=self.enc_layers
         )
-        self.prediction = RnntPrediction(self.n_labels, hidden=self.pred_hidden)
+        pred_cls = (
+            RnntPrediction if self.pred_arch == "lstm" else RnntPredictionStateless
+        )
+        self.prediction = pred_cls(self.n_labels, hidden=self.pred_hidden)
         self.joint = RnntJoint(self.n_labels, hidden=self.joint_hidden)
+        if self.aux_ctc:
+            self.ctc_head = nn.Dense(self.n_labels + 1)
 
     def __call__(self, feats, n_frames, labels):
         enc = self.encoder(feats, n_frames)
         pred = self.prediction(labels)
         return self.joint(enc, pred)
+
+    def forward_aux(self, feats, n_frames, labels):
+        """(joint logits, CTC-head logits) — the auxiliary-CTC training path
+        (hybrid CTC/transducer recipe: direct alignment-free supervision on
+        the encoder so it cannot hide behind the prediction net)."""
+        enc = self.encoder(feats, n_frames)
+        pred = self.prediction(labels)
+        return self.joint(enc, pred), self.ctc_head(enc)
 
     def encode(self, feats, n_frames):
         return self.encoder(feats, n_frames)
@@ -224,12 +264,20 @@ def init_rnnt_train_state(
 
     dummy_f = jnp.zeros((2, 8, feat_dim), jnp.float32)
     dummy_l = jnp.zeros((2, u_max), jnp.int32)
-    params = model.init(key, dummy_f, jnp.asarray([8, 8]), dummy_l)
+    if model.aux_ctc:
+        params = model.init(
+            key, dummy_f, jnp.asarray([8, 8]), dummy_l, method=RnntModel.forward_aux
+        )
+    else:
+        params = model.init(key, dummy_f, jnp.asarray([8, 8]), dummy_l)
     opt = make_optimizer(cfg)
     return RnntTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_rnnt_train_step(model: RnntModel, cfg: TrainConfig):
+def make_rnnt_train_step(model: RnntModel, cfg: TrainConfig, ctc_weight: float = 1.0):
+    """ctc_weight only applies when model.aux_ctc — the hybrid CTC/transducer
+    loss L = L_rnnt + w * L_ctc on the encoder's CTC head."""
+    from mogasr.am.ctc import ctc_loss
     from mogasr.am.train_nn import make_optimizer
 
     opt = make_optimizer(cfg)
@@ -237,12 +285,23 @@ def make_rnnt_train_step(model: RnntModel, cfg: TrainConfig):
     @jax.jit
     def train_step(state, feats, n_frames, labels, n_labels):
         def loss_fn(params):
-            logits = model.apply(params, feats, n_frames, labels)
-            nll = rnnt_loss(logits, n_frames, labels, n_labels)
             valid = (n_frames > 0) & (n_labels > 0)
             nv = jnp.maximum(jnp.sum(valid), 1)
+            if model.aux_ctc:
+                logits, ctc_logits = model.apply(
+                    params, feats, n_frames, labels, method=RnntModel.forward_aux
+                )
+                ctc_nll = ctc_loss(ctc_logits, n_frames, labels, n_labels)
+            else:
+                logits = model.apply(params, feats, n_frames, labels)
+                ctc_nll = jnp.zeros_like(n_frames, jnp.float32)
+            nll = rnnt_loss(logits, n_frames, labels, n_labels)
             per = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
-            return jnp.sum(per) / nv, jnp.sum(jnp.where(valid, nll, 0.0)) / nv
+            loss = jnp.sum(per) / nv
+            if model.aux_ctc:
+                ctc_per = jnp.where(valid, ctc_nll / jnp.maximum(n_labels, 1), 0.0)
+                loss = loss + ctc_weight * jnp.sum(ctc_per) / nv
+            return loss, jnp.sum(jnp.where(valid, nll, 0.0)) / nv
 
         (loss, mean_nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -270,7 +329,8 @@ class RnntDecoderFns(NamedTuple):
 
 
 def make_rnnt_decoder_fns(model: RnntModel, params) -> RnntDecoderFns:
-    pred_def = RnntPrediction(model.n_labels, hidden=model.pred_hidden)
+    pred_cls = RnntPrediction if model.pred_arch == "lstm" else RnntPredictionStateless
+    pred_def = pred_cls(model.n_labels, hidden=model.pred_hidden)
     pred_params = {"params": params["params"]["prediction"]}
     joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
     joint_params = {"params": params["params"]["joint"]}
@@ -380,6 +440,19 @@ class RnntPredictionStep(nn.Module):
         return carry, out[:, 0]
 
 
+class RnntPredictionStatelessStep(nn.Module):
+    """Step form of RnntPredictionStateless (carry is a pass-through dummy)."""
+
+    n_labels: int
+    hidden: int = 256
+    embed: int = 128
+
+    @nn.compact
+    def __call__(self, label: jax.Array, carry):
+        emb = nn.Embed(self.n_labels + 1, self.embed)(label.astype(jnp.int32))
+        return carry, nn.Dense(self.hidden)(jnp.tanh(emb))
+
+
 def make_rnnt_device_greedy(
     model: RnntModel,
     params,
@@ -400,9 +473,10 @@ def make_rnnt_device_greedy(
     Returns decode(enc [B, T, He], n_frames) -> (hyp [B, u_cap] -1-padded,
     lens [B]) as device arrays.
     """
-    pred_step_def = RnntPredictionStep(
-        model.n_labels, hidden=model.pred_hidden
+    step_cls = (
+        RnntPredictionStep if model.pred_arch == "lstm" else RnntPredictionStatelessStep
     )
+    pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
     pred_params = {"params": params["params"]["prediction"]}
     joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
     joint_params = {"params": params["params"]["joint"]}
@@ -412,8 +486,11 @@ def make_rnnt_device_greedy(
     @jax.jit
     def decode(enc: jax.Array, n_frames: jax.Array):
         B, T, _ = enc.shape
-        cell = nn.OptimizedLSTMCell(model.pred_hidden)
-        carry0 = cell.initialize_carry(jax.random.key(0), (B, 1))
+        if model.pred_arch == "lstm":
+            cell = nn.OptimizedLSTMCell(model.pred_hidden)
+            carry0 = cell.initialize_carry(jax.random.key(0), (B, 1))
+        else:
+            carry0 = jnp.zeros((B, 1))  # pass-through dummy
         carry0, pred0 = pred_step_def.apply(
             pred_params, jnp.full((B,), sos, jnp.int32), carry0
         )

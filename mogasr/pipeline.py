@@ -601,6 +601,9 @@ def train_rnnt(
     lexicon: Lexicon,
     tcfg: TrainConfig,
     encoder_arch: str = "lstm",
+    pred_arch: str = "stateless",
+    aux_ctc: bool = True,
+    ctc_weight: float = 1.0,
     steps: Optional[int] = None,
     include_sil: bool = False,
     logger=None,
@@ -609,7 +612,13 @@ def train_rnnt(
 
     Like train_ctc, fully alignment-free; unlike CTC, emissions condition on
     the label history through the prediction network (mogasr.am.rnnt).
-    Returns (model, params); decode with rnnt_greedy_decode.
+    Returns (model, params); decode with rnnt_greedy_decode(_device).
+
+    Defaults encode the low-data recipe measured on the synthetic corpus
+    (docs/TPU_NOTES.md): a STATELESS prediction net + an auxiliary CTC loss
+    on the encoder — the LSTM prediction net without auxiliary supervision
+    memorizes 48-utterance training sets (train loss 0.01, held-out PER
+    0.87). Pass pred_arch="lstm", aux_ctc=False for the classic transducer.
     """
     from mogasr.am import ctc as C
     from mogasr.am import rnnt as R
@@ -621,6 +630,8 @@ def train_rnnt(
         pred_hidden=max(tcfg.nn_hidden // 4, 16),
         joint_hidden=max(tcfg.nn_hidden // 2, 32),
         encoder_arch=encoder_arch,
+        pred_arch=pred_arch,
+        aux_ctc=aux_ctc,
     )
     seqs_all = [
         [C.ctc_labels_from_words(lexicon, fb.words[b], include_sil) for b in range(fb.size)]
@@ -636,7 +647,7 @@ def train_rnnt(
     state = R.init_rnnt_train_state(
         model, tcfg, batches[0].feats.shape[-1], l_max, jax.random.key(tcfg.seed)
     )
-    step_fn = R.make_rnnt_train_step(model, tcfg)
+    step_fn = R.make_rnnt_train_step(model, tcfg, ctc_weight=ctc_weight)
     total = steps if steps is not None else tcfg.num_nn_steps
     i, m = 0, {"loss": jnp.asarray(0.0)}
     while i < total:

@@ -423,6 +423,32 @@ def test_ctc_online_word_decode_equals_offline(ctc_system):
         np.testing.assert_array_equal(path[b, :n], off_path[b, :n])
 
 
+def test_ctc_lattice_1best_matches_lm_viterbi(ctc_system):
+    """Lattices materialized over the CTC graph (skip-transition entry
+    carries) re-search to the first-pass LM-Viterbi hypothesis and score."""
+    from mogasr import pipeline as pipe
+    from mogasr.decoder.lattice import rescore_lattice
+    from mogasr.decoder.lm_viterbi import path_to_tokens_lm
+    from mogasr.lm.ngram import estimate_bigram
+
+    lex, batches, model, params = ctc_system
+    scorer = C.make_ctc_scorer(model, params)
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=0.0)
+    graph = C.ctc_decode_graph(lex, dcfg)
+    transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
+    lm = estimate_bigram(transcripts, sorted(set(graph.labels)))
+    fb = batches[0]
+    scores = scorer(fb)
+    lats, res = pipe.decode_batch_lattices(fb, scores, graph, lm, dcfg)
+    toks = path_to_tokens_lm(res, graph)
+    vit_score = np.asarray(res.score)
+    for b, lat in enumerate(lats):
+        words, sc = rescore_lattice(lat, lm)
+        want = [w for w in toks[b] if w not in ("<sil>", "sil")]
+        assert words == want, (b, words, want)
+        np.testing.assert_allclose(sc, vit_score[b], rtol=0, atol=0.05)
+
+
 def test_ctc_greedy_phone_decode_quality(ctc_system):
     """Greedy best-path phone decode roughly recovers the spoken phones."""
     from mogasr.eval.wer import corpus_wer

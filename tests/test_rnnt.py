@@ -191,10 +191,32 @@ def test_rnnt_streaming_greedy_exact(trained_unit_rnnt):
             assert col == sorted(col)
 
 
+def test_rnnt_stateless_aux_ctc_trains_and_decodes():
+    """The low-data recipe (stateless prediction net + auxiliary CTC loss):
+    trains on the unit task, host and device greedy agree and recover."""
+    feats, n_frames, labels, n_labels, seqs = _make_unit_task(seed=2)
+    model = R.RnntModel(
+        n_labels=3, enc_hidden=32, enc_layers=1, pred_hidden=16, joint_hidden=32,
+        pred_arch="stateless", aux_ctc=True,
+    )
+    cfg = TrainConfig(lr=5e-3, num_nn_steps=250)
+    state = R.init_rnnt_train_state(
+        model, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step = R.make_rnnt_train_step(model, cfg, ctc_weight=0.3)
+    for _ in range(cfg.num_nn_steps):
+        state, m = step(state, feats, n_frames, labels, n_labels)
+    host = R.rnnt_greedy_decode(model, state.params, feats, n_frames, max_symbols=50)
+    dev = R.rnnt_greedy_decode_device(model, state.params, feats, n_frames, max_symbols=50)
+    assert host == dev == seqs, (host, seqs)
+
+
 def test_rnnt_speech_phone_recognition():
-    """Pipeline-level RNN-T on real synthetic speech: alignment-free
-    transducer training, greedy phone decode recovers the phone sequences
-    (probed at PER 0.0 in ~30 s; threshold kept loose for CI noise)."""
+    """Pipeline-level RNN-T on real synthetic speech with the DEFAULT
+    low-data recipe (stateless prediction + aux CTC): train-set greedy PER
+    must be low. (The stateless net cannot memorize transcripts, so unlike
+    the classic-transducer config this does not reach 0.0 quickly —
+    held-out quality is demo_accuracy's job.)"""
     from mogasr import pipeline as pipe
     from mogasr.am import ctc as C
     from mogasr.am.rnnt import rnnt_greedy_decode
@@ -211,7 +233,7 @@ def test_rnnt_speech_phone_recognition():
         [(u.utt_id, u.wave, u.words) for u in utts],
         fcfg, BatchConfig(batch_size=8, bucket_boundaries=(250, 400)),
     )
-    tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=280)
+    tcfg = TrainConfig(nn_hidden=128, nn_layers=2, lr=3e-3, num_nn_steps=500)
     model, params = pipe.train_rnnt(batches, lex, tcfg)
     refs, hyps = [], []
     for fb in batches:
@@ -220,7 +242,7 @@ def test_rnnt_speech_phone_recognition():
             refs.append([lex.phones[p] for p in C.ctc_labels_from_words(lex, fb.words[b])])
             hyps.append([lex.phones[p] for p in out[b]])
     per, _ = corpus_wer(refs, hyps)
-    assert per < 0.15, per
+    assert per < 0.3, per
 
 
 def test_rnnt_trains_and_greedy_decodes():
