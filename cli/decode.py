@@ -122,17 +122,13 @@ def main() -> None:
                            nn_layers=args.nn_layers)
         if args.rnnt:
             from mogasr.am.rnnt import (
-                RnntModel, init_rnnt_train_state, rnnt_greedy_decode_device,
+                build_rnnt_model, init_rnnt_train_state, rnnt_greedy_decode_device,
             )
 
             if args.am not in ("lstm", "blstm") or args.mode != "phone":
                 raise SystemExit("--rnnt needs --am lstm/blstm and --mode phone")
-            model = RnntModel(
-                n_labels=lex.n_phones,
-                enc_hidden=args.nn_hidden,
-                enc_layers=max(args.nn_layers - 1, 1),
-                pred_hidden=max(args.nn_hidden // 4, 16),
-                joint_hidden=max(args.nn_hidden // 2, 32),
+            model = build_rnnt_model(
+                lex.n_phones, tcfg,
                 encoder_arch=args.am,
                 pred_arch=args.rnnt_pred,
                 aux_ctc=not args.rnnt_plain,

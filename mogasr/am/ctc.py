@@ -149,6 +149,27 @@ class CtcTrainState(NamedTuple):
     step: jax.Array
 
 
+def masked_mean_objective(nll, n_frames, n_labels):
+    """(mean per-label-normalized loss, mean raw NLL) over VALID batch rows.
+
+    Padded rows (no frames / no labels) must not contribute — the single
+    source of truth for the CTC/RNN-T loss normalization, shared by the
+    local AND the data-parallel (mogasr.dist.sharded) train steps.
+    """
+    valid = (n_frames > 0) & (n_labels > 0)
+    nv = jnp.maximum(jnp.sum(valid), 1)
+    per_label = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
+    mean_nll = jnp.sum(jnp.where(valid, nll, 0.0)) / nv
+    return jnp.sum(per_label) / nv, mean_nll
+
+
+def ctc_objective(model, params, feats, n_frames, labels, n_labels, blank_id=None):
+    """Forward + CTC loss + masked normalization (local & sharded steps)."""
+    logits = model.apply(params, feats, n_frames)
+    nll = ctc_loss(logits, n_frames, labels, n_labels, blank_id)
+    return masked_mean_objective(nll, n_frames, n_labels)
+
+
 def make_ctc_train_step(
     model,
     cfg: TrainConfig,
@@ -176,14 +197,9 @@ def make_ctc_train_step(
             feats_in = feats
 
         def loss_fn(params):
-            logits = model.apply(params, feats_in, n_frames)
-            nll = ctc_loss(logits, n_frames, labels, n_labels, blank_id)
-            # padded batch rows (no frames / no labels) must not contribute
-            valid = (n_frames > 0) & (n_labels > 0)
-            nv = jnp.maximum(jnp.sum(valid), 1)
-            per_label = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
-            mean_nll = jnp.sum(jnp.where(valid, nll, 0.0)) / nv
-            return jnp.sum(per_label) / nv, mean_nll
+            return ctc_objective(
+                model, params, feats_in, n_frames, labels, n_labels, blank_id
+            )
 
         (loss, mean_nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

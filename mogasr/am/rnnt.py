@@ -149,6 +149,28 @@ class RnntModel(nn.Module):
         return self.encoder(feats, n_frames)
 
 
+def build_rnnt_model(
+    n_labels: int,
+    tcfg: TrainConfig,
+    encoder_arch: str = "lstm",
+    pred_arch: str = "stateless",
+    aux_ctc: bool = True,
+) -> RnntModel:
+    """Single source of truth for the TrainConfig -> RnntModel derivation,
+    shared by pipeline.train_rnnt and the decode CLI (a drift between them
+    would make checkpoint restores fail with an opaque tree mismatch)."""
+    return RnntModel(
+        n_labels=n_labels,
+        enc_hidden=tcfg.nn_hidden,
+        enc_layers=max(tcfg.nn_layers - 1, 1),
+        pred_hidden=max(tcfg.nn_hidden // 4, 16),
+        joint_hidden=max(tcfg.nn_hidden // 2, 32),
+        encoder_arch=encoder_arch,
+        pred_arch=pred_arch,
+        aux_ctc=aux_ctc,
+    )
+
+
 # --------------------------------------------------------------------------
 # Loss
 # --------------------------------------------------------------------------
@@ -274,10 +296,33 @@ def init_rnnt_train_state(
     return RnntTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
+def rnnt_objective(
+    model: RnntModel, params, feats, n_frames, labels, n_labels,
+    ctc_weight: float = 1.0,
+):
+    """Forward + transducer loss (+ auxiliary CTC when model.aux_ctc) with
+    the shared masked normalization — one source of truth for the local and
+    data-parallel train steps. Returns (loss, mean transducer NLL)."""
+    from mogasr.am.ctc import ctc_loss, masked_mean_objective
+
+    if model.aux_ctc:
+        logits, ctc_logits = model.apply(
+            params, feats, n_frames, labels, method=RnntModel.forward_aux
+        )
+    else:
+        logits = model.apply(params, feats, n_frames, labels)
+    nll = rnnt_loss(logits, n_frames, labels, n_labels)
+    loss, mean_nll = masked_mean_objective(nll, n_frames, n_labels)
+    if model.aux_ctc:
+        ctc_nll = ctc_loss(ctc_logits, n_frames, labels, n_labels)
+        ctc_mean, _ = masked_mean_objective(ctc_nll, n_frames, n_labels)
+        loss = loss + ctc_weight * ctc_mean
+    return loss, mean_nll
+
+
 def make_rnnt_train_step(model: RnntModel, cfg: TrainConfig, ctc_weight: float = 1.0):
     """ctc_weight only applies when model.aux_ctc — the hybrid CTC/transducer
     loss L = L_rnnt + w * L_ctc on the encoder's CTC head."""
-    from mogasr.am.ctc import ctc_loss
     from mogasr.am.train_nn import make_optimizer
 
     opt = make_optimizer(cfg)
@@ -285,23 +330,9 @@ def make_rnnt_train_step(model: RnntModel, cfg: TrainConfig, ctc_weight: float =
     @jax.jit
     def train_step(state, feats, n_frames, labels, n_labels):
         def loss_fn(params):
-            valid = (n_frames > 0) & (n_labels > 0)
-            nv = jnp.maximum(jnp.sum(valid), 1)
-            if model.aux_ctc:
-                logits, ctc_logits = model.apply(
-                    params, feats, n_frames, labels, method=RnntModel.forward_aux
-                )
-                ctc_nll = ctc_loss(ctc_logits, n_frames, labels, n_labels)
-            else:
-                logits = model.apply(params, feats, n_frames, labels)
-                ctc_nll = jnp.zeros_like(n_frames, jnp.float32)
-            nll = rnnt_loss(logits, n_frames, labels, n_labels)
-            per = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
-            loss = jnp.sum(per) / nv
-            if model.aux_ctc:
-                ctc_per = jnp.where(valid, ctc_nll / jnp.maximum(n_labels, 1), 0.0)
-                loss = loss + ctc_weight * jnp.sum(ctc_per) / nv
-            return loss, jnp.sum(jnp.where(valid, nll, 0.0)) / nv
+            return rnnt_objective(
+                model, params, feats, n_frames, labels, n_labels, ctc_weight
+            )
 
         (loss, mean_nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -453,38 +484,27 @@ class RnntPredictionStatelessStep(nn.Module):
         return carry, nn.Dense(self.hidden)(jnp.tanh(emb))
 
 
-def make_rnnt_device_greedy(
-    model: RnntModel,
-    params,
-    u_cap: int = 200,
-    max_symbols_per_frame: int = 4,
-):
-    """Fully on-device greedy decode: ONE jitted call per batch.
+@functools.lru_cache(maxsize=32)
+def _device_greedy_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
+    """Jitted decode(params, enc, n_frames) for a model CONFIG.
 
-    The host greedy loop costs 1-2 synchronized dispatches PER FRAME —
-    ruinous through a tunneled runtime (~30 ms each). This version runs the
-    whole frame loop as a ``lax.scan`` carrying (prediction LSTM state,
-    current prediction output, hypothesis buffer, lengths); the per-frame
-    emission loop is ``max_symbols_per_frame`` masked sub-steps (a stream
-    whose argmax is blank keeps identical logits in later sub-steps, so no
-    explicit break is needed — blank stays blank). Results are EXACTLY the
-    host greedy decode at equal caps (tested).
-
-    Returns decode(enc [B, T, He], n_frames) -> (hyp [B, u_cap] -1-padded,
-    lens [B]) as device arrays.
+    Cached on (model, caps) — flax modules are frozen dataclasses, so equal
+    configs share one compiled function; params are a traced argument, so
+    repeated calls (e.g. one per eval batch) hit jit's cache instead of
+    recompiling a fresh closure each time.
     """
     step_cls = (
         RnntPredictionStep if model.pred_arch == "lstm" else RnntPredictionStatelessStep
     )
     pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
-    pred_params = {"params": params["params"]["prediction"]}
     joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
-    joint_params = {"params": params["params"]["joint"]}
     blank = model.n_labels
     sos = model.n_labels
 
     @jax.jit
-    def decode(enc: jax.Array, n_frames: jax.Array):
+    def decode(params, enc: jax.Array, n_frames: jax.Array):
+        pred_params = {"params": params["params"]["prediction"]}
+        joint_params = {"params": params["params"]["joint"]}
         B, T, _ = enc.shape
         if model.pred_arch == "lstm":
             cell = nn.OptimizedLSTMCell(model.pred_hidden)
@@ -527,6 +547,32 @@ def make_rnnt_device_greedy(
         return hyp, lens
 
     return decode
+
+
+def make_rnnt_device_greedy(
+    model: RnntModel,
+    params,
+    u_cap: int = 200,
+    max_symbols_per_frame: int = 4,
+):
+    """Fully on-device greedy decode: ONE jitted call per batch.
+
+    The host greedy loop costs 1-2 synchronized dispatches PER FRAME —
+    ruinous through a tunneled runtime (~30 ms each). This version runs the
+    whole frame loop as a ``lax.scan`` carrying (prediction LSTM state,
+    current prediction output, hypothesis buffer, lengths); the per-frame
+    emission loop is ``max_symbols_per_frame`` masked sub-steps (a stream
+    whose argmax is blank keeps identical logits in later sub-steps, so no
+    explicit break is needed — blank stays blank). Results are EXACTLY the
+    host greedy decode at equal caps (tested).
+
+    Returns decode(enc [B, T, He], n_frames) -> (hyp [B, u_cap] -1-padded,
+    lens [B]) as device arrays. The underlying jitted function is cached on
+    (model config, caps) with params as a traced argument, so repeated
+    calls never recompile at equal shapes.
+    """
+    fn = _device_greedy_fn(model, int(u_cap), int(max_symbols_per_frame))
+    return lambda enc, n_frames: fn(params, enc, n_frames)
 
 
 def rnnt_greedy_decode_device(

@@ -198,7 +198,6 @@ def confusion_network(
     # --- inter-word clustering into slots
     slots: List[Slot] = []
     cur: Optional[Slot] = None
-    cur_mean = 0.0
     for c in clusters:
         overlaps = cur is not None and c.start <= cur.end and c.mean_t <= cur.end
         if overlaps and c.word not in cur.words:

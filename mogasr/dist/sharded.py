@@ -100,7 +100,7 @@ def make_sharded_ctc_train_step(model, cfg: TrainConfig, mesh: Mesh):
     counterpart of make_sharded_train_step; same derived ICI grad psum)."""
     import optax
 
-    from mogasr.am.ctc import CtcTrainState, ctc_loss
+    from mogasr.am.ctc import CtcTrainState, ctc_objective
     from mogasr.am.train_nn import make_optimizer
 
     opt = make_optimizer(cfg)
@@ -114,12 +114,8 @@ def make_sharded_ctc_train_step(model, cfg: TrainConfig, mesh: Mesh):
     )
     def train_step(state, feats, n_frames, labels, n_labels):
         def loss_fn(params):
-            logits = model.apply(params, feats, n_frames)
-            nll = ctc_loss(logits, n_frames, labels, n_labels)
-            valid = (n_frames > 0) & (n_labels > 0)
-            nv = jnp.maximum(jnp.sum(valid), 1)
-            per = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
-            return jnp.sum(per) / nv
+            loss, _ = ctc_objective(model, params, feats, n_frames, labels, n_labels)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -133,7 +129,7 @@ def make_sharded_rnnt_train_step(model, cfg: TrainConfig, mesh: Mesh):
     """RNN-T train step, batch sharded / params replicated."""
     import optax
 
-    from mogasr.am.rnnt import RnntTrainState, rnnt_loss
+    from mogasr.am.rnnt import RnntTrainState, rnnt_objective
     from mogasr.am.train_nn import make_optimizer
 
     opt = make_optimizer(cfg)
@@ -147,12 +143,8 @@ def make_sharded_rnnt_train_step(model, cfg: TrainConfig, mesh: Mesh):
     )
     def train_step(state, feats, n_frames, labels, n_labels):
         def loss_fn(params):
-            logits = model.apply(params, feats, n_frames, labels)
-            nll = rnnt_loss(logits, n_frames, labels, n_labels)
-            valid = (n_frames > 0) & (n_labels > 0)
-            nv = jnp.maximum(jnp.sum(valid), 1)
-            per = jnp.where(valid, nll / jnp.maximum(n_labels, 1), 0.0)
-            return jnp.sum(per) / nv
+            loss, _ = rnnt_objective(model, params, feats, n_frames, labels, n_labels)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

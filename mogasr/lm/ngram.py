@@ -317,12 +317,19 @@ def grammar_bigram(
         tokens = words + [t for t in transparent if t not in words]
     tokens = list(tokens)
     idx = {t: i for i, t in enumerate(tokens)}
+    missing = sorted({w for s in sentences for w in s if w not in idx})
+    if missing:
+        # silently dropping an OOV grammar word would splice its neighbors
+        # into an adjacency the grammar never licensed — refuse instead
+        raise ValueError(
+            f"grammar words not in the decode vocabulary: {missing[:10]}"
+        )
     C = len(tokens)
     allowed_pair = np.zeros((C, C), bool)
     allowed_init = np.zeros(C, bool)
     allowed_final = np.zeros(C, bool)
     for s in sentences:
-        seq = [idx[w] for w in s if w in idx]
+        seq = [idx[w] for w in s]
         if not seq:
             continue
         allowed_init[seq[0]] = True

@@ -623,15 +623,9 @@ def train_rnnt(
     from mogasr.am import ctc as C
     from mogasr.am import rnnt as R
 
-    model = R.RnntModel(
-        n_labels=lexicon.n_phones,
-        enc_hidden=tcfg.nn_hidden,
-        enc_layers=max(tcfg.nn_layers - 1, 1),
-        pred_hidden=max(tcfg.nn_hidden // 4, 16),
-        joint_hidden=max(tcfg.nn_hidden // 2, 32),
-        encoder_arch=encoder_arch,
-        pred_arch=pred_arch,
-        aux_ctc=aux_ctc,
+    model = R.build_rnnt_model(
+        lexicon.n_phones, tcfg,
+        encoder_arch=encoder_arch, pred_arch=pred_arch, aux_ctc=aux_ctc,
     )
     seqs_all = [
         [C.ctc_labels_from_words(lexicon, fb.words[b], include_sil) for b in range(fb.size)]

@@ -42,6 +42,15 @@ def test_trigram_learns_third_word_context():
     assert sequence_logp(tri, ["x", "a", "p"]) > sequence_logp(tri, ["x", "a", "q"]) + 1.0
 
 
+def test_grammar_bigram_rejects_oov_words():
+    """Silently dropping an OOV grammar word would splice its neighbors into
+    an unlicensed adjacency — the builder must refuse instead."""
+    from mogasr.lm.ngram import grammar_bigram
+
+    with pytest.raises(ValueError, match="grammar words"):
+        grammar_bigram([["turn", "off", "lights"]], tokens=["turn", "lights"])
+
+
 def test_kneser_ney_continuation_property():
     """KN's signature behaviour: in an unseen context, a word attested after
     MANY distinct contexts ("house") outranks a word attested only after ONE
