@@ -54,7 +54,11 @@ def main() -> None:
                         "LSTM (train_nn --objective ctc --arch lstm ckpt via "
                         "--nn-ckpt) scores chunks statefully; words decode "
                         "through the OnlineDecoder on the CTC graph")
-    p.add_argument("--nn-ckpt", help="CTC LSTM checkpoint dir (with --ctc)")
+    p.add_argument("--rnnt", action="store_true",
+                   help="online RNN-transducer: stateful LSTM encoder chunks "
+                        "+ chunk-resumable on-device greedy (phone partials; "
+                        "train_nn --objective rnnt ckpt via --nn-ckpt)")
+    p.add_argument("--nn-ckpt", help="CTC/RNN-T checkpoint dir (with --ctc/--rnnt)")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     args = p.parse_args()
@@ -81,6 +85,55 @@ def main() -> None:
         word_insertion_penalty=args.insertion_penalty,
     )
     logger = make_logger(args)
+
+    if args.rnnt:
+        import jax
+
+        from mogasr.am.rnnt import RnntDeviceStream, build_rnnt_model, init_rnnt_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--rnnt requires --nn-ckpt (train_nn --objective rnnt)")
+        tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        model = build_rnnt_model(lex.n_phones, tcfg)
+        template = {
+            "params": init_rnnt_train_state(
+                model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+            ).params,
+        }
+        params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        rnnt_stream = RnntDeviceStream(model, params, 1, fcfg.feat_dim)
+        sf = StreamingFrontend(fcfg)
+        chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
+        part: list = []
+        with Timer() as t:
+            for i in range(0, len(wave), chunk):
+                consumed = min(i + chunk, len(wave))
+                feats = sf.process(wave[i : i + chunk])
+                if feats.size:
+                    part = rnnt_stream.consume(
+                        jnp.asarray(feats[None]), np.asarray([feats.shape[0]])
+                    )
+                print(json.dumps({
+                    "t_audio_s": round(consumed / fcfg.sample_rate, 2),
+                    "partial": [lex.phones[u] for u in part[0]] if part else [],
+                }), flush=True)
+            feats = sf.finalize()
+            if feats.size:
+                part = rnnt_stream.consume(
+                    jnp.asarray(feats[None]), np.asarray([feats.shape[0]])
+                )
+        audio_s = len(wave) / fcfg.sample_rate
+        final = [lex.phones[u] for u in part[0]] if part else []
+        print(json.dumps({"final": final, "rtf": round(t.seconds / audio_s, 4)}))
+        logger.log({
+            "stage": "stream_rnnt", "audio_s": round(audio_s, 2),
+            "wall_sec": t.seconds, "rtf": t.seconds / max(audio_s, 1e-9),
+            "final_phones": final,
+        })
+        return
 
     if args.ctc:
         import jax

@@ -549,6 +549,104 @@ def _device_greedy_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
     return decode
 
 
+@functools.lru_cache(maxsize=32)
+def _device_greedy_chunk_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
+    """Chunk-resumable form of _device_greedy_fn: the decode state
+    (prediction carry, prediction output, hypothesis buffer, lengths) is an
+    explicit argument/result, so consecutive chunks continue EXACTLY where
+    the previous chunk stopped — streaming == offline by construction."""
+    step_cls = (
+        RnntPredictionStep if model.pred_arch == "lstm" else RnntPredictionStatelessStep
+    )
+    pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
+    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
+    blank = model.n_labels
+    sos = model.n_labels
+
+    def init_state(params, batch: int):  # runs once per stream — no jit
+        pred_params = {"params": params["params"]["prediction"]}
+        if model.pred_arch == "lstm":
+            cell = nn.OptimizedLSTMCell(model.pred_hidden)
+            carry0 = cell.initialize_carry(jax.random.key(0), (batch, 1))
+        else:
+            carry0 = jnp.zeros((batch, 1))
+        carry0, pred0 = pred_step_def.apply(
+            pred_params, jnp.full((batch,), sos, jnp.int32), carry0
+        )
+        hyp0 = jnp.full((batch, u_cap), -1, jnp.int32)
+        lens0 = jnp.zeros((batch,), jnp.int32)
+        return carry0, pred0, hyp0, lens0
+
+    @jax.jit
+    def consume(params, state, enc_chunk, n_valid):
+        pred_params = {"params": params["params"]["prediction"]}
+        joint_params = {"params": params["params"]["joint"]}
+        B, Tc, _ = enc_chunk.shape
+        cols = jnp.arange(u_cap)[None, :]
+
+        def frame_step(st, inputs):
+            carry, pred, hyp, lens = st
+            enc_t, t = inputs
+            active = t < n_valid
+            for _ in range(max_symbols_per_frame):
+                logits = joint_def.apply(
+                    joint_params, enc_t[:, None, :], pred[:, None, :]
+                )[:, 0, 0, :]
+                best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                emit = active & (best != blank) & (lens < u_cap)
+                label = jnp.where(emit, best, sos)
+                new_carry, new_pred = pred_step_def.apply(pred_params, label, carry)
+                carry = jax.tree.map(
+                    lambda n, o: jnp.where(emit[:, None], n, o), new_carry, carry
+                )
+                pred = jnp.where(emit[:, None], new_pred, pred)
+                slot = emit[:, None] & (cols == lens[:, None])
+                hyp = jnp.where(slot, best[:, None], hyp)
+                lens = lens + emit.astype(jnp.int32)
+            return (carry, pred, hyp, lens), None
+
+        state, _ = jax.lax.scan(
+            frame_step, state,
+            (jnp.transpose(enc_chunk, (1, 0, 2)), jnp.arange(Tc)),
+        )
+        return state
+
+    return init_state, consume
+
+
+class RnntDeviceStream:
+    """Online RNN-T: stateful encoder chunks -> chunk-resumable device greedy.
+
+    One jitted dispatch per (encoder chunk, decode chunk); partials at any
+    time; final equals the offline device greedy exactly (tested).
+    """
+
+    def __init__(self, model: RnntModel, params, batch: int, feat_dim: int,
+                 u_cap: int = 200, max_symbols_per_frame: int = 4):
+        self.params = params
+        self.enc_step, self.enc_carries = make_rnnt_stream_encoder(
+            model, params, batch, feat_dim
+        )
+        init_state, self.consume_fn = _device_greedy_chunk_fn(
+            model, int(u_cap), int(max_symbols_per_frame)
+        )
+        self.state = init_state(params, batch)
+
+    def consume(self, feats_chunk: jax.Array, n_valid) -> List[List[int]]:
+        """feats_chunk [B, Tc, D]; n_valid [B] valid frames. Returns partials."""
+        self.enc_carries, enc = self.enc_step(self.enc_carries, feats_chunk)
+        self.state = self.consume_fn(
+            self.params, self.state, enc, jnp.asarray(n_valid)
+        )
+        return self.partial()
+
+    def partial(self) -> List[List[int]]:
+        _, _, hyp, lens = self.state
+        hyp = np.asarray(hyp)
+        lens = np.asarray(lens)
+        return [hyp[b, : lens[b]].tolist() for b in range(hyp.shape[0])]
+
+
 def make_rnnt_device_greedy(
     model: RnntModel,
     params,

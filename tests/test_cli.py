@@ -326,6 +326,35 @@ def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
     assert isinstance(finals[0]["final"], list)
 
 
+def test_stream_cli_rnnt(tmp_path, monkeypatch, capsys):
+    """Online RNN-T: encoder chunks + chunk-resumable device greedy."""
+    from cli import stream, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt"],
+        monkeypatch,
+    )
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--rnnt",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--nn-hidden", "16", "--nn-layers", "2"],
+        monkeypatch,
+    )
+    events = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    partials = [e for e in events if "partial" in e]
+    finals = [e for e in events if "final" in e]
+    assert len(partials) >= 3 and len(finals) == 1
+    assert isinstance(finals[0]["final"], list)
+
+
 def test_kws_cli(tmp_path, monkeypatch):
     from cli import search
 

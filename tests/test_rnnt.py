@@ -191,6 +191,28 @@ def test_rnnt_streaming_greedy_exact(trained_unit_rnnt):
             assert col == sorted(col)
 
 
+def test_rnnt_device_stream_equals_offline(trained_unit_rnnt):
+    """RnntDeviceStream (stateful encoder chunks + chunk-resumable device
+    greedy) == the offline device greedy for ragged chunkings."""
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+    offline = R.rnnt_greedy_decode_device(model, params, feats, n_frames, max_symbols=60)
+    B, T, D = feats.shape
+    nf = np.asarray(n_frames)
+    for chunks in ([9, 12, T - 21], [T], [2] * 4 + [T - 8]):
+        assert sum(chunks) == T
+        stream = R.RnntDeviceStream(model, params, B, D, u_cap=60)
+        pos = 0
+        lens_hist = []
+        for c in chunks:
+            part = stream.consume(feats[:, pos:pos + c], np.clip(nf - pos, 0, c))
+            lens_hist.append([len(h) for h in part])
+            pos += c
+        assert stream.partial() == offline == seqs, chunks
+        for b in range(B):
+            col = [l[b] for l in lens_hist]
+            assert col == sorted(col)  # partials grow monotonically
+
+
 def test_rnnt_stateless_aux_ctc_trains_and_decodes():
     """The low-data recipe (stateless prediction net + auxiliary CTC loss):
     trains on the unit task, host and device greedy agree and recover."""
