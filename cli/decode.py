@@ -45,6 +45,10 @@ def main() -> None:
                         "--objective rnnt): frame-synchronous greedy phone "
                         "decode (--mode phone only; --am lstm/blstm picks "
                         "the encoder)")
+    p.add_argument("--bpe", metavar="FILE",
+                   help="with --ctc: the checkpoint was trained on BPE "
+                        "subword units (train_nn --bpe-merges; FILE is its "
+                        "bpe.json) — lexicon-free greedy word decoding")
     p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
                    help="prediction-network architecture of the RNN-T "
                         "checkpoint (must match training)")
@@ -145,7 +149,15 @@ def main() -> None:
         elif args.ctc:
             from mogasr.am.ctc import make_ctc_scorer
 
-            model = build_model(args.am, lex.n_phones + 1, tcfg)
+            if args.bpe:
+                from mogasr.data.bpe import load_bpe
+
+                bpe = load_bpe(args.bpe)
+                n_ctc_units = bpe.n_units
+            else:
+                bpe = None
+                n_ctc_units = lex.n_phones
+            model = build_model(args.am, n_ctc_units + 1, tcfg)
             template = {
                 "params": init_train_state(model, tcfg, fcfg.feat_dim,
                                            jax.random.key(0)).params,
@@ -171,6 +183,8 @@ def main() -> None:
     pron_logp = None
     if args.rnnt:
         graph = None  # frame-synchronous transducer decode needs no graph
+    elif args.ctc and args.bpe:
+        graph = None  # lexicon-free: greedy units -> bpe.decode, no graph
     elif args.ctc:
         from mogasr.am.ctc import ctc_decode_graph
 
@@ -228,6 +242,18 @@ def main() -> None:
         for fb in batches:
             if args.rnnt:
                 out = [[lex.phones[u] for u in seq] for seq in scorer(fb)]
+                for b in range(fb.size):
+                    ids.append(fb.utt_ids[b])
+                    refs.append([w.lower() for w in fb.words[b]])
+                    hyps.append([w.lower() for w in out[b]])
+                continue
+            if args.ctc and args.bpe:
+                from mogasr.am.ctc import ctc_greedy_decode
+
+                out = [
+                    bpe.decode(seq)
+                    for seq in ctc_greedy_decode(scorer(fb), fb.n_frames)
+                ]
                 for b in range(fb.size):
                     ids.append(fb.utt_ids[b])
                     refs.append([w.lower() for w in fb.words[b]])

@@ -45,6 +45,11 @@ def main() -> None:
                         "ctc: alignment-free CTC on transcript phone targets; "
                         "rnnt: RNN-transducer (label-history-conditioned, "
                         "streaming-native; --arch picks the encoder lstm/blstm)")
+    p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
+                   help="with --objective ctc: train on BPE SUBWORD units "
+                        "(N merges learned from the transcripts) instead of "
+                        "phones — lexicon-free word recognition; writes "
+                        "bpe.json next to the checkpoint")
     p.add_argument("--bootstrap-iters", type=int, default=6,
                    help="EM iterations for the GMM that produces labels")
     p.add_argument("--bootstrap-components", type=int, default=4)
@@ -74,7 +79,18 @@ def main() -> None:
             lr=args.lr, num_nn_steps=args.steps,
         )
         with Timer() as t:
-            if args.objective == "ctc":
+            if args.objective == "ctc" and args.bpe_merges > 0:
+                from mogasr.data.bpe import save_bpe, train_bpe
+                from mogasr.pipeline import train_ctc_bpe
+
+                transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
+                bpe = train_bpe(transcripts, n_merges=args.bpe_merges)
+                save_bpe(bpe, os.path.join(os.path.abspath(args.run_dir), "bpe.json"))
+                model, params = train_ctc_bpe(
+                    batches, bpe, tcfg, arch=args.arch,
+                    spec_augment=args.spec_augment, logger=logger,
+                )
+            elif args.objective == "ctc":
                 model, params = train_ctc(
                     batches, lex, tcfg, arch=args.arch,
                     spec_augment=args.spec_augment, logger=logger,

@@ -562,9 +562,51 @@ def train_ctc(
     the shared Viterbi (plain or LM), or greedy/prefix-beam phone decode.
     """
     from mogasr.am import ctc as C
+
+    return train_ctc_units(
+        batches,
+        lambda words: C.ctc_labels_from_words(lexicon, words, include_sil),
+        lexicon.n_phones,
+        tcfg, arch=arch, steps=steps, spec_augment=spec_augment, logger=logger,
+    )
+
+
+def train_ctc_bpe(
+    batches: Sequence[FeatBatch],
+    bpe,
+    tcfg: TrainConfig,
+    arch: str = "mlp",
+    steps: Optional[int] = None,
+    spec_augment: bool = False,
+    logger=None,
+):
+    """Lexicon-free CTC on BPE subword targets (mogasr.data.bpe).
+
+    Decoding is greedy/prefix-beam over units, then ``bpe.decode`` joins
+    units into words — open-vocabulary, no pronunciation lexicon, no decode
+    graph. Returns (model, params).
+    """
+    return train_ctc_units(
+        batches, bpe.encode, bpe.n_units,
+        tcfg, arch=arch, steps=steps, spec_augment=spec_augment, logger=logger,
+    )
+
+
+def train_ctc_units(
+    batches: Sequence[FeatBatch],
+    encode_fn,               # words -> unit-id sequence
+    n_units: int,            # vocabulary WITHOUT blank (blank = n_units)
+    tcfg: TrainConfig,
+    arch: str = "mlp",
+    steps: Optional[int] = None,
+    spec_augment: bool = False,
+    logger=None,
+):
+    """Generic alignment-free CTC over any unit inventory (phones, BPE)."""
+    from mogasr.am import ctc as C
     from mogasr.am.neural import build_model
 
-    V = lexicon.n_phones + 1
+    V = n_units + 1
     model = build_model(arch, V, tcfg)
     state = C.init_ctc_train_state(
         model, tcfg, batches[0].feats.shape[-1], jax.random.key(tcfg.seed)
@@ -572,7 +614,7 @@ def train_ctc(
     step_fn = C.make_ctc_train_step(model, tcfg, spec_augment=spec_augment)
 
     seqs_all = [
-        [C.ctc_labels_from_words(lexicon, fb.words[b], include_sil) for b in range(fb.size)]
+        [encode_fn(fb.words[b]) for b in range(fb.size)]
         for fb in batches
     ]
     l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)

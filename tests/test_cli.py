@@ -326,6 +326,31 @@ def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
     assert isinstance(finals[0]["final"], list)
 
 
+def test_train_ctc_bpe_then_decode_cli(tmp_path, monkeypatch):
+    """Lexicon-free path: CTC on BPE subwords -> greedy word decode."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "10",
+         "--objective", "ctc", "--bpe-merges", "30"],
+        monkeypatch,
+    )
+    bpe_file = tmp_path / "run" / "bpe.json"
+    assert bpe_file.exists()
+    out = str(tmp_path / "bpe_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run2"),
+         "--am", "mlp", "--ctc", "--bpe", str(bpe_file),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_mlp"),
+         "--nn-hidden", "32", "--nn-layers", "1", "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 4
+
+
 def test_stream_cli_rnnt(tmp_path, monkeypatch, capsys):
     """Online RNN-T: encoder chunks + chunk-resumable device greedy."""
     from cli import stream, train_nn
