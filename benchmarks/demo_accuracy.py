@@ -191,6 +191,21 @@ def main() -> None:
     )
     results["heldout_per_ctc_greedy"] = round(corpus_wer(refs_p, hyps_p)[0], 4)
 
+    # (b8) lexicon-free BPE-CTC: greedy subword units -> words, no graph
+    from mogasr.data.bpe import train_bpe
+
+    bpe = train_bpe([fb.words[b] for fb in tb for b in range(fb.size)], n_merges=60)
+    bpe_model, bpe_params = pipe.train_ctc_bpe(tb, bpe, ctc_tcfg, arch="mlp")
+    refs_w, hyps_w = [], []
+    for fb in eb:
+        out = C.ctc_greedy_decode(
+            bpe_model.apply(bpe_params, fb.feats, fb.n_frames), fb.n_frames
+        )
+        for b in range(fb.size):
+            refs_w.append([w.lower() for w in fb.words[b]])
+            hyps_w.append(bpe.decode(out[b]))
+    results["heldout_wer_ctc_bpe_lexfree"] = round(corpus_wer(refs_w, hyps_w)[0], 4)
+
     # (c) hybrid MLP AM trained on GMM alignments
     labeled = []
     for fb in tb:

@@ -47,6 +47,10 @@ def main() -> None:
     p.add_argument("--vtln", action="store_true",
                    help="unsupervised two-pass per-speaker VTLN warp "
                         "estimation (grid search over warped mel frontends)")
+    p.add_argument("--consensus", action="store_true",
+                   help="confusion-network consensus (MBR) decoding instead "
+                        "of Viterbi 1-best: bigram lattice pass -> CN -> "
+                        "argmax per slot")
     p.add_argument("--streaming", action="store_true",
                    help="extract features through the chunked streaming front "
                         "end (BASELINE config[4]) instead of the offline batch path")
@@ -120,13 +124,29 @@ def main() -> None:
                             }) + "\n")
                     out_f.flush()
         else:
+            if args.consensus:
+                from mogasr.decoder.confusion import (
+                    confusion_network, consensus_decode,
+                )
+                from mogasr.lm.ngram import estimate_bigram
+                from mogasr.pipeline import decode_batch_lattices
+
+                transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
+                cn_lm = estimate_bigram(transcripts, sorted(set(graph.labels)))
             with open(resume_path, "a") as out_f:
                 for fb in batches:
                     if all(u in done for u in fb.utt_ids):
                         continue
                     feats = jax.device_put(fb.feats, M.data_sharding(mesh))
                     scores = score_batch(feats, gmm)
-                    out = decode_batch(fb, scores, graph, dcfg)
+                    if args.consensus:
+                        lats, _ = decode_batch_lattices(fb, scores, graph, cn_lm, dcfg)
+                        out = [
+                            consensus_decode(confusion_network(lat, cn_lm))[0]
+                            for lat in lats
+                        ]
+                    else:
+                        out = decode_batch(fb, scores, graph, dcfg)
                     for b in range(fb.size):
                         out_f.write(json.dumps({
                             "utt_id": fb.utt_ids[b],

@@ -326,6 +326,19 @@ def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
     assert isinstance(finals[0]["final"], list)
 
 
+def test_eval_cli_consensus(tmp_path, monkeypatch):
+    from cli import eval as eval_cli
+
+    run_cli(
+        eval_cli,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--consensus"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any("wer" in m for m in metrics)
+
+
 def test_train_ctc_bpe_then_decode_cli(tmp_path, monkeypatch):
     """Lexicon-free path: CTC on BPE subwords -> greedy word decode."""
     from cli import decode, train_nn
