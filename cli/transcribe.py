@@ -40,6 +40,15 @@ def main() -> None:
     p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--ctc", action="store_true",
+                   help="use a CTC acoustic model (train_nn --objective ctc "
+                        "ckpt via --nn-ckpt) through the CTC-topology word "
+                        "graph instead of the GMM")
+    p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
+    p.add_argument("--nn-arch", default="mlp",
+                   choices=["mlp", "lstm", "blstm", "tdnn"])
+    p.add_argument("--nn-hidden", type=int, default=512)
+    p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
     p.add_argument("--insertion-penalty", type=float, default=2.0)
     p.add_argument("--max-segment-s", type=float, default=30.0)
@@ -74,7 +83,31 @@ def main() -> None:
         acoustic_scale=args.acoustic_scale,
         word_insertion_penalty=args.insertion_penalty,
     )
-    gmm = load_or_random_gmm(args, fcfg.feat_dim)
+    if args.ctc:
+        import jax
+
+        from mogasr.am.ctc import make_ctc_scorer
+        from mogasr.am.neural import build_model
+        from mogasr.am.train_nn import init_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--ctc requires --nn-ckpt")
+        tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        nn_model = build_model(args.nn_arch, lex.n_phones + 1, tcfg)
+        template = {
+            "params": init_train_state(
+                nn_model, tcfg, fcfg.feat_dim, jax.random.key(0)
+            ).params,
+        }
+        ctc_scorer = make_ctc_scorer(
+            nn_model, restore_checkpoint(args.nn_ckpt, template)["params"]
+        )
+        gmm = None
+    else:
+        gmm = load_or_random_gmm(args, fcfg.feat_dim)
     logger = make_logger(args)
 
     with Timer() as t:
@@ -86,7 +119,12 @@ def main() -> None:
         ]
         results = []
         if corpus:
-            graph = word_decode_graph(lex, topo, dcfg)
+            if args.ctc:
+                from mogasr.am.ctc import ctc_decode_graph
+
+                graph = ctc_decode_graph(lex, dcfg)
+            else:
+                graph = word_decode_graph(lex, topo, dcfg)
             # bucket ceilings must cover max_segment_s, or make_batches would
             # silently drop segments between the default 20 s ceiling and the
             # VAD cap
@@ -104,7 +142,7 @@ def main() -> None:
                 nbest_lm = uniform_bigram(sorted(set(graph.labels)))
             shift_s = fcfg.frame_shift_ms / 1000.0
             for fb in featurize(corpus, fcfg, bcfg):
-                scores = score_batch(fb.feats, gmm)
+                scores = ctc_scorer(fb) if args.ctc else score_batch(fb.feats, gmm)
                 out = decode_batch_with_confidence(
                     fb, scores, graph, dcfg, with_times=True
                 )

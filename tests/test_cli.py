@@ -326,6 +326,36 @@ def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
     assert isinstance(finals[0]["final"], list)
 
 
+def test_transcribe_cli_ctc(tmp_path, monkeypatch):
+    """Long-audio transcription (VAD -> segments) with a CTC acoustic model:
+    word confidences/timestamps via FB over the skip-transition CTC graph."""
+    from cli import train_nn, transcribe
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "8",
+         "--objective", "ctc"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "t.jsonl")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--ctc",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_mlp"),
+         "--nn-arch", "mlp", "--nn-hidden", "32", "--nn-layers", "1",
+         "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert recs
+    for r in recs:
+        assert r["end_s"] > r["start_s"]
+        assert len(r["words"]) == len(r["confidences"])
+        for c in r["confidences"]:
+            assert 0.0 <= c <= 1.0
+
+
 def test_eval_cli_consensus(tmp_path, monkeypatch):
     from cli import eval as eval_cli
 
