@@ -59,6 +59,11 @@ def main() -> None:
                         "+ chunk-resumable on-device greedy (phone partials; "
                         "train_nn --objective rnnt ckpt via --nn-ckpt)")
     p.add_argument("--nn-ckpt", help="CTC/RNN-T checkpoint dir (with --ctc/--rnnt)")
+    p.add_argument("--bpe", metavar="FILE",
+                   help="with --ctc: the checkpoint uses BPE subword units "
+                        "(train_nn --bpe-merges; FILE is its bpe.json) — "
+                        "streaming OPEN-VOCABULARY word partials via greedy "
+                        "collapse, no lexicon or graph")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     args = p.parse_args()
@@ -149,7 +154,14 @@ def main() -> None:
         if not args.nn_ckpt:
             raise SystemExit("--ctc requires --nn-ckpt (train_nn --objective "
                              "ctc --arch lstm)")
-        V = lex.n_phones + 1
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            V = bpe.n_units + 1
+        else:
+            bpe = None
+            V = lex.n_phones + 1
         tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
         model = LstmAm(n_pdfs=V, hidden=args.nn_hidden,
@@ -168,6 +180,42 @@ def main() -> None:
         def score_chunk(carries, feats):
             logits, new_carries = stream_model.apply(nn_params, feats, carries)
             return jax.nn.log_softmax(logits, axis=-1), new_carries
+
+        if bpe is not None:
+            # open-vocabulary streaming: greedy unit collapse -> bpe.decode,
+            # no lexicon, no graph, no graph-decoder state
+            from mogasr.am.ctc import CtcStreamDecoder
+
+            ctc_dec = CtcStreamDecoder(blank_id=V - 1, mode="greedy")
+            sf = StreamingFrontend(fcfg)
+            chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
+            part_words: list = []
+            with Timer() as t:
+                for i in range(0, len(wave), chunk):
+                    consumed = min(i + chunk, len(wave))
+                    feats = sf.process(wave[i : i + chunk])
+                    if feats.size:
+                        sc, carries = score_chunk(carries, jnp.asarray(feats[None]))
+                        ctc_dec.step(np.asarray(sc[0]))
+                    part_words = bpe.decode(ctc_dec.partial())
+                    print(json.dumps({
+                        "t_audio_s": round(consumed / fcfg.sample_rate, 2),
+                        "partial": part_words,
+                    }), flush=True)
+                feats = sf.finalize()
+                if feats.size:
+                    sc, carries = score_chunk(carries, jnp.asarray(feats[None]))
+                    ctc_dec.step(np.asarray(sc[0]))
+                part_words = bpe.decode(ctc_dec.finalize())
+            audio_s = len(wave) / fcfg.sample_rate
+            print(json.dumps({"final": part_words,
+                              "rtf": round(t.seconds / audio_s, 4)}))
+            logger.log({
+                "stage": "stream_ctc_bpe", "audio_s": round(audio_s, 2),
+                "wall_sec": t.seconds, "rtf": t.seconds / max(audio_s, 1e-9),
+                "final_words": part_words,
+            })
+            return
 
         graph = ctc_decode_graph(lex, dcfg)
         gmm = None

@@ -394,6 +394,37 @@ def test_train_ctc_bpe_then_decode_cli(tmp_path, monkeypatch):
     assert len([json.loads(l) for l in open(out)]) == 4
 
 
+def test_stream_cli_ctc_bpe(tmp_path, monkeypatch, capsys):
+    """Streaming OPEN-VOCABULARY recognition: BPE-CTC LSTM chunks -> greedy
+    unit collapse -> words, no lexicon or decode graph."""
+    from cli import stream, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "ctc", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--ctc",
+         "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_lstm"),
+         "--nn-hidden", "16", "--nn-layers", "2"],
+        monkeypatch,
+    )
+    events = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    partials = [e for e in events if "partial" in e]
+    finals = [e for e in events if "final" in e]
+    assert len(partials) >= 3 and len(finals) == 1
+    assert isinstance(finals[0]["final"], list)
+
+
 def test_stream_cli_rnnt(tmp_path, monkeypatch, capsys):
     """Online RNN-T: encoder chunks + chunk-resumable device greedy."""
     from cli import stream, train_nn
