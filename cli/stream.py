@@ -58,6 +58,10 @@ def main() -> None:
                    help="online RNN-transducer: stateful LSTM encoder chunks "
                         "+ chunk-resumable on-device greedy (phone partials; "
                         "train_nn --objective rnnt ckpt via --nn-ckpt)")
+    p.add_argument("--max-symbols", type=int, default=0,
+                   help="with --rnnt: hypothesis-buffer cap (0 = scale with "
+                        "the audio length; the buffer silently stops "
+                        "recording labels past the cap)")
     p.add_argument("--nn-ckpt", help="CTC/RNN-T checkpoint dir (with --ctc/--rnnt)")
     p.add_argument("--bpe", metavar="FILE",
                    help="with --ctc: the checkpoint uses BPE subword units "
@@ -109,7 +113,10 @@ def main() -> None:
             ).params,
         }
         params = restore_checkpoint(args.nn_ckpt, template)["params"]
-        rnnt_stream = RnntDeviceStream(model, params, 1, fcfg.feat_dim)
+        # cap scales with audio length (≈2 symbols/frame ceiling) unless set
+        total_frames = fcfg.num_frames(len(wave)) + 8
+        u_cap = args.max_symbols if args.max_symbols > 0 else 2 * total_frames
+        rnnt_stream = RnntDeviceStream(model, params, 1, fcfg.feat_dim, u_cap=u_cap)
         sf = StreamingFrontend(fcfg)
         chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
         part: list = []

@@ -485,73 +485,8 @@ class RnntPredictionStatelessStep(nn.Module):
 
 
 @functools.lru_cache(maxsize=32)
-def _device_greedy_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
-    """Jitted decode(params, enc, n_frames) for a model CONFIG.
-
-    Cached on (model, caps) — flax modules are frozen dataclasses, so equal
-    configs share one compiled function; params are a traced argument, so
-    repeated calls (e.g. one per eval batch) hit jit's cache instead of
-    recompiling a fresh closure each time.
-    """
-    step_cls = (
-        RnntPredictionStep if model.pred_arch == "lstm" else RnntPredictionStatelessStep
-    )
-    pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
-    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
-    blank = model.n_labels
-    sos = model.n_labels
-
-    @jax.jit
-    def decode(params, enc: jax.Array, n_frames: jax.Array):
-        pred_params = {"params": params["params"]["prediction"]}
-        joint_params = {"params": params["params"]["joint"]}
-        B, T, _ = enc.shape
-        if model.pred_arch == "lstm":
-            cell = nn.OptimizedLSTMCell(model.pred_hidden)
-            carry0 = cell.initialize_carry(jax.random.key(0), (B, 1))
-        else:
-            carry0 = jnp.zeros((B, 1))  # pass-through dummy
-        carry0, pred0 = pred_step_def.apply(
-            pred_params, jnp.full((B,), sos, jnp.int32), carry0
-        )
-        hyp0 = jnp.full((B, u_cap), -1, jnp.int32)
-        lens0 = jnp.zeros((B,), jnp.int32)
-        cols = jnp.arange(u_cap)[None, :]
-
-        def frame_step(state, inputs):
-            carry, pred, hyp, lens = state
-            enc_t, t = inputs
-            active = t < n_frames
-            for _ in range(max_symbols_per_frame):
-                logits = joint_def.apply(
-                    joint_params, enc_t[:, None, :], pred[:, None, :]
-                )[:, 0, 0, :]
-                best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                emit = active & (best != blank) & (lens < u_cap)
-                label = jnp.where(emit, best, sos)
-                new_carry, new_pred = pred_step_def.apply(pred_params, label, carry)
-                carry = jax.tree.map(
-                    lambda n, o: jnp.where(emit[:, None], n, o), new_carry, carry
-                )
-                pred = jnp.where(emit[:, None], new_pred, pred)
-                slot = emit[:, None] & (cols == lens[:, None])
-                hyp = jnp.where(slot, best[:, None], hyp)
-                lens = lens + emit.astype(jnp.int32)
-            return (carry, pred, hyp, lens), None
-
-        (_, _, hyp, lens), _ = jax.lax.scan(
-            frame_step,
-            (carry0, pred0, hyp0, lens0),
-            (jnp.transpose(enc, (1, 0, 2)), jnp.arange(T)),
-        )
-        return hyp, lens
-
-    return decode
-
-
-@functools.lru_cache(maxsize=32)
 def _device_greedy_chunk_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
-    """Chunk-resumable form of _device_greedy_fn: the decode state
+    """The device greedy frame loop with its decode state
     (prediction carry, prediction output, hypothesis buffer, lengths) is an
     explicit argument/result, so consecutive chunks continue EXACTLY where
     the previous chunk stopped — streaming == offline by construction."""
@@ -665,12 +600,22 @@ def make_rnnt_device_greedy(
     host greedy decode at equal caps (tested).
 
     Returns decode(enc [B, T, He], n_frames) -> (hyp [B, u_cap] -1-padded,
-    lens [B]) as device arrays. The underlying jitted function is cached on
-    (model config, caps) with params as a traced argument, so repeated
-    calls never recompile at equal shapes.
+    lens [B]) as device arrays. Implemented as init + ONE consume over the
+    full sequence through the chunk-resumable scan (_device_greedy_chunk_fn)
+    — a single shared frame loop, so streaming and offline cannot drift.
+    The jitted consume is cached on (model config, caps) with params as a
+    traced argument, so repeated calls never recompile at equal shapes.
     """
-    fn = _device_greedy_fn(model, int(u_cap), int(max_symbols_per_frame))
-    return lambda enc, n_frames: fn(params, enc, n_frames)
+    init_state, consume = _device_greedy_chunk_fn(
+        model, int(u_cap), int(max_symbols_per_frame)
+    )
+
+    def decode(enc, n_frames):
+        state = init_state(params, int(enc.shape[0]))
+        _, _, hyp, lens = consume(params, state, enc, jnp.asarray(n_frames))
+        return hyp, lens
+
+    return decode
 
 
 def rnnt_greedy_decode_device(

@@ -29,8 +29,13 @@ class Bpe:
     def n_units(self) -> int:
         return len(self.units)
 
-    def unit_id(self, u: str) -> int:
-        return self.units.index(u)
+    @property
+    def _lut(self) -> Dict[str, int]:
+        lut = getattr(self, "_lut_cache", None)
+        if lut is None:
+            lut = {u: i for i, u in enumerate(self.units)}
+            object.__setattr__(self, "_lut_cache", lut)  # frozen dataclass
+        return lut
 
     def encode_word(self, word: str) -> List[str]:
         """Word -> unit strings (characters merged per the learned merges)."""
@@ -55,7 +60,7 @@ class Bpe:
     def encode(self, words: Sequence[str]) -> List[int]:
         """Word sequence -> unit ids; unknown characters are skipped."""
         ids: List[int] = []
-        lut = {u: i for i, u in enumerate(self.units)}
+        lut = self._lut
         for w in words:
             for u in self.encode_word(w.lower()):
                 if u in lut:
@@ -147,9 +152,12 @@ def train_bpe(
             new_corpus[key] = new_corpus.get(key, 0) + f
         corpus = new_corpus
 
-    units = sorted({u for sym in corpus for u in sym})
-    # ensure single characters (+marked forms) survive as fallback units so
-    # unseen words still encode
-    alphabet = sorted({c for w in word_freq for c in w})
-    units = sorted(set(units) | set(alphabet) | {c + BOUNDARY for c in alphabet})
-    return Bpe(units=tuple(units), merges=tuple(merges))
+    units = {u for sym in corpus for u in sym}
+    # every merge PRODUCT must be a unit even if all its corpus occurrences
+    # merged further (an unseen word's merge replay can stop at any
+    # intermediate product), and single characters (+marked forms) survive
+    # as the fallback alphabet so unseen words always encode
+    units |= {a + b for a, b in merges}
+    alphabet = {c for w in word_freq for c in w}
+    units |= alphabet | {c + BOUNDARY for c in alphabet}
+    return Bpe(units=tuple(sorted(units)), merges=tuple(merges))

@@ -21,6 +21,18 @@ def test_bpe_roundtrip_and_merges():
     assert bpe.decode(bpe.encode(["gato"])) == ["gato"]
 
 
+def test_bpe_intermediate_merge_products_are_units():
+    """Regression: 'abc' merges a+b then ab+c▁, leaving no corpus occurrence
+    of the intermediate 'ab' — an unseen word ('abx') whose merge replay
+    stops there must still encode and roundtrip exactly."""
+    bpe = train_bpe([["abc"]] * 10, n_merges=5)
+    assert "ab" in bpe.units
+    # 'abb' replays merge a+b then stops at the intermediate 'ab' (pre-fix:
+    # 'ab' was missing from the inventory and silently skipped -> 'b')
+    assert bpe.decode(bpe.encode(["abb"])) == ["abb"]
+    assert bpe.decode(bpe.encode(["cab"])) == ["cab"]
+
+
 def test_bpe_boundary_marks_words():
     bpe = train_bpe([["ab"]], n_merges=0)
     units = bpe.encode_word("ab")
