@@ -33,6 +33,15 @@ def main() -> None:
     p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
+    p.add_argument("--ctc", action="store_true",
+                   help="search with a CTC acoustic model (train_nn "
+                        "--objective ctc ckpt via --nn-ckpt) through the "
+                        "CTC-topology word graph")
+    p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
+    p.add_argument("--nn-arch", default="mlp",
+                   choices=["mlp", "lstm", "blstm", "tdnn"])
+    p.add_argument("--nn-hidden", type=int, default=512)
+    p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--terms", required=True,
                    help="comma-separated terms; spaces make phrases "
                         "(e.g. 'cat,dog fish')")
@@ -54,8 +63,34 @@ def main() -> None:
     )
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
-    gmm = load_or_random_gmm(args, fcfg.feat_dim)
-    graph = word_decode_graph(lex, topo, dcfg)
+    if args.ctc:
+        import jax
+
+        from mogasr.am.ctc import ctc_decode_graph, make_ctc_scorer
+        from mogasr.am.neural import build_model
+        from mogasr.am.train_nn import init_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--ctc requires --nn-ckpt")
+        tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        nn_model = build_model(args.nn_arch, lex.n_phones + 1, tcfg)
+        template = {
+            "params": init_train_state(
+                nn_model, tcfg, fcfg.feat_dim, jax.random.key(0)
+            ).params,
+        }
+        scorer = make_ctc_scorer(
+            nn_model, restore_checkpoint(args.nn_ckpt, template)["params"]
+        )
+        graph = ctc_decode_graph(lex, dcfg)
+        gmm = None
+    else:
+        scorer = None
+        gmm = load_or_random_gmm(args, fcfg.feat_dim)
+        graph = word_decode_graph(lex, topo, dcfg)
 
     from mogasr.decoder.kws import keyword_search
     from mogasr.lm.ngram import estimate_bigram
@@ -69,7 +104,7 @@ def main() -> None:
     n_hits = 0
     with Timer() as t:
         for fb in batches:
-            scores = score_batch(fb.feats, gmm)
+            scores = scorer(fb) if scorer is not None else score_batch(fb.feats, gmm)
             lats, _ = decode_batch_lattices(fb, scores, graph, lm, dcfg)
             for b in range(fb.size):
                 hits = keyword_search(lats[b], lm, terms, threshold=args.threshold)

@@ -473,6 +473,33 @@ def test_kws_cli(tmp_path, monkeypatch):
             assert 0 <= h["posterior"] <= 1.0001
 
 
+def test_kws_cli_ctc(tmp_path, monkeypatch):
+    """Keyword spotting with a CTC acoustic model (CTC-topology lattices)."""
+    from cli import search, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "8",
+         "--objective", "ctc"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "hits.jsonl")
+    run_cli(
+        search,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run2"), "--ctc",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_mlp"),
+         "--nn-arch", "mlp", "--nn-hidden", "32", "--nn-layers", "1",
+         "--terms", "cat,dog", "--threshold", "0.05", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 3
+    for r in recs:
+        for h in r["hits"]:
+            assert 0 <= h["posterior"] <= 1.0001
+
+
 def test_decode_cli_consensus_and_kn(tmp_path, monkeypatch):
     """Lattice consensus (CN) + Kneser-Ney smoothing through the decode CLI."""
     from cli import decode
