@@ -12,7 +12,9 @@ north_star: "feature-extraction and scoring entry points"):
     mogasr.gmm_loglik(x, gmm)            -> [N, S] log-likelihoods (XLA path)
     mogasr.gmm_loglik_pallas(x, gmm)     -> [N, S] (fused Pallas TPU kernel)
     mogasr.viterbi / mogasr.forward_backward
-    mogasr.pipeline.{featurize, train_gmm, evaluate, ...}
+    mogasr.ctc_loss / mogasr.rnnt_loss / mogasr.train_bpe
+    mogasr.pipeline.{featurize, train_gmm, train_ctc, train_rnnt,
+                     evaluate, ...}
 """
 
 __version__ = "0.1.0"
@@ -54,6 +56,18 @@ def __getattr__(name):  # lazy: keep `import mogasr` light, no jax at import
         from mogasr.eval.wer import corpus_wer
 
         return corpus_wer
+    if name == "ctc_loss":
+        from mogasr.am.ctc import ctc_loss
+
+        return ctc_loss
+    if name == "rnnt_loss":
+        from mogasr.am.rnnt import rnnt_loss
+
+        return rnnt_loss
+    if name == "train_bpe":
+        from mogasr.data.bpe import train_bpe
+
+        return train_bpe
     if name == "pipeline":
         import mogasr.pipeline as _p
 
