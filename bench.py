@@ -61,13 +61,14 @@ def main() -> None:
         jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
     )
 
-    # Corpus: 512 synthetic utterances, ~6-13 s each — large enough that the
+    # Corpus: 768 synthetic utterances, ~6-13 s each — large enough that the
     # measurement is steady-state throughput, not Python dispatch ramp-up
-    # (512/B64 measured 1452 utt/s vs 1294 at 256/B64). The former blocker
-    # for 512 was the CPU-reference baseline (~130 s/utterance at full
-    # length); it now times a frame-sliced prefix and extrapolates per frame
-    # (both its stages are linear in frame count), freeing the budget.
-    n_utts = 512
+    # (measured ladder at B64: 256 -> 1294, 512 -> 1330-1452, 768 -> 1497
+    # utt/s; host synthesis is ~3 s, so corpus size costs little). The
+    # former blocker for larger corpora was the CPU-reference baseline
+    # (~130 s/utterance at full length); it now times a frame-sliced prefix
+    # and extrapolates per frame (both its stages are linear in frames).
+    n_utts = 768
     utts = make_corpus(n_utts, words_per_utt=(8, 16), seed=1)
     audio_seconds = sum(len(u.wave) for u in utts) / fcfg.sample_rate
 
