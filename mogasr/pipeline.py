@@ -663,14 +663,52 @@ def train_rnnt(
     0.87). Pass pred_arch="lstm", aux_ctc=False for the classic transducer.
     """
     from mogasr.am import ctc as C
+
+    return train_rnnt_units(
+        batches,
+        lambda words: C.ctc_labels_from_words(lexicon, words, include_sil),
+        lexicon.n_phones,
+        tcfg, encoder_arch=encoder_arch, pred_arch=pred_arch, aux_ctc=aux_ctc,
+        ctc_weight=ctc_weight, steps=steps, logger=logger,
+    )
+
+
+def train_rnnt_bpe(
+    batches: Sequence[FeatBatch],
+    bpe,
+    tcfg: TrainConfig,
+    logger=None,
+    **kwargs,
+):
+    """Lexicon-free RNN-T on BPE subword targets; greedy decode + bpe.decode
+    gives open-vocabulary words (the transducer twin of train_ctc_bpe)."""
+    return train_rnnt_units(
+        batches, bpe.encode, bpe.n_units, tcfg, logger=logger, **kwargs
+    )
+
+
+def train_rnnt_units(
+    batches: Sequence[FeatBatch],
+    encode_fn,
+    n_units: int,
+    tcfg: TrainConfig,
+    encoder_arch: str = "lstm",
+    pred_arch: str = "stateless",
+    aux_ctc: bool = True,
+    ctc_weight: float = 1.0,
+    steps: Optional[int] = None,
+    logger=None,
+):
+    """Generic alignment-free RNN-T over any unit inventory (phones, BPE)."""
+    from mogasr.am import ctc as C
     from mogasr.am import rnnt as R
 
     model = R.build_rnnt_model(
-        lexicon.n_phones, tcfg,
+        n_units, tcfg,
         encoder_arch=encoder_arch, pred_arch=pred_arch, aux_ctc=aux_ctc,
     )
     seqs_all = [
-        [C.ctc_labels_from_words(lexicon, fb.words[b], include_sil) for b in range(fb.size)]
+        [encode_fn(fb.words[b]) for b in range(fb.size)]
         for fb in batches
     ]
     l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)

@@ -40,6 +40,32 @@ def test_bpe_boundary_marks_words():
     assert bpe.decode(bpe.encode(["ab", "ab"])) == ["ab", "ab"]
 
 
+def test_bpe_rnnt_trains_and_decodes_units():
+    """The transducer twin: train_rnnt_bpe on subword targets, device greedy
+    decode roundtrips through bpe.decode to word lists (smoke-level: tiny
+    model/steps; quality gates live in the CTC-BPE and RNN-T suites)."""
+    from mogasr import pipeline as pipe
+    from mogasr.am.rnnt import rnnt_greedy_decode_device
+    from mogasr.config import BatchConfig, FrontendConfig, TrainConfig
+    from mogasr.data.synthetic import make_corpus
+
+    utts = make_corpus(4, words_per_utt=(2, 2), seed=3)
+    batches = pipe.featurize(
+        [(u.utt_id, u.wave, u.words) for u in utts],
+        FrontendConfig(), BatchConfig(batch_size=4, bucket_boundaries=(250, 400)),
+    )
+    transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
+    bpe = train_bpe(transcripts, n_merges=20)
+    tcfg = TrainConfig(nn_hidden=32, nn_layers=2, lr=3e-3, num_nn_steps=12)
+    model, params = pipe.train_rnnt_bpe(batches, bpe, tcfg)
+    assert model.n_labels == bpe.n_units
+    fb = batches[0]
+    out = rnnt_greedy_decode_device(model, params, fb.feats, fb.n_frames)
+    for seq in out[: fb.size]:
+        words = bpe.decode(seq)
+        assert isinstance(words, list)
+
+
 def test_bpe_ctc_lexicon_free_word_recognition():
     """Train CTC on BPE targets, decode greedily, join units to words —
     word recognition with NO lexicon and NO decode graph."""
