@@ -180,6 +180,16 @@ def main() -> None:
                          "require --mode word")
     if (args.ctc or args.rnnt) and (args.am == "gmm" or args.multi_pron):
         raise SystemExit("--ctc/--rnnt require a neural --am and no --multi-pron")
+    if args.ctc and args.bpe and (
+        args.mode == "phone" or args.consensus != "off" or args.nbest > 0
+        or args.bigram_lm or args.trigram_rescore
+    ):
+        # The lexicon-free BPE branch is greedy word decoding only; silently
+        # ignoring these flags produced meaningless PER / skipped passes.
+        raise SystemExit(
+            "--ctc --bpe is greedy word decoding: incompatible with --mode "
+            "phone, --consensus, --nbest, --bigram-lm, --trigram-rescore"
+        )
     pron_logp = None
     if args.rnnt:
         graph = None  # frame-synchronous transducer decode needs no graph

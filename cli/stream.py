@@ -58,6 +58,12 @@ def main() -> None:
                    help="online RNN-transducer: stateful LSTM encoder chunks "
                         "+ chunk-resumable on-device greedy (phone partials; "
                         "train_nn --objective rnnt ckpt via --nn-ckpt)")
+    p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
+                   help="RNN-T prediction-net architecture — must match the "
+                        "checkpoint (mirrors cli/decode.py)")
+    p.add_argument("--rnnt-plain", action="store_true",
+                   help="checkpoint was trained WITHOUT the auxiliary CTC head "
+                        "(train_rnnt aux_ctc=False)")
     p.add_argument("--max-symbols", type=int, default=0,
                    help="with --rnnt: hypothesis-buffer cap (0 = scale with "
                         "the audio length; the buffer silently stops "
@@ -106,7 +112,10 @@ def main() -> None:
             raise SystemExit("--rnnt requires --nn-ckpt (train_nn --objective rnnt)")
         tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
-        model = build_rnnt_model(lex.n_phones, tcfg)
+        model = build_rnnt_model(
+            lex.n_phones, tcfg,
+            pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+        )
         template = {
             "params": init_rnnt_train_state(
                 model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)

@@ -55,6 +55,7 @@ class Utterance:
     words: List[str]
     phones: List[str]         # including surrounding/inter-word sil
     phone_bounds: np.ndarray  # [n_phones + 1] sample boundaries
+    speaker: str = "spk00"    # speaker id (v2 corpora; v1 uses the default)
 
 
 def phone_wave(
@@ -140,6 +141,231 @@ def make_corpus(
             synth_utterance(
                 f"synth-{i:05d}", words, sr=sr, seed=seed * 100003 + i,
                 formant_scale=formant_scale,
+            )
+        )
+    return utts
+
+
+# ---------------------------------------------------------------------------
+# v2 corpus: coarticulated, multi-speaker, noisy — the *discriminative* task.
+#
+# The v1 synthesis above renders every phone as a context-independent pair of
+# stationary sines; on that task monophone GMMs already saturate (round-1
+# VERDICT: CD/LM/MMI/adaptation all tied at 1.45% WER).  The v2 path keeps the
+# same ground-truth contract (known phone boundaries) but makes the task hard
+# in exactly the dimensions the advanced components exist for:
+#   * coarticulation  — formants GLIDE between adjacent phones with
+#     phase-continuous synthesis, so a phone's realization depends on its
+#     neighbors -> context-dependent (triphone) modeling has signal to win.
+#   * speakers        — per-speaker vocal-tract (formant) scaling + spectral
+#     channel tilt + level -> VTLN/fMLLR/MLLR adaptation has signal to win.
+#   * additive noise  — per-utterance SNR drawn from a range -> acoustic
+#     confusions appear, so LM / discriminative training / consensus win.
+#   * vocabulary      — a few hundred generated words incl. minimal pairs ->
+#     WER has headroom above the floor.
+# v1 functions are untouched (byte-identical RNG draws) — tests rely on them.
+# ---------------------------------------------------------------------------
+
+_VOWELS = sorted(p for p, (f1, _) in PHONE_FORMANTS.items() if f1 < 800)
+_CONSONANTS = sorted(p for p in PHONE_FORMANTS if p not in _VOWELS)
+
+
+def extended_lexicon(n_words: int = 300, seed: int = 7) -> Dict[str, List[str]]:
+    """The 30 hand-named words plus deterministically generated pseudo-words.
+
+    Generated words are CVC / CVCV / CVCVC built from the phone inventory;
+    orthography is the concatenated phone names (distinct by construction).
+    Phone sequences already present in the hand lexicon are skipped so the
+    vocabulary contains no accidental homophones.
+    """
+    rng = np.random.default_rng(seed)
+    lex: Dict[str, List[str]] = {}
+    seen: set = set()
+    for w, v in LEXICON.items():  # drop v1's own homophones ("new"=="no")
+        if tuple(v) not in seen:
+            lex[w] = list(v)
+            seen.add(tuple(v))
+    templates = ["CVC", "CVCV", "CVCVC", "VCV", "CV"]
+    while len(lex) < n_words:
+        tpl = templates[int(rng.integers(0, len(templates)))]
+        phones = [
+            (_CONSONANTS if c == "C" else _VOWELS)[
+                int(rng.integers(0, len(_CONSONANTS if c == "C" else _VOWELS)))
+            ]
+            for c in tpl
+        ]
+        key = tuple(phones)
+        word = "".join(phones)
+        if key in seen or word in lex:
+            continue
+        seen.add(key)
+        lex[word] = phones
+    return lex
+
+
+@dataclasses.dataclass(frozen=True)
+class Speaker:
+    """A simulated talker: vocal-tract length + channel."""
+
+    speaker_id: str
+    formant_scale: float = 1.0   # vocal-tract length warp (VTLN target)
+    tilt: float = 0.0            # one-tap FIR channel tilt (+ = low boost)
+    level_db: float = 0.0        # overall gain
+
+
+def make_speakers(
+    n_speakers: int,
+    seed: int = 11,
+    scale_range: Tuple[float, float] = (0.88, 1.12),
+    tilt_range: Tuple[float, float] = (-0.35, 0.35),
+    level_range_db: Tuple[float, float] = (-6.0, 0.0),
+) -> List[Speaker]:
+    rng = np.random.default_rng(seed)
+    return [
+        Speaker(
+            f"spk{i:02d}",
+            formant_scale=float(rng.uniform(*scale_range)),
+            tilt=float(rng.uniform(*tilt_range)),
+            level_db=float(rng.uniform(*level_range_db)),
+        )
+        for i in range(n_speakers)
+    ]
+
+
+@dataclasses.dataclass(frozen=True)
+class CorpusStyle:
+    """Hardness knobs for the v2 synthesis."""
+
+    coarticulation: float = 0.35          # fraction of a phone spent gliding
+    snr_db: Tuple[float, float] = (12.0, 30.0)  # additive-noise SNR range
+    freq_jitter: float = 0.03             # per-phone formant jitter (rel.)
+    amp_jitter: float = 0.25              # per-phone amplitude jitter (rel.)
+
+
+def _log_mid(a: float, b: float) -> float:
+    return float(np.sqrt(a * b))
+
+
+def synth_utterance_v2(
+    utt_id: str,
+    words: Sequence[str],
+    lexicon: Dict[str, List[str]],
+    speaker: Speaker,
+    style: CorpusStyle = CorpusStyle(),
+    sr: int = 16000,
+    seed: int = 0,
+    mean_phone_ms: float = 90.0,
+) -> Utterance:
+    """Phase-continuous coarticulated synthesis with speaker/channel/noise."""
+    rng = np.random.default_rng(seed)
+    phones = words_to_phones(words, lexicon=lexicon)
+    bounds = [0]
+    for p in phones:
+        dur_ms = mean_phone_ms * (1.6 if p == SIL else 1.0) * rng.uniform(0.7, 1.4)
+        bounds.append(bounds[-1] + max(int(sr * dur_ms / 1000.0), 160))
+    n_total = bounds[-1]
+
+    # Build formant tracks + amplitude envelope over the whole utterance.
+    f1t = np.zeros(n_total)
+    f2t = np.zeros(n_total)
+    amp = np.zeros(n_total)
+    for i, p in enumerate(phones):
+        s, e = bounds[i], bounds[i + 1]
+        if p == SIL:
+            continue
+        jit = 1.0 + style.freq_jitter * rng.standard_normal()
+        f1, f2 = PHONE_FORMANTS[p]
+        f1 = f1 * speaker.formant_scale * jit
+        f2 = f2 * speaker.formant_scale * jit
+        prev = phones[i - 1] if i > 0 else SIL
+        nxt = phones[i + 1] if i + 1 < len(phones) else SIL
+
+        def _targets(neigh: str, fa: float, fb: float) -> Tuple[float, float]:
+            if neigh == SIL:
+                return fa, fb
+            g1, g2 = PHONE_FORMANTS[neigh]
+            return (
+                _log_mid(fa, g1 * speaker.formant_scale),
+                _log_mid(fb, g2 * speaker.formant_scale),
+            )
+
+        ent1, ent2 = _targets(prev, f1, f2)
+        ext1, ext2 = _targets(nxt, f1, f2)
+        n = e - s
+        glide = min(int(style.coarticulation * n), (n - 1) // 2)
+        tr1 = np.full(n, f1)
+        tr2 = np.full(n, f2)
+        if glide > 0:
+            tr1[:glide] = np.linspace(ent1, f1, glide)
+            tr2[:glide] = np.linspace(ent2, f2, glide)
+            tr1[-glide:] = np.linspace(f1, ext1, glide)
+            tr2[-glide:] = np.linspace(f2, ext2, glide)
+        f1t[s:e] = tr1
+        f2t[s:e] = tr2
+        a = 1.0 + style.amp_jitter * rng.standard_normal()
+        env = np.full(n, max(a, 0.2))
+        ramp = min(n // 4, 80)
+        if ramp > 0:
+            up = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+            env[:ramp] *= up
+            env[-ramp:] *= up[::-1]
+        amp[s:e] = env
+
+    ph1 = 2.0 * np.pi * np.cumsum(f1t) / sr + rng.uniform(0, 2 * np.pi)
+    ph2 = 2.0 * np.pi * np.cumsum(f2t) / sr + rng.uniform(0, 2 * np.pi)
+    sig = amp * (0.5 * np.sin(ph1) + 0.3 * np.sin(ph2))
+    sig += 0.001 * rng.standard_normal(n_total)  # breath/room floor
+
+    # Channel tilt: one-tap FIR  y[n] = x[n] + tilt * x[n-1].
+    if speaker.tilt != 0.0:
+        sig = sig + speaker.tilt * np.concatenate([[0.0], sig[:-1]])
+
+    # Additive noise at a per-utterance SNR over voiced power.
+    voiced = amp > 0
+    if voiced.any():
+        snr = rng.uniform(*style.snr_db)
+        p_sig = float(np.mean(sig[voiced] ** 2))
+        sig = sig + np.sqrt(p_sig / 10.0 ** (snr / 10.0)) * rng.standard_normal(
+            n_total
+        )
+
+    peak = max(float(np.abs(sig).max()), 1e-6)
+    sig = (0.3 * 10.0 ** (speaker.level_db / 20.0)) * sig / peak
+    return Utterance(
+        utt_id, sig.astype(np.float32), sr, list(words), phones,
+        np.array(bounds), speaker=speaker.speaker_id,
+    )
+
+
+def make_corpus_v2(
+    n_utts: int,
+    lexicon: Optional[Dict[str, List[str]]] = None,
+    n_speakers: int = 12,
+    style: CorpusStyle = CorpusStyle(),
+    words_per_utt: Tuple[int, int] = (2, 6),
+    sr: int = 16000,
+    seed: int = 0,
+    speakers: Optional[Sequence[Speaker]] = None,
+) -> List[Utterance]:
+    """The discriminative corpus: multi-speaker, coarticulated, noisy.
+
+    Deterministic in (n_utts, lexicon, n_speakers, style, seed).  Speakers are
+    assigned round-robin so per-speaker adaptation always has data.
+    """
+    rng = np.random.default_rng(seed)
+    lex = extended_lexicon() if lexicon is None else lexicon
+    vocab = sorted(lex)
+    spks = list(speakers) if speakers is not None else make_speakers(
+        n_speakers, seed=seed + 11
+    )
+    utts = []
+    for i in range(n_utts):
+        n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
+        words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_words)]
+        utts.append(
+            synth_utterance_v2(
+                f"synth2-{i:05d}", words, lex, spks[i % len(spks)],
+                style=style, sr=sr, seed=seed * 100003 + 31 * i + 17,
             )
         )
     return utts
