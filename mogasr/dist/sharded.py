@@ -74,6 +74,70 @@ def make_sharded_align_step(mesh: Mesh, acoustic_scale: float = 1.0):
     return align_step
 
 
+def make_sharded_soft_em_step(mesh: Mesh, acoustic_scale: float = 1.0):
+    """Full Baum-Welch (soft-EM) E-step with utterances sharded over chips.
+
+    (gmm, feats[B,T,D], n_frames[B], graphs{...[B,J]}) -> GmmStats.
+    Each chip runs scoring + forward-backward on its utterance shard and
+    accumulates soft stats; the replicated [S,K] stat outputs make XLA emit
+    the ICI psum — the soft counterpart of make_sharded_em_step.
+    """
+    from mogasr.decoder import forward_backward as fbd
+
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh),
+        out_shardings=rep,
+    )
+    def soft_em_step(gmm: GmmSet, feats, n_frames, graphs) -> em.GmmStats:
+        B, T, D = feats.shape
+        n_pdfs = gmm.means.shape[0]
+        ll = gmm_loglik(feats.reshape(B * T, D), gmm).reshape(B, T, -1)
+        res = fbd.forward_backward(ll, graphs, n_frames,
+                                  acoustic_scale=acoustic_scale)
+        post = fbd.state_posteriors_to_pdf(
+            res.log_gamma, graphs["emit_id"], n_pdfs)
+        s = em.accumulate_stats_soft(
+            gmm, feats.reshape(B * T, D), post.reshape(-1, n_pdfs))
+        # padding utterances (n_frames == 0) carry -inf forward loglik
+        return s._replace(
+            loglik=jnp.sum(jnp.where(n_frames > 0, res.loglik, 0.0)))
+
+    return soft_em_step
+
+
+def make_sharded_decode_step(mesh: Mesh, acoustic_scale: float = 1.0):
+    """Sharded free-decode/eval step (SURVEY.md §3.5's cross-chip entry).
+
+    (gmm, feats[B,T,D], n_frames[B], graphs) -> (ViterbiResult [sharded],
+    totals {frames, score} [replicated]).  Paths/scores stay on their chips
+    (hosts gather their own shards); the replicated totals are the psum-ed
+    frame counts the eval sweep turns into utt/s/chip + RTF.
+    """
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh),
+        out_shardings=(dsh, rep),
+    )
+    def decode_step(gmm, feats, n_frames, graphs):
+        B, T, D = feats.shape
+        ll = gmm_loglik(feats.reshape(B * T, D), gmm).reshape(B, T, -1)
+        res = vit.viterbi(ll, graphs, n_frames, acoustic_scale=acoustic_scale)
+        totals = {
+            "frames": jnp.sum(n_frames),
+            "score": jnp.sum(jnp.where(n_frames > 0, res.score, 0.0)),
+        }
+        return res, totals
+
+    return decode_step
+
+
 def make_sharded_stats_step(mesh: Mesh, accumulate_fn):
     """Generic sharded sufficient-statistics step for any accumulator with
     the (gmm, feats[N, D], labels[N]) -> stats-pytree signature — covers

@@ -199,3 +199,90 @@ def test_pad_to_multiple():
     assert p.shape == (16,) and n == 10
     p2, n2 = M.pad_to_multiple(a, 5)
     assert p2.shape == (10,) and n2 == 10
+
+
+def _toy_system(rng, B=8, T=12, D=4):
+    """Shared fixture for the decode/soft-EM mesh tests."""
+    from mogasr.hmm import graph as gr_mod
+    from mogasr.hmm.lexicon import make_lexicon
+    from mogasr.hmm.topology import build_topology
+
+    lex = make_lexicon({"ab": ["a", "b"]})
+    topo = build_topology(lex, TopologyConfig(states_per_phone=1, sil_states=1))
+    g = gr_mod.align_graph(topo, lex.words_to_phone_ids(["ab"]))
+    graphs_np = gr_mod.batch_graphs([g] * B)
+    feats = rng.standard_normal((B, T, D)).astype(np.float32)
+    K = 2
+    gmm = GmmSet(
+        jnp.asarray(rng.dirichlet(np.ones(K), size=topo.n_pdfs).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((topo.n_pdfs, K, D)).astype(np.float32)),
+        jnp.asarray((0.5 + rng.random((topo.n_pdfs, K, D))).astype(np.float32)),
+    )
+    n_frames = np.full(B, T, np.int32)
+    n_frames[-1] = T - 3  # ragged lengths must survive the sharding
+    return gmm, feats, n_frames, graphs_np
+
+
+def test_sharded_soft_em_matches_local(mesh, rng):
+    """Baum-Welch stats accumulated over the mesh == single-device (the
+    soft-EM counterpart of the hard-EM allreduce)."""
+    from mogasr.am.gmm import gmm_loglik
+    from mogasr.decoder import forward_backward as fbd
+    from mogasr.dist.sharded import make_sharded_soft_em_step
+
+    gmm, feats, n_frames, graphs_np = _toy_system(rng)
+    B, T, D = feats.shape
+    graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+
+    ll = gmm_loglik(jnp.asarray(feats.reshape(-1, D)), gmm).reshape(B, T, -1)
+    res = fbd.forward_backward(ll, graphs, jnp.asarray(n_frames))
+    post = fbd.state_posteriors_to_pdf(
+        res.log_gamma, graphs["emit_id"], gmm.means.shape[0])
+    local = em.accumulate_stats_soft(
+        gmm, jnp.asarray(feats.reshape(-1, D)),
+        post.reshape(-1, gmm.means.shape[0]))
+    local = local._replace(
+        loglik=jnp.sum(jnp.where(jnp.asarray(n_frames) > 0, res.loglik, 0.0)))
+
+    step = make_sharded_soft_em_step(mesh)
+    dist = step(
+        M.replicate(gmm, mesh),
+        *M.shard_batch((feats, n_frames), mesh),
+        M.shard_batch({k: v for k, v in graphs_np.items()}, mesh),
+    )
+    for name in ("occ", "sx", "sxx"):
+        l, d = getattr(local, name), getattr(dist, name)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(l), atol=2e-5)
+    np.testing.assert_allclose(float(dist.loglik), float(local.loglik), rtol=1e-5)
+
+    # and the M-step on the distributed stats yields a usable model
+    g2 = em.m_step(gmm, dist)
+    assert np.isfinite(np.asarray(g2.means)).all()
+
+
+def test_sharded_decode_matches_local(mesh, rng):
+    """Sharded eval/decode step: per-chip paths equal local decode and the
+    psum-ed frame/score totals equal the host-side sums."""
+    from mogasr.am.gmm import gmm_loglik
+    from mogasr.decoder import viterbi as vit
+    from mogasr.dist.sharded import make_sharded_decode_step
+
+    gmm, feats, n_frames, graphs_np = _toy_system(rng)
+    B, T, D = feats.shape
+    graphs = {k: jnp.asarray(v) for k, v in graphs_np.items()}
+
+    ll = gmm_loglik(jnp.asarray(feats.reshape(-1, D)), gmm).reshape(B, T, -1)
+    local = vit.viterbi(ll, graphs, jnp.asarray(n_frames))
+
+    step = make_sharded_decode_step(mesh)
+    res, totals = step(
+        M.replicate(gmm, mesh),
+        *M.shard_batch((feats, n_frames), mesh),
+        M.shard_batch({k: v for k, v in graphs_np.items()}, mesh),
+    )
+    np.testing.assert_array_equal(np.asarray(res.path), np.asarray(local.path))
+    np.testing.assert_allclose(
+        np.asarray(res.score), np.asarray(local.score), atol=1e-4)
+    assert int(totals["frames"]) == int(n_frames.sum())
+    np.testing.assert_allclose(
+        float(totals["score"]), float(np.asarray(local.score).sum()), rtol=1e-5)
