@@ -66,6 +66,29 @@ def build_consts(cfg: FrontendConfig) -> FrontendConsts:
     )
 
 
+def _dither_noise(n: int, seed: int = npref._DITHER_SEED) -> jax.Array:
+    """JAX mirror of numpy_ref.dither_noise_np for positions [0, n).
+
+    Same murmur3-finalizer + Box-Muller over the sample counter, in uint32
+    (wrapping) arithmetic; noise depends only on the position within the
+    utterance, so batched == solo == streaming == oracle (float32-level).
+    """
+    i = jnp.arange(n, dtype=jnp.uint32)
+
+    def mix(x):
+        x = (x + jnp.uint32(seed)) * jnp.uint32(2654435761)
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x85EBCA6B)
+        x = x ^ (x >> 13)
+        x = x * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> 16)
+        return x
+
+    u1 = (mix(2 * i).astype(jnp.float32) + 0.5) / 4294967296.0
+    u2 = (mix(2 * i + 1).astype(jnp.float32) + 0.5) / 4294967296.0
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
 def _frame_signal_strided(wave: jax.Array, t_max: int, cfg: FrontendConfig) -> jax.Array:
     """[B, N] -> [B, t_max, frame_length] via strided reshapes, NOT a gather.
 
@@ -154,8 +177,6 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
     Returns a jitted ``extract(waves[B, max_samples], num_samples[B]) ->
     (feats[B, T_max, feat_dim], num_frames[B])``.
     """
-    if cfg.dither != 0.0:
-        raise NotImplementedError("dither is not implemented (keep the default 0.0)")
     consts = build_consts(cfg)
     t_max = max(cfg.num_frames(max_samples), 1)
 
@@ -182,6 +203,11 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
     def extract(waves: jax.Array, num_samples: jax.Array) -> Tuple[jax.Array, jax.Array]:
         waves = waves.astype(jnp.float32)
         B = waves.shape[0]
+        if cfg.dither != 0.0:
+            # position-keyed deterministic dither (one [N] row broadcast over
+            # the batch — noise is a function of utterance position only, so
+            # batched == solo == streaming == oracle)
+            waves = waves + cfg.dither * _dither_noise(waves.shape[1])[None, :]
         if cfg.snip_edges:
             n_frames = jnp.where(
                 num_samples < cfg.frame_length,

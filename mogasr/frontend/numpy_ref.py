@@ -145,6 +145,36 @@ def lifter_coeffs(n_ceps: int, q: float) -> np.ndarray:
     return 1.0 + 0.5 * q * np.sin(np.pi * np.arange(n_ceps) / q)
 
 
+_DITHER_SEED = 0x5EED1234  # fixed stream id shared by all three front ends
+
+
+def dither_noise_np(start: int, n: int, seed: int = _DITHER_SEED) -> np.ndarray:
+    """Deterministic unit-variance Gaussian dither, keyed on the ABSOLUTE
+    sample index: noise[i] depends only on (start + i, seed), so the offline
+    oracle, the batched fused path, and the streaming front end add bit-equal
+    noise regardless of chunking or batch layout (the parity contract).
+
+    Counter-based: murmur3-finalizer hash of the sample counter -> two
+    uniforms -> Box-Muller. No RNG state, O(1) per sample, identical in
+    NumPy and JAX (jax_frontend mirrors these exact integer ops).
+    """
+    M = np.uint64(0xFFFFFFFF)
+
+    def mix(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(seed)) * np.uint64(2654435761) & M
+        x ^= x >> np.uint64(16)
+        x = x * np.uint64(0x85EBCA6B) & M
+        x ^= x >> np.uint64(13)
+        x = x * np.uint64(0xC2B2AE35) & M
+        x ^= x >> np.uint64(16)
+        return x
+
+    i = np.arange(start, start + n, dtype=np.uint64)
+    u1 = (mix(2 * i & M).astype(np.float64) + 0.5) / 4294967296.0
+    u2 = (mix((2 * i + 1) & M).astype(np.float64) + 0.5) / 4294967296.0
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
 def preemphasize(wave: np.ndarray, coeff: float) -> np.ndarray:
     if coeff == 0.0:
         return wave.astype(np.float64)
@@ -235,12 +265,11 @@ def extract_features_np(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     mirrors the reference's feature-extraction entry points within fp32
     tolerance on LibriSpeech features).
     """
-    if cfg.dither != 0.0:
-        raise NotImplementedError(
-            "dither is not implemented (keep the default 0.0); it would break "
-            "oracle/JAX bit-parity without a shared RNG stream"
-        )
     wave = np.asarray(wave, dtype=np.float64)
+    if cfg.dither != 0.0:
+        # deterministic shared-stream dither (see dither_noise_np): applied
+        # to the waveform so spectral AND energy paths see the same samples
+        wave = wave + cfg.dither * dither_noise_np(0, len(wave))
     emph = preemphasize(wave, cfg.preemphasis)
     frames = frame_signal(emph, cfg)
     if cfg.use_energy:

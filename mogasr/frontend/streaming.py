@@ -63,8 +63,6 @@ class StreamingFrontend:
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
     ):
-        if cfg.use_energy:
-            raise NotImplementedError("streaming use_energy not supported yet")
         if not cfg.snip_edges:
             raise NotImplementedError(
                 "streaming requires snip_edges=True (centered frames need "
@@ -76,6 +74,7 @@ class StreamingFrontend:
         self._buf = np.zeros(0, np.float64)   # un-consumed samples
         self._prev_sample = 0.0               # for pre-emphasis continuity
         self._first = True
+        self._n_in = 0                        # absolute samples consumed (dither key)
         # rolling buffer of base (pre-delta) frames: only the delta-context
         # tail is kept, so streaming stays O(T) (not O(T^2)) in utterance
         # length. _buf_start is the global frame index of _base_buf[0].
@@ -119,6 +118,15 @@ class StreamingFrontend:
             prev_of_start = np.where(starts == 0, raw[:, 0], prev_of_start)
         prevs[:, 0] = prev_of_start
         frames = raw - cfg.preemphasis * prevs
+        # energy path: log raw-frame energy BEFORE pre-emphasis/window,
+        # matching the offline fused path and the NumPy oracle exactly
+        # (the buffer already carries dithered samples — see process())
+        energy = None
+        if cfg.use_energy and cfg.feature_type == "mfcc":
+            raw32 = raw.astype(np.float32)
+            energy = np.log(
+                np.maximum((raw32 * raw32).sum(-1), cfg.log_floor)
+            ).astype(np.float32)
 
         for i in range(0, t, self.chunk_frames):
             block = frames[i : i + self.chunk_frames]
@@ -126,6 +134,9 @@ class StreamingFrontend:
             padded = np.zeros((self.chunk_frames, L), np.float32)
             padded[:nb] = block.astype(np.float32)
             out = np.asarray(self.kernel(jnp.asarray(padded)))[:nb]
+            if energy is not None:
+                out = out.copy()
+                out[:, 0] = energy[i : i + nb]
             self._base_buf = np.concatenate([self._base_buf, out])
             self._t_avail += nb
         # drop consumed samples; keep from start of next frame, minus one
@@ -198,7 +209,14 @@ class StreamingFrontend:
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Feed a chunk of audio; returns newly-final [n, feat_dim] features."""
-        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float64)])
+        samples = np.asarray(samples, np.float64)
+        if self.cfg.dither != 0.0 and len(samples):
+            # same deterministic position-keyed stream as offline/oracle
+            samples = samples + self.cfg.dither * npref.dither_noise_np(
+                self._n_in, len(samples)
+            )
+        self._n_in += len(samples)
+        self._buf = np.concatenate([self._buf, samples])
         self._consume_frames()
         return self._deltas_ready(max(self._t_avail - self._lag, 0), final=False)
 

@@ -352,9 +352,16 @@ def train_gmm(
         ll = float(stats.loglik) / max(float(stats.n_frames), 1.0)
         history.append(ll)
         if reestimate_transitions and trans_paths:
+            # batches come from different T buckets: right-pad to the widest
+            # with -1 (estimate_transitions stops at the first -1 per row)
+            t_max = max(p.shape[1] for p in trans_paths)
+            pad = lambda arrs: np.concatenate([
+                np.pad(a, ((0, 0), (0, t_max - a.shape[1])), constant_values=-1)
+                for a in arrs
+            ])
             self_probs, _counts = em.estimate_transitions(
-                np.concatenate(trans_paths),
-                np.concatenate(trans_pdfs),
+                pad(trans_paths),
+                pad(trans_pdfs),
                 pdf_to_phone,
                 lexicon.n_phones,
             )

@@ -146,9 +146,15 @@ def test_snip_edges_false_batched(wave):
         np.testing.assert_allclose(np.asarray(feats[i, :t]), ref, atol=2e-4, rtol=2e-4)
 
 
-def test_dither_not_implemented(wave):
-    cfg = FrontendConfig(dither=1.0)
-    with pytest.raises(NotImplementedError):
-        npref.extract_features_np(wave, cfg)
-    with pytest.raises(NotImplementedError):
-        jf.make_frontend(cfg, len(wave))
+def test_dither_implemented_and_parity(wave):
+    # round 2: dither is a deterministic shared-stream feature now; the
+    # fused path must track the oracle with it enabled (test_dither_energy
+    # covers the full matrix, this guards the old raise-site)
+    cfg = FrontendConfig(dither=1e-4)
+    ref = npref.extract_features_np(wave, cfg)
+    fe = jf.make_frontend(cfg, len(wave))
+    import jax.numpy as jnp
+    feats, nf = fe(jnp.asarray(wave)[None], jnp.asarray([len(wave)]))
+    import numpy as np
+    got = np.asarray(feats)[0, : int(nf[0])]
+    np.testing.assert_allclose(got, ref, atol=2e-3)

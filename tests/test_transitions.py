@@ -59,3 +59,33 @@ def test_train_gmm_reestimates_transitions():
     # above 0.3 for phones that occur
     gmm, history = res  # backward-compat unpacking still works
     assert history[-1] > history[0]
+
+
+def test_train_gmm_transitions_across_buckets():
+    """Regression: reestimate_transitions must handle batches from DIFFERENT
+    T buckets (round-2 bug: np.concatenate of unequal widths)."""
+    import jax.numpy as jnp
+
+    from mogasr import pipeline as pipe
+    from mogasr.config import (
+        BatchConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
+    )
+    from mogasr.data.synthetic import make_corpus
+    from mogasr.hmm.lexicon import synthetic_lexicon
+    from mogasr.hmm.topology import build_topology
+
+    fcfg = FrontendConfig()
+    # tiny bucket ceilings force at least two distinct padded widths
+    bcfg = BatchConfig(batch_size=2, bucket_boundaries=(150, 300, 500))
+    lex = synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    utts = make_corpus(6, words_per_utt=(1, 8), seed=5)
+    tb = pipe.featurize([(u.utt_id, u.wave, u.words) for u in utts], fcfg, bcfg)
+    widths = {int(fb.feats.shape[1]) for fb in tb}
+    assert len(widths) > 1, f"fixture must span buckets, got {widths}"
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=1, feat_dim=fcfg.feat_dim)
+    res = pipe.train_gmm(
+        tb, lex, topo, gcfg, TrainConfig(num_em_iters=2),
+        reestimate_transitions=True,
+    )
+    assert len(res.history) == 2
