@@ -251,19 +251,25 @@ def main() -> None:
         jnp.asarray(rng.standard_normal((1, NF, D0)).astype(np.float32))
         for _ in range(4)
     ]
-    kfun = lambda x: gmm_loglik_batched(x, gmm_big, compute_dtype="bfloat16",
-                                        layout=GMM_LAYOUT)
-    jax.block_until_ready([kfun(x) for x in xs])  # compile + warm
-    n_disp = 120
-    t0 = time.perf_counter()
-    outs_k = [kfun(xs[i % len(xs)]) for i in range(n_disp)]
-    jax.block_until_ready(outs_k)
-    k_dt = time.perf_counter() - t0
-    # useful FLOPs: the [N, 2D] x [2D, S*K] contraction (2*N*2D*S*K) plus the
-    # K-wise logsumexp epilogue (~5 ops per (frame, gaussian))
-    useful_flops = n_disp * NF * (2 * (2 * D0) * S0 * K0 + 5 * S0 * K0)
-    k_tflops = useful_flops / k_dt / 1e12
+    def kernel_sweep(mode):
+        kfun = lambda x: gmm_loglik_batched(x, gmm_big, compute_dtype="bfloat16",
+                                            layout=GMM_LAYOUT, mode=mode)
+        jax.block_until_ready([kfun(x) for x in xs])  # compile + warm
+        n_disp = 120
+        t0 = time.perf_counter()
+        outs_k = [kfun(xs[i % len(xs)]) for i in range(n_disp)]
+        jax.block_until_ready(outs_k)
+        k_dt = time.perf_counter() - t0
+        # useful FLOPs: the [N, 2D] x [2D, S*K] contraction (2*N*2D*S*K) plus
+        # the K-wise reduction epilogue (~5 ops/gaussian for logsumexp,
+        # ~1 for max)
+        ep = 5 if mode == "sum" else 1
+        useful = n_disp * NF * (2 * (2 * D0) * S0 * K0 + ep * S0 * K0)
+        return useful / k_dt / 1e12
+
+    k_tflops = kernel_sweep("sum")
     k_mfu = k_tflops / PEAK_TFLOPS_BF16
+    k_tflops_max = kernel_sweep("max")
 
     print(
         json.dumps(
@@ -284,6 +290,8 @@ def main() -> None:
                 "gmm_kernel_scale": f"{S0}x{K0}x{D0}",
                 "gmm_kernel_tflops_useful": round(k_tflops, 1),
                 "gmm_kernel_mfu": round(k_mfu, 4),
+                "gmm_kernel_tflops_max_mode": round(k_tflops_max, 1),
+                "gmm_kernel_mfu_max_mode": round(k_tflops_max / PEAK_TFLOPS_BF16, 4),
                 "peak_tflops_bf16": PEAK_TFLOPS_BF16,
             }
         )

@@ -1,0 +1,194 @@
+"""Per-AM-family decode throughput on one chip (round-1 VERDICT item 4).
+
+Measures utt/s/chip + RTF at bench scale for every acoustic-model family's
+production decode path, with the same many-dispatch/one-sync methodology as
+bench.py (per-op timings under the ~30 ms tunnel dispatch floor are
+untrustworthy — docs/TPU_NOTES.md):
+
+  gmm       frontend -> Pallas GMM bf16 -> Viterbi word-loop
+  mlp       frontend -> MLP posteriors -> prior-scaled Viterbi word-loop
+  lstm      frontend -> LSTM posteriors -> prior-scaled Viterbi word-loop
+  ctc       frontend -> LSTM encoder -> device argmax (+ host collapse)
+  rnnt      frontend -> LSTM encoder -> fully on-device greedy scan
+
+NN weights are randomly initialized at production sizes — decode SPEED is
+weight-independent (decisions are not scored here; accuracy rows live in
+demo_accuracy_v2.py / the headline bundle).  Writes
+benchmarks/results_families.json.
+
+    python benchmarks/bench_families.py [--n-utts N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-utts", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mogasr import pipeline as pipe
+    from mogasr.am.ctc import ctc_greedy_decode
+    from mogasr.am.gmm import GmmSet
+    from mogasr.am.gmm_pallas import gmm_loglik_batched
+    from mogasr.am.neural import build_model, posteriors_to_loglik
+    from mogasr.am.rnnt import (
+        RnntModel, build_rnnt_model, init_rnnt_train_state,
+        make_rnnt_device_greedy,
+    )
+    from mogasr.config import (
+        BatchConfig, DecodeConfig, FrontendConfig, TopologyConfig, TrainConfig,
+    )
+    from mogasr.data import synthetic as syn
+    from mogasr.data.batching import make_batches
+    from mogasr.decoder import viterbi as vit
+    from mogasr.frontend.jax_frontend import cached_frontend
+    from mogasr.hmm import graph as gr
+    from mogasr.hmm.lexicon import make_lexicon
+    from mogasr.hmm.topology import build_topology
+
+    t_start = time.time()
+    fcfg = FrontendConfig()
+    dcfg = DecodeConfig(acoustic_scale=0.1)
+    word_lex = syn.extended_lexicon(300)
+    lex = make_lexicon(word_lex)
+    topo = build_topology(lex, TopologyConfig())
+    n_pdfs = topo.n_pdfs
+
+    utts = syn.make_corpus_v2(args.n_utts, lexicon=word_lex, n_speakers=12,
+                              seed=999, words_per_utt=(3, 9))
+    audio_seconds = sum(len(u.wave) for u in utts) / fcfg.sample_rate
+    bcfg = BatchConfig(batch_size=args.batch,
+                       bucket_boundaries=(250, 350, 450, 600))
+    batches = list(
+        make_batches([(u.utt_id, u.wave, u.words) for u in utts], bcfg, fcfg))
+    prepared = [
+        (jnp.asarray(b.waves), jnp.asarray(b.num_samples),
+         cached_frontend(fcfg, b.waves.shape[1]))
+        for b in batches
+    ]
+
+    graph = pipe.word_decode_graph(lex, topo, dcfg)
+    graphs = {
+        k: jnp.asarray(v)
+        for k, v in gr.batch_graphs([graph] * args.batch).items()
+    }
+
+    rng = np.random.default_rng(0)
+    tcfg = TrainConfig(nn_hidden=args.hidden, nn_layers=args.layers,
+                       nn_context=4)
+    S, K, D = n_pdfs, 32, fcfg.feat_dim
+    gmm = GmmSet(
+        jnp.asarray(rng.dirichlet(np.ones(K), size=S).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((S, K, D)).astype(np.float32)),
+        jnp.asarray((0.5 + rng.random((S, K, D))).astype(np.float32)),
+    )
+    log_priors = jnp.asarray(np.log(np.full(n_pdfs, 1.0 / n_pdfs, np.float32)))
+
+    def nn_scorer(arch):
+        model = build_model(arch, n_pdfs, tcfg)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((2, 8, fcfg.feat_dim)),
+            jnp.asarray([8, 8]))
+        return model, params
+
+    mlp_model, mlp_params = nn_scorer("mlp")
+    lstm_model, lstm_params = nn_scorer("lstm")
+    rnnt_model = build_rnnt_model(lex.n_phones, tcfg)
+    rnnt_params = init_rnnt_train_state(
+        rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(1)).params
+    rnnt_decode = make_rnnt_device_greedy(rnnt_model, rnnt_params, u_cap=120)
+
+    def run_gmm(w, ns, fe):
+        feats, nf = fe(w, ns)
+        ll = gmm_loglik_batched(feats, gmm, compute_dtype="bfloat16")
+        return vit.viterbi(ll, graphs, nf, acoustic_scale=dcfg.acoustic_scale).path
+
+    def make_hybrid(model, params):
+        def run(w, ns, fe):
+            feats, nf = fe(w, ns)
+            logits = model.apply(params, feats, nf)
+            ll = posteriors_to_loglik(logits, log_priors)
+            return vit.viterbi(ll, graphs, nf,
+                               acoustic_scale=dcfg.acoustic_scale).path
+        return run
+
+    ctc_model = build_model("lstm", lex.n_phones + 1, tcfg)  # +1 blank
+    ctc_params = ctc_model.init(
+        jax.random.key(2), jnp.zeros((2, 8, fcfg.feat_dim)), jnp.asarray([8, 8]))
+
+    def run_ctc(w, ns, fe):
+        # device: encoder logits (host blank-collapse counted in run_all)
+        feats, nf = fe(w, ns)
+        return ctc_model.apply(ctc_params, feats, nf), nf
+
+    def run_rnnt(w, ns, fe):
+        feats, nf = fe(w, ns)
+        enc = rnnt_model.apply(rnnt_params, feats, nf, method=RnntModel.encode)
+        return rnnt_decode(enc, nf)
+
+    families = [
+        ("gmm", run_gmm, None),
+        ("mlp", make_hybrid(mlp_model, mlp_params), None),
+        ("lstm", make_hybrid(lstm_model, lstm_params), None),
+        ("ctc", run_ctc, "collapse"),
+        ("rnnt", run_rnnt, None),
+    ]
+
+    rows = []
+    for name, fn, host_post in families:
+        def run_all():
+            outs = [fn(w, ns, fe) for (w, ns, fe) in prepared]
+            jax.block_until_ready(outs)
+            if host_post == "collapse":  # CTC host-side blank collapse
+                for logits, nf in outs:
+                    ctc_greedy_decode(logits, nf)
+            return outs
+
+        run_all()  # compile + warm (not timed)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            run_all()
+        dt = (time.perf_counter() - t0) / args.reps
+        rows.append({
+            "family": name,
+            "utts_per_sec": round(args.n_utts / dt, 2),
+            "rtf": round(dt / audio_seconds, 6),
+        })
+        print(f"  {name}: {rows[-1]['utts_per_sec']} utt/s "
+              f"rtf {rows[-1]['rtf']}  [{time.time()-t_start:.0f}s]", flush=True)
+
+    out = {
+        "n_utts": args.n_utts,
+        "audio_seconds": round(audio_seconds, 1),
+        "batch": args.batch,
+        "nn": f"hidden={args.hidden} layers={args.layers}",
+        "note": "random weights at production sizes; decode speed is "
+                "weight-independent (accuracy rows: demo_accuracy_v2 + headline)",
+        "rows": rows,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results_families.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

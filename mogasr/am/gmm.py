@@ -117,12 +117,18 @@ def gmm_loglik(
     gmm: GmmSet,
     state_chunk: int = 128,
     precision=HIGHEST,
+    mode: str = "sum",
 ) -> jax.Array:
     """Pure-JAX scorer: [N, D] -> [N, S], chunked over states to bound memory.
 
     Reference/fallback path; the Pallas kernel (gmm_pallas.gmm_loglik_pallas)
     is the production TPU path. Chunking keeps the [N, chunk*K] intermediate
     bounded instead of materializing [N, S*K] in HBM.
+
+    mode="max" scores with the best component only (the classic Viterbi /
+    max-approximation to the mixture: loglik ~ max_k log(w_k N_k)); it is a
+    lower bound within log K nats of the exact value and the throughput
+    option for the Pallas kernel's VPU-bound logsumexp epilogue.
     """
     S, K, D = gmm.means.shape
     nat = natural_params(gmm)
@@ -138,6 +144,8 @@ def gmm_loglik(
         ab_c, c_c = args
         s = jnp.dot(x2, ab_c, precision=precision) + c_c[None, :]  # [N, chunk*K]
         s = s.reshape(x.shape[0], state_chunk, K)
+        if mode == "max":
+            return jnp.max(s, axis=-1)
         return jax.nn.logsumexp(s, axis=-1)
 
     out = jax.lax.map(score_chunk, (ab, c))  # [n_chunks, N, chunk]

@@ -82,7 +82,7 @@ def _gmm_kernel_int8(
 
 
 def _gmm_kernel_wide(
-    x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision
+    x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision, mode: str = "sum"
 ):
     """Wide-dot variant: ONE [TM, r] x [r, kc*TS] MXU dot per grid step
     (components of the state tile laid out as contiguous column groups),
@@ -95,7 +95,8 @@ def _gmm_kernel_wide(
     @pl.when(k == 0)
     def _():
         m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        s_scr[:] = jnp.zeros_like(s_scr)
+        if mode == "sum":
+            s_scr[:] = jnp.zeros_like(s_scr)
 
     x = x_ref[:]
     wide = jnp.dot(x, ab_ref[0], preferred_element_type=jnp.float32, precision=precision)
@@ -104,6 +105,16 @@ def _gmm_kernel_wide(
     cmax = scores[0]
     for kk in range(1, kc):
         cmax = jnp.maximum(cmax, scores[kk])
+
+    if mode == "max":
+        m_scr[:] = jnp.maximum(m_scr[:], cmax)
+
+        @pl.when(k == n_kc - 1)
+        def _():
+            out_ref[:] = m_scr[:]
+
+        return
+
     csum = jnp.exp(scores[0] - cmax)
     for kk in range(1, kc):
         csum = csum + jnp.exp(scores[kk] - cmax)
@@ -117,13 +128,14 @@ def _gmm_kernel_wide(
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
-def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision):
+def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision, mode: str = "sum"):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        s_scr[:] = jnp.zeros_like(s_scr)
+        if mode == "sum":
+            s_scr[:] = jnp.zeros_like(s_scr)
 
     x = x_ref[:]
     # Static unroll: KC dots first, then one chunk-local logsumexp and a single
@@ -131,6 +143,9 @@ def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: i
     # (naive online update) to ~4 (max, sub, exp, add), which matters because
     # the kernel is VPU-bound, not MXU-bound (measured: naive online update
     # plateaus at ~17 TFLOP/s bf16 across all tile shapes).
+    # mode="max" (Viterbi approximation, best component only) drops the
+    # exp/log entirely: ~2 VPU passes per dot (bias add + max) — the round-2
+    # epilogue throughput option.
     scores = [
         jnp.dot(x, ab_ref[kk], preferred_element_type=jnp.float32, precision=precision)
         + c_ref[kk].astype(jnp.float32)
@@ -139,6 +154,16 @@ def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: i
     cmax = scores[0]
     for kk in range(1, kc):
         cmax = jnp.maximum(cmax, scores[kk])
+
+    if mode == "max":
+        m_scr[:] = jnp.maximum(m_scr[:], cmax)
+
+        @pl.when(k == n_kc - 1)
+        def _():
+            out_ref[:] = m_scr[:]
+
+        return
+
     csum = jnp.exp(scores[0] - cmax)
     for kk in range(1, kc):
         csum = csum + jnp.exp(scores[kk] - cmax)
@@ -157,7 +182,7 @@ def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: i
     jax.jit,
     static_argnames=(
         "n_states", "n_comp", "tile_m", "tile_s", "kc", "compute_dtype",
-        "interpret", "layout",
+        "interpret", "layout", "mode",
     ),
 )
 def _gmm_loglik_pallas_impl(
@@ -172,6 +197,7 @@ def _gmm_loglik_pallas_impl(
     compute_dtype: str,
     interpret: bool,
     layout: str = "chunked",   # chunked (kc small dots) | wide (one wide dot)
+    mode: str = "sum",         # sum (exact logsumexp) | max (Viterbi approx)
 ) -> jax.Array:
     n, two_d = x2.shape
     r = _round_up(two_d, 128)
@@ -240,7 +266,8 @@ def _gmm_loglik_pallas_impl(
         )
         out = pl.pallas_call(
             functools.partial(
-                _gmm_kernel_wide, kc=kc, n_kc=n_kc, ts=tile_s, precision=precision
+                _gmm_kernel_wide, kc=kc, n_kc=n_kc, ts=tile_s,
+                precision=precision, mode=mode,
             ),
             in_specs=[
                 x_spec,
@@ -259,7 +286,7 @@ def _gmm_loglik_pallas_impl(
         )(x2p, abp, cp, sx, sab)
     else:
         out = pl.pallas_call(
-            functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision),
+            functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision, mode=mode),
             in_specs=[x_spec, ab_spec, c_spec],
             **common,
         )(x2p, abp, cp)
@@ -283,6 +310,7 @@ def gmm_loglik_pallas(
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
     layout: str = "chunked",
+    mode: str = "sum",
 ) -> jax.Array:
     """score(features) -> loglik: [N, D] x GmmSet -> [N, S].
 
@@ -295,11 +323,13 @@ def gmm_loglik_pallas(
     kc = min(kc, K)
     if interpret is None:
         interpret = not _on_tpu()
+    if mode == "max" and compute_dtype == "int8":
+        raise NotImplementedError("mode='max' supports float32/bfloat16 only")
     ab_t, c_t = transposed_natural_params(gmm)
     x2 = quadratic_features(x)
     return _gmm_loglik_pallas_impl(
         x2, ab_t, c_t, S, K, tile_m, tile_s, kc, compute_dtype, interpret,
-        layout=layout,
+        layout=layout, mode=mode,
     )
 
 

@@ -237,9 +237,58 @@ class CorpusStyle:
     """Hardness knobs for the v2 synthesis."""
 
     coarticulation: float = 0.35          # fraction of a phone spent gliding
-    snr_db: Tuple[float, float] = (12.0, 30.0)  # additive-noise SNR range
+    snr_db: Tuple[float, float] = (8.0, 25.0)   # additive-noise SNR range
     freq_jitter: float = 0.03             # per-phone formant jitter (rel.)
     amp_jitter: float = 0.25              # per-phone amplitude jitter (rel.)
+
+
+@dataclasses.dataclass(frozen=True)
+class PhraseLm:
+    """Ground-truth language structure for v2 word sequences.
+
+    Utterances concatenate phrases drawn Zipf-weighted from a fixed
+    inventory, so the word stream has REAL bigram/trigram structure an
+    estimated LM can learn (uniform iid word draws — the v1 scheme — give a
+    bigram nothing to beat a unigram with, by construction)."""
+
+    phrases: Tuple[Tuple[str, ...], ...]
+    weights: Tuple[float, ...]            # sampling probs (sum 1)
+
+
+def make_phrase_lm(
+    vocab: Sequence[str],
+    n_phrases: int = 200,
+    seed: int = 13,
+    zipf_a: float = 0.8,
+) -> PhraseLm:
+    rng = np.random.default_rng(seed)
+    vocab = list(vocab)
+    # Zipf word marginals inside phrases (shuffled rank assignment)
+    ranks = rng.permutation(len(vocab))
+    w = 1.0 / (ranks + 1.0) ** zipf_a
+    w = w / w.sum()
+    lengths = rng.choice([1, 2, 3, 4], size=n_phrases, p=[0.2, 0.35, 0.3, 0.15])
+    phrases = tuple(
+        tuple(vocab[int(j)] for j in rng.choice(len(vocab), size=int(L), p=w))
+        for L in lengths
+    )
+    pw = 1.0 / (np.arange(n_phrases) + 1.0)
+    pw = pw / pw.sum()
+    return PhraseLm(phrases=phrases, weights=tuple(float(x) for x in pw))
+
+
+def sample_phrase_words(
+    lm: PhraseLm, rng: np.random.Generator, words_per_utt: Tuple[int, int]
+) -> List[str]:
+    """Concatenate phrases until the target word count, respecting bounds."""
+    target = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
+    out: List[str] = []
+    probs = np.asarray(lm.weights)
+    while len(out) < target:
+        ph = list(lm.phrases[int(rng.choice(len(lm.phrases), p=probs))])
+        room = words_per_utt[1] - len(out)
+        out.extend(ph[:room])
+    return out
 
 
 def _log_mid(a: float, b: float) -> float:
@@ -346,11 +395,16 @@ def make_corpus_v2(
     sr: int = 16000,
     seed: int = 0,
     speakers: Optional[Sequence[Speaker]] = None,
+    language: str = "phrases",   # phrases (ground-truth LM structure) | uniform
 ) -> List[Utterance]:
     """The discriminative corpus: multi-speaker, coarticulated, noisy.
 
-    Deterministic in (n_utts, lexicon, n_speakers, style, seed).  Speakers are
-    assigned round-robin so per-speaker adaptation always has data.
+    Deterministic in (n_utts, lexicon, n_speakers, style, seed, language).
+    Speakers are assigned round-robin so per-speaker adaptation always has
+    data.  language="phrases" draws word sequences from a fixed Zipf phrase
+    inventory (shared across seeds — train and held-out text follow the SAME
+    ground-truth LM, which estimated n-grams can therefore learn);
+    "uniform" is iid uniform words (no LM structure, round-2-early scheme).
     """
     rng = np.random.default_rng(seed)
     lex = extended_lexicon() if lexicon is None else lexicon
@@ -358,10 +412,16 @@ def make_corpus_v2(
     spks = list(speakers) if speakers is not None else make_speakers(
         n_speakers, seed=seed + 11
     )
+    # NOTE: the phrase inventory seed is FIXED (independent of `seed`) so all
+    # corpora over the same vocabulary share one ground-truth language.
+    plm = make_phrase_lm(vocab) if language == "phrases" else None
     utts = []
     for i in range(n_utts):
-        n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
-        words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_words)]
+        if plm is not None:
+            words = sample_phrase_words(plm, rng, words_per_utt)
+        else:
+            n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
+            words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_words)]
         utts.append(
             synth_utterance_v2(
                 f"synth2-{i:05d}", words, lex, spks[i % len(spks)],

@@ -129,3 +129,61 @@ def test_pallas_wide_layout_matches_chunked():
     a = np.asarray(gmm_loglik_pallas(x, g, tile_m=8, tile_s=8, kc=4, layout="chunked"))
     b = np.asarray(gmm_loglik_pallas(x, g, tile_m=8, tile_s=8, kc=4, layout="wide"))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_max_mode_scoring(small_gmm, x):
+    """mode='max' (Viterbi approximation): XLA and Pallas agree; the value is
+    a lower bound on the exact logsumexp within log K nats."""
+    from mogasr.am.gmm import gmm_loglik
+    from mogasr.am.gmm_pallas import gmm_loglik_pallas
+
+    exact = np.asarray(gmm_loglik(jnp.asarray(x), small_gmm))
+    ref = np.asarray(gmm_loglik(jnp.asarray(x), small_gmm, mode="max"))
+    K = small_gmm.n_components
+    assert np.all(ref <= exact + 1e-4)
+    assert np.all(exact <= ref + np.log(K) + 1e-4)
+
+    got = np.asarray(gmm_loglik_pallas(jnp.asarray(x), small_gmm, mode="max"))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-5)
+
+    got_wide = np.asarray(
+        gmm_loglik_pallas(jnp.asarray(x), small_gmm, mode="max", layout="wide"))
+    np.testing.assert_allclose(got_wide, ref, atol=2e-4, rtol=2e-5)
+
+
+def test_max_mode_decode_equivalence():
+    """On a TRAINED system (peaked components) max-mode scoring preserves
+    Viterbi decode decisions — the gate for using it as the throughput path."""
+    import jax
+
+    from mogasr import pipeline as pipe
+    from mogasr.am.gmm import gmm_loglik
+    from mogasr.config import (
+        BatchConfig, DecodeConfig, FrontendConfig, GmmConfig, TopologyConfig,
+        TrainConfig,
+    )
+    from mogasr.data.synthetic import make_corpus
+    from mogasr.hmm.lexicon import synthetic_lexicon
+    from mogasr.hmm.topology import build_topology
+
+    fcfg = FrontendConfig()
+    bcfg = BatchConfig(batch_size=4, bucket_boundaries=(250, 400))
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    lex = synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    train = make_corpus(10, words_per_utt=(1, 3), seed=21)
+    test = make_corpus(6, words_per_utt=(1, 3), seed=22)
+    tb = pipe.featurize([(u.utt_id, u.wave, u.words) for u in train], fcfg, bcfg)
+    eb = pipe.featurize([(u.utt_id, u.wave, u.words) for u in test], fcfg, bcfg)
+    gcfg = GmmConfig(n_states=topo.n_pdfs, n_components=2, feat_dim=fcfg.feat_dim)
+    gmm = pipe.train_gmm(tb, lex, topo, gcfg, TrainConfig(num_em_iters=4)).gmm
+
+    graph = pipe.word_decode_graph(lex, topo, dcfg)
+    for fb in eb:
+        B, T, D = fb.feats.shape
+        ll_sum = gmm_loglik(fb.feats.reshape(-1, D), gmm).reshape(B, T, -1)
+        ll_max = gmm_loglik(
+            fb.feats.reshape(-1, D), gmm, mode="max").reshape(B, T, -1)
+        hyp_sum = pipe.decode_batch(fb, ll_sum, graph, dcfg)
+        hyp_max = pipe.decode_batch(fb, ll_max, graph, dcfg)
+        assert hyp_sum == hyp_max

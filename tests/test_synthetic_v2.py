@@ -151,3 +151,55 @@ def test_make_corpus_v2_speakers_and_sizes():
         assert 2 <= len(u.words) <= 3
         assert u.wave.dtype == np.float32
         assert np.abs(u.wave).max() <= 0.35
+
+
+def test_phrase_lm_structure():
+    """v2 word sequences carry REAL n-gram structure: a bigram estimated on
+    one sample assigns higher likelihood to fresh same-language text than a
+    unigram does (impossible under iid-uniform words)."""
+    lex = syn.extended_lexicon(80)
+    vocab = sorted(lex)
+    plm = syn.make_phrase_lm(vocab)
+    assert len(plm.phrases) == 200
+    assert abs(sum(plm.weights) - 1.0) < 1e-9
+    # deterministic
+    assert syn.make_phrase_lm(vocab).phrases == plm.phrases
+
+    rng = np.random.default_rng(0)
+    train = [syn.sample_phrase_words(plm, rng, (3, 9)) for _ in range(400)]
+    test = [syn.sample_phrase_words(plm, rng, (3, 9)) for _ in range(100)]
+    for seq in train + test:
+        assert 3 <= len(seq) <= 9
+
+    # simple add-1 unigram vs bigram log-likelihood on held-out text
+    V = len(vocab)
+    widx = {w: i for i, w in enumerate(vocab)}
+    uni = np.ones(V)
+    big = np.ones((V, V))
+    for seq in train:
+        for w in seq:
+            uni[widx[w]] += 1
+        for a, b in zip(seq, seq[1:]):
+            big[widx[a], widx[b]] += 1
+    uni_p = uni / uni.sum()
+    big_p = big / big.sum(axis=1, keepdims=True)
+    ll_uni = ll_big = 0.0
+    n = 0
+    for seq in test:
+        for a, b in zip(seq, seq[1:]):
+            ll_uni += np.log(uni_p[widx[b]])
+            ll_big += np.log(big_p[widx[a], widx[b]])
+            n += 1
+    # bigram must beat unigram clearly on per-token log-likelihood
+    assert (ll_big - ll_uni) / n > 0.3, (ll_uni / n, ll_big / n)
+
+
+def test_corpus_v2_language_modes():
+    lex = syn.extended_lexicon(50)
+    a = syn.make_corpus_v2(4, lexicon=lex, n_speakers=2, seed=7)
+    b = syn.make_corpus_v2(4, lexicon=lex, n_speakers=2, seed=7,
+                           language="uniform")
+    assert [u.words for u in a] != [u.words for u in b]
+    # both deterministic
+    a2 = syn.make_corpus_v2(4, lexicon=lex, n_speakers=2, seed=7)
+    assert [u.words for u in a] == [u.words for u in a2]
