@@ -24,6 +24,12 @@ def add_corpus_args(p: argparse.ArgumentParser) -> None:
         help="use N synthetic utterances instead of a real corpus",
     )
     p.add_argument("--synthetic-seed", type=int, default=0)
+    p.add_argument(
+        "--synthetic-v2", type=int, default=0, metavar="N",
+        help="use N v2 (coarticulated multi-speaker noisy, 300-word phrase "
+             "language) synthetic utterances — the corpus the headline "
+             "bundle is trained on",
+    )
     p.add_argument("--lexicon", help="Kaldi-style lexicon.txt (word phone...)")
     p.add_argument("--max-utts", type=int, default=0, help="limit corpus size")
 
@@ -35,7 +41,16 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
 
 def load_corpus(args) -> Tuple[List[Tuple[str, np.ndarray, List[str]]], Lexicon]:
     """Returns ([(utt_id, wave, words)], lexicon)."""
-    if args.synthetic > 0:
+    if getattr(args, "synthetic_v2", 0) > 0:
+        from mogasr.data.synthetic import extended_lexicon, make_corpus_v2
+        from mogasr.hmm.lexicon import make_lexicon
+
+        wl = extended_lexicon()
+        utts = make_corpus_v2(args.synthetic_v2, lexicon=wl,
+                              seed=args.synthetic_seed)
+        corpus = [(u.utt_id, u.wave, u.words) for u in utts]
+        lex = make_lexicon(wl)
+    elif args.synthetic > 0:
         from mogasr.data.synthetic import make_corpus
 
         utts = make_corpus(args.synthetic, seed=args.synthetic_seed)
@@ -54,7 +69,7 @@ def load_corpus(args) -> Tuple[List[Tuple[str, np.ndarray, List[str]]], Lexicon]
         else:
             raise SystemExit("--lexicon is required with --librispeech-root")
     else:
-        raise SystemExit("pass --synthetic N or --librispeech-root DIR")
+        raise SystemExit("pass --synthetic N, --synthetic-v2 N, or --librispeech-root DIR")
     if args.max_utts:
         corpus = corpus[: args.max_utts]
     return corpus, lex

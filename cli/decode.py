@@ -30,6 +30,11 @@ def main() -> None:
     add_corpus_args(p)
     add_run_args(p)
     p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
+    p.add_argument("--bundle", metavar="DIR",
+                   help="trained-system bundle dir (utils/bundle.py, e.g. "
+                        "benchmarks/headline): loads GMM + lexicon + topology "
+                        "+ tied triphones + frontend config, overriding "
+                        "--gmm-ckpt/--lexicon/--num-*")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm", "blstm", "tdnn"],
@@ -94,9 +99,24 @@ def main() -> None:
     p.add_argument("--out", help="write hypotheses (jsonl)")
     args = p.parse_args()
 
+    bundle = None
+    if args.bundle:
+        from mogasr.utils.bundle import load_system
+
+        bundle = load_system(args.bundle)
     corpus, lex = load_corpus(args)
-    fcfg = FrontendConfig()
-    topo = build_topology(lex, TopologyConfig())
+    if bundle is not None:
+        gmm_b, topo_b, fcfg, tied_b, _bmeta = bundle
+        lex = topo_b.lexicon
+        topo = topo_b
+        missing = sorted(
+            {w.lower() for _id, _w, ws in corpus for w in ws} - set(lex.words))
+        if missing:
+            raise SystemExit(
+                f"corpus words not in the bundle lexicon: {missing[:8]} ...")
+    else:
+        fcfg = FrontendConfig()
+        topo = build_topology(lex, TopologyConfig())
     if args.num_states == 0:
         args.num_states = topo.n_pdfs
     dcfg = DecodeConfig(
@@ -108,7 +128,7 @@ def main() -> None:
     batches = featurize(corpus, fcfg, BatchConfig())
 
     if args.am == "gmm":
-        gmm = load_or_random_gmm(args, fcfg.feat_dim)
+        gmm = bundle[0] if bundle is not None else load_or_random_gmm(args, fcfg.feat_dim)
         scorer = None
     else:
         import jax
@@ -205,6 +225,12 @@ def main() -> None:
         from mogasr.pipeline import word_decode_graph_multi
 
         graph, pron_logp = word_decode_graph_multi(lex, topo, dcfg)
+    elif args.mode == "word" and bundle is not None and bundle[3] is not None:
+        from mogasr.hmm.triphone import word_loop_graph_cd
+
+        # context-dependent decode graph matching the bundle's tied pdfs
+        graph = word_loop_graph_cd(
+            bundle[3], insertion_penalty=dcfg.word_insertion_penalty)
     elif args.mode == "word":
         graph = word_decode_graph(lex, topo, dcfg)
     else:

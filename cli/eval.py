@@ -32,6 +32,10 @@ def main() -> None:
     add_corpus_args(p)
     add_run_args(p)
     p.add_argument("--gmm-ckpt")
+    p.add_argument("--bundle", metavar="DIR",
+                   help="trained-system bundle dir (e.g. benchmarks/headline): "
+                        "loads GMM + lexicon + topology + tied triphones + "
+                        "frontend config; decodes with the CD word-loop graph")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--acoustic-scale", type=float, default=1.0)
@@ -62,9 +66,18 @@ def main() -> None:
 
     from mogasr.dist import mesh as M
 
+    bundle = None
+    if args.bundle:
+        from mogasr.utils.bundle import load_system
+
+        bundle = load_system(args.bundle)
     corpus, lex = load_corpus(args)
-    fcfg = FrontendConfig()
-    topo = build_topology(lex, TopologyConfig())
+    if bundle is not None:
+        _gmm_b, topo, fcfg, _tied_b, _bmeta = bundle
+        lex = topo.lexicon
+    else:
+        fcfg = FrontendConfig()
+        topo = build_topology(lex, TopologyConfig())
     if args.num_states == 0:
         args.num_states = topo.n_pdfs
     dcfg = DecodeConfig(
@@ -84,9 +97,15 @@ def main() -> None:
         batches = featurize_streaming(corpus, fcfg, bcfg, chunk_samples=chunk)
     else:
         batches = featurize(corpus, fcfg, bcfg)
-    gmm = load_or_random_gmm(args, fcfg.feat_dim)
+    gmm = bundle[0] if bundle is not None else load_or_random_gmm(args, fcfg.feat_dim)
     gmm = M.replicate(gmm, mesh)
-    graph = word_decode_graph(lex, topo, dcfg)
+    if bundle is not None and bundle[3] is not None:
+        from mogasr.hmm.triphone import word_loop_graph_cd
+
+        graph = word_loop_graph_cd(
+            bundle[3], insertion_penalty=dcfg.word_insertion_penalty)
+    else:
+        graph = word_decode_graph(lex, topo, dcfg)
 
     resume_path = os.path.join(args.run_dir, "eval_hyps.jsonl")
     done = set()
