@@ -34,7 +34,12 @@ def main() -> None:
     p.add_argument("--mono-components", type=int, default=8)
     p.add_argument("--mono-iters", type=int, default=10)
     p.add_argument("--cd-iters", type=int, default=12)
-    p.add_argument("--min-occ", type=float, default=15.0)
+    p.add_argument("--min-occ", type=float, default=100.0,
+                   help="min frames for a tied pdf (tying threshold)")
+    p.add_argument("--min-split-occ", type=float, default=40.0,
+                   help="min avg frames/component required to split a state")
+    p.add_argument("--var-floor", type=float, default=0.01,
+                   help="variance floor (features are CMVN unit-variance)")
     p.add_argument("--out", default=None, help="bundle dir (default benchmarks/headline)")
     args = p.parse_args()
 
@@ -86,7 +91,8 @@ def main() -> None:
 
     # ---- stage 1: monophone EM with splitting + transition re-estimation
     gcfg_mono = GmmConfig(n_states=topo.n_pdfs, n_components=args.mono_components,
-                          feat_dim=fcfg.feat_dim)
+                          feat_dim=fcfg.feat_dim, var_floor=args.var_floor,
+                          min_split_occ=args.min_split_occ)
     res = pipe.train_gmm(
         tb, lex, topo, gcfg_mono, TrainConfig(num_em_iters=args.mono_iters),
         reestimate_transitions=True,
@@ -100,7 +106,8 @@ def main() -> None:
 
     # ---- stage 2: tied-triphone system at headline scale
     gcfg_cd = GmmConfig(n_states=args.target_pdfs, n_components=args.components,
-                        feat_dim=fcfg.feat_dim)
+                        feat_dim=fcfg.feat_dim, var_floor=args.var_floor,
+                        min_split_occ=args.min_split_occ)
     tied, res_cd = pipe.train_triphone(
         tb, lex, topo_t, gcfg_cd, TrainConfig(num_em_iters=args.cd_iters),
         gmm_mono, target_pdfs=args.target_pdfs, min_occ=args.min_occ,
@@ -133,6 +140,9 @@ def main() -> None:
         "train_frames": n_frames_total,
         "tied_pdfs": tied.n_pdfs,
         "components": gmm_cd.n_components,
+        "min_occ": args.min_occ,
+        "min_split_occ": args.min_split_occ,
+        "var_floor": args.var_floor,
         "em_loglik_mono": [round(h, 4) for h in res.history],
         "em_loglik_cd": [round(h, 4) for h in res_cd.history],
         "heldout_wer_mono": round(m_mono["wer"], 4),

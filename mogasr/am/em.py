@@ -152,26 +152,60 @@ def m_step(
     mu = jnp.where(keep, gmm.means, mu_new)
     var = jnp.where(keep, gmm.vars, jnp.maximum(var_new, var_floor))
     state_occ = jnp.maximum(jnp.sum(occ, -1, keepdims=True), 1e-10)
-    w = jnp.maximum(occ / state_occ, weight_floor)
-    w = w / jnp.sum(w, -1, keepdims=True)
+    # Exactly-zero prior weights mark inert duplicate slots created by an
+    # occupancy-gated split: they must stay 0 (not get floored to life, and
+    # not kept alive by the 1e-30 log-weight clamp's e-30-scale posteriors).
+    raw = occ / state_occ
+    w = jnp.where(
+        gmm.weights > 0.0,
+        jnp.maximum(raw, weight_floor),
+        jnp.where(raw >= weight_floor, raw, 0.0),
+    )
+    w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-10)
     return GmmSet(w.astype(jnp.float32), mu.astype(jnp.float32), var.astype(jnp.float32))
 
 
-def split_components(gmm: GmmSet, perturb: float = 0.2, seed: int = 0) -> GmmSet:
+def split_components(
+    gmm: GmmSet,
+    perturb: float = 0.2,
+    seed: int = 0,
+    state_occ=None,
+    min_frames_per_comp: float = 0.0,
+) -> GmmSet:
     """Double the number of components by splitting each along its std dev.
 
     Mixture-splitting schedule (SURVEY.md §2 EM trainer row): each component
     becomes two at mu +/- perturb * sigma with half the weight. Deterministic
     (the split direction is the per-dim std axis); `seed` is kept for API
     stability.
+
+    Occupancy-gated allocation (round-2): when `state_occ` ([S] frame counts
+    from the previous E-step) is given, a state is split only if after
+    doubling each of its components would still average at least
+    `min_frames_per_comp` frames — the TPU-shaped stand-in for Kaldi's
+    occupancy-proportional Gaussian allocation.  Gated-out states keep their
+    existing components; their duplicate slots get weight 0 (log-weight -inf:
+    inert under both scoring and EM until the state earns enough occupancy,
+    at which point a later split activates them).  The dense [S, K] layout is
+    unchanged, so the Pallas scorer needs no ragged support.
     """
     del seed
     sigma = jnp.sqrt(jnp.maximum(gmm.vars, 1e-8))
     lo = gmm.means - perturb * sigma
     hi = gmm.means + perturb * sigma
-    means = jnp.concatenate([lo, hi], axis=1)
+    means = jnp.concatenate([gmm.means, hi], axis=1)
+    means_split = jnp.concatenate([lo, hi], axis=1)
     variances = jnp.concatenate([gmm.vars, gmm.vars], axis=1)
-    weights = jnp.concatenate([gmm.weights, gmm.weights], axis=1) * 0.5
+    weights_split = jnp.concatenate([gmm.weights, gmm.weights], axis=1) * 0.5
+    weights_keep = jnp.concatenate(
+        [gmm.weights, jnp.zeros_like(gmm.weights)], axis=1
+    )
+    if state_occ is None or min_frames_per_comp <= 0.0:
+        return GmmSet(weights_split, means_split, variances)
+    k_new = 2 * gmm.n_components
+    do_split = (jnp.asarray(state_occ) / k_new >= min_frames_per_comp)[:, None]
+    weights = jnp.where(do_split, weights_split, weights_keep)
+    means = jnp.where(do_split[:, :, None], means_split, means)
     return GmmSet(weights, means, variances)
 
 

@@ -95,6 +95,10 @@ class GmmConfig:
     # double (perturbing means) until n_components is reached.
     split_perturb: float = 0.2
     min_occupancy: float = 3.0
+    # Occupancy-gated splitting (Kaldi-style Gaussian allocation): a state is
+    # split only if each component would still average >= min_split_occ
+    # frames afterwards. 0 = always split (round-1 behavior).
+    min_split_occ: float = 0.0
 
 
 @dataclass(frozen=True)

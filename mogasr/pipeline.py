@@ -305,13 +305,21 @@ def train_gmm(
 
             warnings.warn(msg)
     pdf_to_phone = topo.pdf_to_phone()
+    # State occupancies from the previous E-step, for occupancy-gated
+    # splitting. None (first iteration / fresh resume) means the first split
+    # is ungated — it happens at it==2 so stats are normally available.
+    last_state_occ = None
     while it < tcfg.num_em_iters:
         # splitting schedule: double K at the START of every 2nd iteration
         # until the target, so freshly split components always get at least
         # one E/M pass before the model is returned, and a checkpointed run
         # resumes identically to an uninterrupted one
         if it > 0 and it % 2 == 0 and gmm.n_components < gcfg.n_components:
-            gmm = em.split_components(gmm, perturb=gcfg.split_perturb, seed=it)
+            gmm = em.split_components(
+                gmm, perturb=gcfg.split_perturb, seed=it,
+                state_occ=last_state_occ,
+                min_frames_per_comp=gcfg.min_split_occ,
+            )
             if gmm.n_components > gcfg.n_components:
                 gmm = GmmSet(
                     gmm.weights[:, : gcfg.n_components],
@@ -349,6 +357,7 @@ def train_gmm(
         gmm = em.m_step(
             gmm, stats, var_floor=gcfg.var_floor, weight_floor=gcfg.weight_floor
         )
+        last_state_occ = np.asarray(jnp.sum(stats.occ, axis=-1))
         ll = float(stats.loglik) / max(float(stats.n_frames), 1.0)
         history.append(ll)
         if reestimate_transitions and trans_paths:

@@ -80,6 +80,38 @@ def test_split_components():
     assert float(g2.means[0, 0, 0]) < 0 < float(g2.means[0, 1, 0])
 
 
+def test_split_components_occupancy_gated():
+    """States below min_frames_per_comp keep their comps; duplicates inert."""
+    g = GmmSet(jnp.ones((2, 1)), jnp.zeros((2, 1, 3)), jnp.ones((2, 1, 3)))
+    # state 0: 1000 frames (split), state 1: 10 frames (gated out)
+    g2 = em.split_components(
+        g, perturb=0.2, state_occ=np.array([1000.0, 10.0]),
+        min_frames_per_comp=40.0,
+    )
+    assert g2.weights.shape == (2, 2)
+    # state 0 split: two half-weight comps straddling the original
+    np.testing.assert_allclose(np.asarray(g2.weights[0]), [0.5, 0.5])
+    assert float(g2.means[0, 0, 0]) < 0 < float(g2.means[0, 1, 0])
+    # state 1 gated: original comp untouched, duplicate has weight exactly 0
+    np.testing.assert_allclose(np.asarray(g2.weights[1]), [1.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g2.means[1, 0]), 0.0)
+    # scoring is unchanged for the gated state (inert comp contributes 0)
+    from mogasr.am.gmm import gmm_loglik
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((5, 3)), jnp.float32)
+    ll1 = gmm_loglik(x, g)
+    ll2 = gmm_loglik(x, g2)
+    np.testing.assert_allclose(
+        np.asarray(ll1[:, 1]), np.asarray(ll2[:, 1]), rtol=1e-5, atol=1e-5
+    )
+    # an m_step keeps the inert slot at weight 0 (no resurrection by floor)
+    stats = em.accumulate_stats(
+        g2, x, jnp.ones((5,), jnp.int64)
+    )
+    g3 = em.m_step(g2, stats)
+    assert float(g3.weights[1, 1]) == 0.0
+
+
 def test_var_floor():
     """Degenerate data (all identical) must hit the variance floor, not 0."""
     x = np.ones((50, 2), np.float32)
