@@ -36,9 +36,12 @@ import numpy as np
 # this environment, docs/TPU_NOTES.md). Must be set before jax imports.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-# A/B knob for the Pallas GMM kernel structure (chunked | wide); the driver
-# runs the default. See mogasr/am/gmm_pallas.py and docs/TPU_NOTES.md.
+# A/B knobs for the Pallas GMM kernel; the driver runs the defaults. See
+# mogasr/am/gmm_pallas.py and docs/TPU_NOTES.md. mode="max" is the Viterbi
+# approximation (best component only) — the WER in the output is always the
+# WER of the exact pipeline being timed, whatever the knobs say.
 GMM_LAYOUT = os.environ.get("MOGASR_GMM_LAYOUT", "chunked")
+GMM_MODE = os.environ.get("MOGASR_GMM_MODE", "sum")
 
 BUNDLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "headline")
@@ -166,7 +169,8 @@ def main() -> None:
         def run(waves, num_samples, fe):
             feats, n_frames = fe(waves, num_samples)
             ll = gmm_loglik_batched(
-                feats, gmm, compute_dtype=compute_dtype, layout=GMM_LAYOUT
+                feats, gmm, compute_dtype=compute_dtype, layout=GMM_LAYOUT,
+                mode=GMM_MODE,
             )
             res = vit.viterbi(
                 ll, graphs, n_frames, acoustic_scale=dcfg.acoustic_scale
@@ -283,6 +287,8 @@ def main() -> None:
                 "trained_bundle": bool(have_bundle),
                 "heldout_wer_at_train": meta.get("heldout_wer"),
                 "gmm": gmm_desc,
+                "scoring": {"dtype": "bfloat16", "layout": GMM_LAYOUT,
+                            "mode": GMM_MODE},
                 "n_utts": n_utts,
                 "audio_seconds": round(audio_seconds, 1),
                 "cpu_utts_per_sec": round(cpu_utts_per_sec, 4),

@@ -82,14 +82,17 @@ def _gmm_kernel_int8(
 
 
 def _gmm_kernel_wide(
-    x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision, mode: str = "sum"
+    x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision, mode: str = "sum"
 ):
     """Wide-dot variant: ONE [TM, r] x [r, kc*TS] MXU dot per grid step
     (components of the state tile laid out as contiguous column groups),
     then kc static column slices feed the same online-logsumexp epilogue.
     Mosaic accepts contiguous 2-D slices where it rejects the
     [TM, TS, K] reshape; numerically identical to the chunked kernel when
-    kc matches (bitwise: the MXU reduction is over r either way)."""
+    kc matches (bitwise: the MXU reduction is over r either way).
+
+    The Gaussian constant c rides in the GEMM itself (a ones-lane in x against
+    a c-row in ab — see _gmm_loglik_pallas_impl), so there is no bias add."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -100,7 +103,6 @@ def _gmm_kernel_wide(
 
     x = x_ref[:]
     wide = jnp.dot(x, ab_ref[0], preferred_element_type=jnp.float32, precision=precision)
-    wide = wide + c_ref[0].astype(jnp.float32)                 # [TM, kc*TS]
     scores = [wide[:, kk * ts : (kk + 1) * ts] for kk in range(kc)]
     cmax = scores[0]
     for kk in range(1, kc):
@@ -128,7 +130,7 @@ def _gmm_kernel_wide(
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
-def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision, mode: str = "sum"):
+def _gmm_kernel(x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision, mode: str = "sum"):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -140,15 +142,17 @@ def _gmm_kernel(x_ref, ab_ref, c_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: i
     x = x_ref[:]
     # Static unroll: KC dots first, then one chunk-local logsumexp and a single
     # accumulator merge. This cuts the VPU epilogue from ~9 passes per dot
-    # (naive online update) to ~4 (max, sub, exp, add), which matters because
+    # (naive online update) to ~3 (max, exp, add), which matters because
     # the kernel is VPU-bound, not MXU-bound (measured: naive online update
     # plateaus at ~17 TFLOP/s bf16 across all tile shapes).
+    # The Gaussian constant c rides in the GEMM itself (a ones-lane in x
+    # against a c-row in ab — the 78->128 lane padding is already paid, so
+    # the bias add is free MXU work instead of a VPU pass per dot).
     # mode="max" (Viterbi approximation, best component only) drops the
-    # exp/log entirely: ~2 VPU passes per dot (bias add + max) — the round-2
+    # exp/log entirely: ~1 VPU pass per dot (running max) — the round-2
     # epilogue throughput option.
     scores = [
         jnp.dot(x, ab_ref[kk], preferred_element_type=jnp.float32, precision=precision)
-        + c_ref[kk].astype(jnp.float32)
         for kk in range(kc)
     ]
     cmax = scores[0]
@@ -200,7 +204,7 @@ def _gmm_loglik_pallas_impl(
     mode: str = "sum",         # sum (exact logsumexp) | max (Viterbi approx)
 ) -> jax.Array:
     n, two_d = x2.shape
-    r = _round_up(two_d, 128)
+    r = _round_up(two_d + 2, 128)  # +2: ones-lanes that carry c (float paths)
     n_pad = _round_up(max(n, tile_m), tile_m)
     s_pad = _round_up(n_states, tile_s)
     k_pad = _round_up(n_comp, kc)
@@ -208,7 +212,9 @@ def _gmm_loglik_pallas_impl(
     dt = jnp.dtype(compute_dtype)
 
     if dt == jnp.int8:
-        # symmetric per-frame-row / per-(comp, state-col) quantization
+        # symmetric per-frame-row / per-(comp, state-col) quantization; c
+        # stays a separate f32 bias (folding it into the int8 dot would
+        # destroy its precision)
         x2f = jnp.zeros((n_pad, r), jnp.float32).at[:n, :two_d].set(x2)
         sx = jnp.maximum(jnp.max(jnp.abs(x2f), axis=1, keepdims=True), 1e-10) / 127.0
         x2p = jnp.clip(jnp.round(x2f / sx), -127, 127).astype(jnp.int8)
@@ -217,10 +223,27 @@ def _gmm_loglik_pallas_impl(
         sab = jnp.maximum(jnp.max(jnp.abs(abf), axis=1, keepdims=True), 1e-10) / 127.0
         abp = jnp.clip(jnp.round(abf / sab), -127, 127).astype(jnp.int8)
     else:
+        # Bias-in-GEMM layout: x gets ones-lanes at columns 2D and 2D+1, ab
+        # gets matching c-rows, so the constant term is folded into the
+        # (already lane-padded) MXU contraction instead of costing a VPU pass
+        # per dot. c is split hi/lo across the two rows (c = dt(c) + dt(c -
+        # dt(c))) so the f32 accumulator recovers ~16 mantissa bits of c even
+        # when dt is bfloat16 — both lanes are otherwise padding, so this is
+        # free.
+        c_hi = c_t.astype(dt)
+        c_lo = (c_t - c_hi.astype(jnp.float32)).astype(dt)
         x2p = jnp.zeros((n_pad, r), dt).at[:n, :two_d].set(x2.astype(dt))
+        x2p = x2p.at[:n, two_d : two_d + 2].set(jnp.asarray(1, dt))
         abp = jnp.zeros((k_pad, r, s_pad), dt)
         abp = abp.at[:n_comp, :two_d, :n_states].set(ab_t.astype(dt))
-    # Padded components get c = -inf so they are identity under logsumexp.
+        abp = abp.at[:n_comp, two_d, :n_states].set(c_hi)
+        abp = abp.at[:n_comp, two_d + 1, :n_states].set(c_lo)
+        # Padded components: large-negative finite c (-inf would make the MXU
+        # produce 0 * -inf = NaN on padded frame rows) -> exp underflows to
+        # exactly 0 under logsumexp, and max-mode never selects them.
+        # Padded state columns stay all-zero (score 0, sliced away).
+        abp = abp.at[n_comp:, two_d, :n_states].set(jnp.asarray(-1e30, dt))
+    # c as a separate bias: only the int8 kernel still consumes this.
     cp = jnp.full((k_pad, 1, s_pad), -jnp.inf, jnp.float32)
     cp = cp.at[:n_comp, 0, :n_states].set(c_t)
     # Padded states all -inf would yield nan (log 0 ... -inf max): give them c=0.
@@ -259,11 +282,6 @@ def _gmm_loglik_pallas_impl(
             .transpose(0, 2, 3, 1, 4)
             .reshape(n_kc, r, n_st * kc * tile_s)
         )
-        c_wide = (
-            cp.reshape(n_kc, kc, 1, n_st, tile_s)
-            .transpose(0, 2, 3, 1, 4)
-            .reshape(n_kc, 1, n_st * kc * tile_s)
-        )
         out = pl.pallas_call(
             functools.partial(
                 _gmm_kernel_wide, kc=kc, n_kc=n_kc, ts=tile_s,
@@ -272,10 +290,9 @@ def _gmm_loglik_pallas_impl(
             in_specs=[
                 x_spec,
                 pl.BlockSpec((1, r, kc * tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, kc * tile_s), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
             ],
             **common,
-        )(x2p, ab_wide, c_wide)
+        )(x2p, ab_wide)
         return out[:n, :n_states]
     if dt == jnp.int8:
         sx_spec = pl.BlockSpec((tile_m, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM)
@@ -287,9 +304,9 @@ def _gmm_loglik_pallas_impl(
     else:
         out = pl.pallas_call(
             functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision, mode=mode),
-            in_specs=[x_spec, ab_spec, c_spec],
+            in_specs=[x_spec, ab_spec],
             **common,
-        )(x2p, abp, cp)
+        )(x2p, abp)
     return out[:n, :n_states]
 
 
