@@ -189,18 +189,35 @@ def main() -> None:
         m_smbr = pipe.evaluate(eb, gmm_smbr, lex, topo_t, dcfg)
         report("heldout_wer_gmm_smbr", m_smbr["wer"])
 
+        def hyp_list(hyp_map):
+            # adaptation decoders return {utt_id: words}; order like refs
+            return [
+                [w.lower() for w in hyp_map[fb.utt_ids[b]]]
+                for fb in eb for b in range(fb.size)
+            ]
+
         # (h) VTLN speaker adaptation (formant-scale recovery)
         hyps_v, warps = pipe.decode_with_vtln(
             [(u.utt_id, u.wave, u.words) for u in test], gmm, lex, topo_t,
             fcfg, bcfg, dcfg, speaker_of=speaker_of,
         )
         results["vtln_warps"] = {k: round(v, 3) for k, v in warps.items()}
-        report("heldout_wer_vtln", corpus_wer(refs, hyps_v)[0])
+        report("heldout_wer_vtln", corpus_wer(refs, hyp_list(hyps_v))[0])
 
         # (i) fMLLR speaker adaptation (channel/tilt recovery)
         hyps_f, _W = pipe.decode_with_fmllr(
             eb, gmm, lex, topo_t, dcfg, speaker_of=speaker_of)
-        report("heldout_wer_fmllr", corpus_wer(refs, hyps_f)[0])
+        report("heldout_wer_fmllr", corpus_wer(refs, hyp_list(hyps_f))[0])
+
+        # (i2) SAT: fMLLR inside the EM loop (train_sat), then unsupervised
+        # two-pass adapted decode with the SAT model
+        gmm_sat, _W_train, sat_hist = pipe.train_sat(
+            tb, lex, topo_t, gcfg, gmm, speaker_of=speaker_of, n_iters=3)
+        results["sat_loglik_first"] = round(sat_hist[0], 4)
+        results["sat_loglik_last"] = round(sat_hist[-1], 4)
+        hyps_s, _ = pipe.decode_with_fmllr(
+            eb, gmm_sat, lex, topo_t, dcfg, speaker_of=speaker_of, si_gmm=gmm)
+        report("heldout_wer_sat", corpus_wer(refs, hyp_list(hyps_s))[0])
 
         # (j) hybrid MLP on CD alignments, for the neural row
         from mogasr.am.neural import build_model, state_priors

@@ -925,6 +925,7 @@ def decode_with_fmllr(
     dcfg: DecodeConfig,
     speaker_of=None,
     n_sweeps: int = 8,
+    si_gmm: Optional[GmmSet] = None,
 ):
     """Unsupervised two-pass decoding with per-speaker fMLLR adaptation.
 
@@ -934,19 +935,27 @@ def decode_with_fmllr(
     features. speaker_of(utt_id) groups utterances (default: LibriSpeech
     convention, the utt-id prefix before the first '-'; one group if absent).
 
+    When ``gmm`` is a SAT model (train_sat: it lives in the fMLLR-normalized
+    feature space), pass ``si_gmm`` = the speaker-independent model: raw
+    features decoded/aligned with a SAT-space model produce garbage pass-1
+    supervision (measured: WER 232% vs 4% SI on the v2 corpus). Pass 1 and
+    the hypothesis alignment then use si_gmm; the transforms and pass 2
+    target ``gmm``.
+
     Returns (hyps_pass2, {speaker: W}).
     """
     from mogasr.am import fmllr as fm
 
     if speaker_of is None:
         speaker_of = lambda uid: uid.split("-")[0] if "-" in uid else "global"
+    first = si_gmm if si_gmm is not None else gmm
 
     graph = word_decode_graph(lexicon, topo, dcfg)
 
     # ---- pass 1: SI decode ----
     hyps1: Dict[str, List[str]] = {}
     for fb in batches:
-        scores = score_batch(fb.feats, gmm)
+        scores = score_batch(fb.feats, first)
         out = decode_batch(fb, scores, graph, dcfg)
         for b in range(fb.size):
             hyps1[fb.utt_ids[b]] = out[b]
@@ -958,7 +967,7 @@ def decode_with_fmllr(
         hyp_words = [hyps1.get(uid, []) for uid in fb.utt_ids]
         hyp_words += [[]] * (len(fb.words) - len(hyp_words))
         fb_hyp = FeatBatch(fb.utt_ids, fb.feats, fb.n_frames, hyp_words)
-        _res, labels, _ = align_batch(fb_hyp, gmm, lexicon, topo)
+        _res, labels, _ = align_batch(fb_hyp, first, lexicon, topo)
         labels_np = np.asarray(labels)
         feats_np = np.asarray(fb.feats)
         # one accumulate dispatch per (batch, speaker) group, not per
@@ -998,6 +1007,121 @@ def decode_with_fmllr(
         for b in range(fb.size):
             hyps2[fb.utt_ids[b]] = out[b]
     return hyps2, transforms
+
+
+def _apply_fmllr_batch(fb: FeatBatch, transforms, speaker_of):
+    """Per-utterance affine feature transform in one batched einsum."""
+    from mogasr.am import fmllr as fm
+
+    D = fb.feats.shape[-1]
+    eye = np.concatenate([np.eye(D, dtype=np.float32),
+                          np.zeros((D, 1), np.float32)], axis=1)
+    # feats rows beyond fb.size are batch padding (n_frames == 0): identity
+    Wb = np.stack([
+        np.asarray(transforms.get(speaker_of(fb.utt_ids[bi]), eye), np.float32)
+        if bi < fb.size else eye
+        for bi in range(fb.feats.shape[0])
+    ])  # [B, D, D+1]
+    del fm
+    A = jnp.asarray(Wb[:, :, :-1])   # [B, D, D]
+    b = jnp.asarray(Wb[:, :, -1])    # [B, D]
+    feats_t = jnp.einsum("btd,bed->bte", fb.feats, A) + b[:, None, :]
+    return FeatBatch(fb.utt_ids, feats_t, fb.n_frames, fb.words)
+
+
+def train_sat(
+    batches: Sequence[FeatBatch],
+    lexicon: Lexicon,
+    topo: Topology,
+    gcfg: GmmConfig,
+    gmm: GmmSet,
+    speaker_of=None,
+    n_iters: int = 4,
+    n_sweeps: int = 8,
+    align_fn=None,
+    logger=None,
+):
+    """Speaker-adaptive training (SAT): fMLLR inside the EM loop.
+
+    The classic Kaldi tri3b-style recipe: each iteration (1) force-aligns the
+    speaker-transformed features with the current model, (2) re-estimates
+    per-speaker fMLLR transforms from those alignments against the RAW
+    features, (3) runs one EM step on the re-transformed features. The
+    returned model lives in the fMLLR-normalized feature space — decode with
+    ``decode_with_fmllr`` (unsupervised two-pass) or with the returned
+    supervised transforms. Returns (gmm, transforms, history).
+    """
+    from mogasr.am import fmllr as fm
+
+    if speaker_of is None:
+        speaker_of = lambda uid: uid.split("-")[0] if "-" in uid else "global"
+
+    transforms: Dict[str, np.ndarray] = {}
+    history: List[float] = []
+    for it in range(n_iters):
+        # (1) align in the current transformed space. The monitored loglik is
+        # the true raw-feature likelihood under (model, transform): align
+        # score in transformed space + the fMLLR Jacobian log|det A| per
+        # frame — without the Jacobian the sequence is not comparable across
+        # transform updates.
+        labels_per_batch = []
+        loglik_sum, frames_sum = 0.0, 0
+        logdet = {
+            spk: float(np.linalg.slogdet(np.asarray(W)[:, :-1])[1])
+            for spk, W in transforms.items()
+        }
+        for fb in batches:
+            fb_t = _apply_fmllr_batch(fb, transforms, speaker_of)
+            res, labels, _ = align_batch(fb_t, gmm, lexicon, topo, align_fn=align_fn)
+            labels_per_batch.append(labels)
+            nf = np.asarray(fb.n_frames)
+            valid = nf > 0
+            loglik_sum += float(np.asarray(res.score)[valid].sum())
+            loglik_sum += sum(
+                logdet.get(speaker_of(uid), 0.0) * int(n)
+                for uid, n in zip(fb.utt_ids, nf)
+            )
+            frames_sum += int(nf[valid].sum())
+        history.append(loglik_sum / max(frames_sum, 1))
+
+        # (2) per-speaker fMLLR stats on RAW features (the transform target)
+        stats_by_spk: Dict[str, fm.FmllrStats] = {}
+        for fb, labels in zip(batches, labels_per_batch):
+            labels_np = np.asarray(labels)
+            feats_np = np.asarray(fb.feats)
+            by_spk: Dict[str, List[int]] = {}
+            for bi in range(fb.size):
+                by_spk.setdefault(speaker_of(fb.utt_ids[bi]), []).append(bi)
+            D = feats_np.shape[-1]
+            for spk, rows in by_spk.items():
+                s = fm.accumulate_fmllr_stats(
+                    gmm,
+                    jnp.asarray(feats_np[rows].reshape(-1, D)),
+                    jnp.asarray(labels_np[rows].reshape(-1)),
+                )
+                prev = stats_by_spk.get(spk)
+                stats_by_spk[spk] = s if prev is None else fm.FmllrStats(
+                    prev.k_stat + s.k_stat, prev.g_stat + s.g_stat,
+                    prev.beta + s.beta,
+                )
+        transforms = {
+            spk: fm.solve_fmllr(st, n_sweeps=n_sweeps)
+            for spk, st in stats_by_spk.items()
+        }
+
+        # (3) one EM step on the newly transformed features
+        stats = None
+        for fb, labels in zip(batches, labels_per_batch):
+            fb_t = _apply_fmllr_batch(fb, transforms, speaker_of)
+            flat = fb_t.feats.reshape(-1, fb_t.feats.shape[-1])
+            s = em.accumulate_stats(gmm, flat, labels.reshape(-1))
+            stats = s if stats is None else em.add_stats(stats, s)
+        gmm = em.m_step(
+            gmm, stats, var_floor=gcfg.var_floor, weight_floor=gcfg.weight_floor
+        )
+        if logger:
+            logger.log({"stage": "sat", "iter": it, "avg_loglik": history[-1]})
+    return gmm, transforms, history
 
 
 # ------------------------- semi-tied covariance (MLLT) ----------------------
