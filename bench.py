@@ -37,11 +37,15 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 # A/B knobs for the Pallas GMM kernel; the driver runs the defaults. See
-# mogasr/am/gmm_pallas.py and docs/TPU_NOTES.md. mode="max" is the Viterbi
-# approximation (best component only) — the WER in the output is always the
-# WER of the exact pipeline being timed, whatever the knobs say.
+# mogasr/am/gmm_pallas.py and docs/TPU_NOTES.md. mode="max" (the Viterbi
+# approximation, best component only) is the production default: on the
+# trained headline bundle it is utterance-for-utterance identical to exact
+# logsumexp scoring AND to f32 scoring (benchmarks/results_ab_scoring.json:
+# 100% agreement, same 0.60% WER) while skipping the exp/log epilogue. The
+# WER in the output is always the WER of the exact pipeline being timed,
+# whatever the knobs say.
 GMM_LAYOUT = os.environ.get("MOGASR_GMM_LAYOUT", "chunked")
-GMM_MODE = os.environ.get("MOGASR_GMM_MODE", "sum")
+GMM_MODE = os.environ.get("MOGASR_GMM_MODE", "max")
 
 BUNDLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "headline")
@@ -200,11 +204,21 @@ def main() -> None:
         return outs
 
     outs = run_all()  # compile + warm
-    reps = 3
+    # One corpus pass is ~0.3 s — below the multi-second trustworthiness bar
+    # (TPU_NOTES: sub-second windows through the tunnel swing +-25%). Time
+    # windows of enough passes to exceed ~4 s each, take the median window.
     t0 = time.perf_counter()
+    outs = run_all()
+    est = time.perf_counter() - t0
+    passes = max(1, int(4.0 / max(est, 1e-3)) + 1)
+    reps = 3
+    rep_times = []
     for _ in range(reps):
-        outs = run_all()
-    tpu_dt = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(passes):
+            outs = run_all()
+        rep_times.append((time.perf_counter() - t0) / passes)
+    tpu_dt = statistics.median(rep_times)
     tpu_utts_per_sec = n_utts / tpu_dt
     tpu_rtf = tpu_dt / audio_seconds
 
@@ -255,15 +269,28 @@ def main() -> None:
         jnp.asarray(rng.standard_normal((1, NF, D0)).astype(np.float32))
         for _ in range(4)
     ]
-    def kernel_sweep(mode):
-        kfun = lambda x: gmm_loglik_batched(x, gmm_big, compute_dtype="bfloat16",
-                                            layout=GMM_LAYOUT, mode=mode)
+    def kernel_sweep(mode, min_seconds=4.0):
+        # Same calibrated methodology as benchmarks/bench_gmm_sweep.py:
+        # scalar-reduce each call's [N, S] output on device (hundreds of
+        # in-flight 33 MB outputs exhaust HBM) and grow the dispatch count
+        # until >= min_seconds of measured work — a fixed 120-dispatch loop
+        # (~0.5 s) under-reads by ~3x through the tunnel (TPU_NOTES).
+        kfun = jax.jit(lambda x: gmm_loglik_batched(
+            x, gmm_big, compute_dtype="bfloat16", layout=GMM_LAYOUT, mode=mode
+        ).sum())
         jax.block_until_ready([kfun(x) for x in xs])  # compile + warm
-        n_disp = 120
-        t0 = time.perf_counter()
-        outs_k = [kfun(xs[i % len(xs)]) for i in range(n_disp)]
-        jax.block_until_ready(outs_k)
-        k_dt = time.perf_counter() - t0
+        n_disp, k_dt = 64, 0.0
+        while True:
+            t0 = time.perf_counter()
+            outs_k = [kfun(xs[i % len(xs)]) for i in range(n_disp)]
+            jax.block_until_ready(outs_k)
+            k_dt = time.perf_counter() - t0
+            if k_dt >= min_seconds:
+                break
+            n_disp = min(
+                max(n_disp + 1, int(n_disp * 1.6 * min_seconds / max(k_dt, 1e-3))),
+                4096,
+            )
         # useful FLOPs: the [N, 2D] x [2D, S*K] contraction (2*N*2D*S*K) plus
         # the K-wise reduction epilogue (~5 ops/gaussian for logsumexp,
         # ~1 for max)
@@ -290,6 +317,8 @@ def main() -> None:
                 "scoring": {"dtype": "bfloat16", "layout": GMM_LAYOUT,
                             "mode": GMM_MODE},
                 "n_utts": n_utts,
+                "rep_utts_per_sec": [round(n_utts / t, 1) for t in rep_times],
+                "passes_per_window": passes,
                 "audio_seconds": round(audio_seconds, 1),
                 "cpu_utts_per_sec": round(cpu_utts_per_sec, 4),
                 "cpu_protocol": cpu_protocol,

@@ -66,8 +66,13 @@ def main() -> None:
     ))
     results = {"scale": f"{S}x{K}x{D}", "frames": N, "rows": []}
     for mode, layout, kc, dtype in variants:
+        # Reduce each call's [N, S] output to a scalar ON DEVICE so holding
+        # hundreds of in-flight dispatches costs bytes, not HBM gigabytes
+        # (the first version kept 33 MB outputs live and hit
+        # RESOURCE_EXHAUSTED during calibration). The reduction adds ~N*S
+        # VPU adds per call — noise against the 2*N*2D*S*K kernel FLOPs.
         fn = jax.jit(lambda a, m=mode, l=layout, k=kc, d=dtype: gmm_loglik_pallas(
-            a, g, compute_dtype=d, layout=l, mode=m, kc=k))
+            a, g, compute_dtype=d, layout=l, mode=m, kc=k).sum())
         jax.block_until_ready([fn(x) for x in xs])  # compile + warm
 
         # calibrate dispatch count to reach --seconds of work
@@ -79,7 +84,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if dt >= args.seconds:
                 break
-            n_disp = max(n_disp + 1, int(n_disp * 1.6 * args.seconds / max(dt, 1e-3)))
+            n_disp = min(
+                max(n_disp + 1, int(n_disp * 1.6 * args.seconds / max(dt, 1e-3))),
+                4096,
+            )
         ep = 5 if mode == "sum" else 1  # VPU ops/gaussian in the epilogue
         useful = n_disp * N * (2 * (2 * D) * S * K + ep * S * K)
         tf = useful / dt / 1e12
