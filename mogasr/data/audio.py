@@ -4,8 +4,10 @@ SURVEY.md §2 "Audio I/O" row. This box has neither soundfile nor librosa
 (verified at build time), so:
 
 - WAV: stdlib ``wave`` + NumPy (PCM16/PCM8/PCM24/PCM32 and float32).
-- FLAC: gated behind optional ``soundfile`` — raises a clear error when the
-  codec is unavailable rather than failing obscurely.
+- FLAC: native C++ decoder (mogasr/native/flac_native.cpp — full bitstream:
+  constant/verbatim/fixed/LPC subframes, Rice residuals, all stereo modes,
+  CRC-verified) with the optional ``soundfile`` package as fallback only.
+  Writing is mogasr/data/flac_write.py.
 - Resampling: polyphase-free rational resampler via ``scipy.signal.resample_poly``.
 """
 
@@ -60,14 +62,69 @@ def read_wav(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
-def read_flac(path: str) -> Tuple[np.ndarray, int]:
-    if _soundfile is None:
+def decode_flac_bytes(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream with the native decoder.
+
+    Returns (int32 samples [N] mono / [N, C] multichannel, sample_rate,
+    bits_per_sample).  Raises RuntimeError if the native decoder is
+    unavailable, ValueError on a malformed/corrupt stream (CRC-verified).
+    """
+    import ctypes
+
+    from mogasr.native import load_flac_lib
+
+    lib = load_flac_lib()
+    if lib is None:
         raise RuntimeError(
-            "FLAC decoding requires the optional 'soundfile' package, which is "
-            "not installed in this environment. Convert to WAV or install "
-            "soundfile."
+            "native FLAC decoder unavailable (g++ missing?) and no fallback "
+            "codec installed"
         )
-    data, sr = _soundfile.read(path, dtype="float32")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    total = ctypes.c_longlong()
+    rc = lib.flac_stream_info(buf, len(data), ctypes.byref(sr),
+                              ctypes.byref(ch), ctypes.byref(bits),
+                              ctypes.byref(total))
+    if rc != 0:
+        raise ValueError(f"malformed FLAC stream (streaminfo, code {rc})")
+    # total_samples may legitimately be 0 (unknown); start from a bound
+    # implied by the compressed size and grow on ERR_TOO_SMALL (-2).
+    cap = max(int(total.value) * ch.value, 4096 * ch.value)
+    while True:
+        out = np.empty(cap, np.int32)
+        n = lib.flac_decode(
+            buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap, ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bits))
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            raise ValueError(f"FLAC decode failed (code {n})")
+        break
+    samples = out[: int(n) * ch.value]
+    if ch.value > 1:
+        samples = samples.reshape(-1, ch.value)
+    return samples, int(sr.value), int(bits.value)
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """FLAC -> (float32 mono in [-1,1], sr) via the native C++ decoder
+    (mogasr/native/flac_native.cpp); falls back to soundfile if the
+    native build is unavailable."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        samples, sr, bits = decode_flac_bytes(raw)
+    except RuntimeError:
+        if _soundfile is None:
+            raise
+        data, sr = _soundfile.read(path, dtype="float32")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return np.ascontiguousarray(data, np.float32), sr
+    data = samples.astype(np.float32) / float(1 << (bits - 1))
     if data.ndim > 1:
         data = data.mean(axis=1)
     return np.ascontiguousarray(data, np.float32), sr

@@ -88,17 +88,29 @@ def write_fixture_corpus(
     root: str,
     split: str,
     utts: Sequence,  # mogasr.data.synthetic.Utterance
+    fmt: str = "wav",
 ) -> None:
-    """Write synthetic utterances in LibriSpeech layout (wav) for tests."""
-    from mogasr.data.audio import write_wav
+    """Write synthetic utterances in LibriSpeech layout for tests.
 
+    ``fmt="flac"`` uses the in-repo codec (mogasr/data/flac_write.py), which
+    is LibriSpeech's real on-disk format.
+    """
+    from mogasr.data.audio import write_wav
+    from mogasr.data.flac_write import write_flac
+
+    if fmt not in ("wav", "flac"):
+        raise ValueError(f"unsupported fixture format {fmt!r}")
     spk, chp = "0", "0"
     d = os.path.join(root, split, spk, chp)
     os.makedirs(d, exist_ok=True)
     lines = []
     for i, u in enumerate(utts):
         utt_id = f"{spk}-{chp}-{i:04d}"
-        write_wav(os.path.join(d, f"{utt_id}.wav"), u.wave, u.sample_rate)
+        path = os.path.join(d, f"{utt_id}.{fmt}")
+        if fmt == "wav":
+            write_wav(path, u.wave, u.sample_rate)
+        else:
+            write_flac(path, u.wave, u.sample_rate)
         lines.append(f"{utt_id} {' '.join(w.upper() for w in u.words)}")
     with open(os.path.join(d, f"{spk}-{chp}.trans.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -20,6 +20,8 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 _CTC_LIB: Optional[ctypes.CDLL] = None
 _CTC_TRIED = False
+_FLAC_LIB: Optional[ctypes.CDLL] = None
+_FLAC_TRIED = False
 
 
 def _build(src: str, so_path: str) -> bool:
@@ -95,3 +97,42 @@ def load_ctc_beam_lib() -> Optional[ctypes.CDLL]:
         lib.ctc_prefix_beam.restype = ctypes.c_int32
         _CTC_LIB = lib
         return _CTC_LIB
+
+
+def load_flac_lib() -> Optional[ctypes.CDLL]:
+    """The FLAC-decoder shared library; None if g++/dlopen unavailable."""
+    global _FLAC_LIB, _FLAC_TRIED
+    with _LOCK:
+        if _FLAC_LIB is not None or _FLAC_TRIED:
+            return _FLAC_LIB
+        _FLAC_TRIED = True
+        src = os.path.join(_HERE, "flac_native.cpp")
+        so_path = os.path.join(_HERE, "_flac_native.so")
+        if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
+            if not _build(src, so_path):
+                return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+        lib.flac_stream_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.flac_stream_info.restype = ctypes.c_int32
+        lib.flac_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.flac_decode.restype = ctypes.c_longlong
+        _FLAC_LIB = lib
+        return _FLAC_LIB
