@@ -31,7 +31,8 @@ def main() -> None:
                                        "archive (ark,t) to this path")
     p.add_argument("--check-parity", action="store_true",
                    help="compare vs the NumPy oracle (fp32 tolerance)")
-    p.add_argument("--feature-type", default="mfcc", choices=["mfcc", "fbank"])
+    p.add_argument("--feature-type", default="mfcc",
+                   choices=["mfcc", "fbank", "plp"])
     args = p.parse_args()
 
     corpus, _lex = load_corpus(args)

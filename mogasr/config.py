@@ -56,7 +56,8 @@ class FrontendConfig:
     log_floor: float = 1.1921e-07  # ~float32 eps; floor before log
     snip_edges: bool = True  # Kaldi frame-count convention
     dither: float = 0.0
-    feature_type: str = "mfcc"  # mfcc | fbank
+    feature_type: str = "mfcc"  # mfcc | fbank | plp
+    lpc_order: int = 12  # PLP all-pole model order (needs >= n_ceps - 1)
 
     @property
     def frame_length(self) -> int:
@@ -68,7 +69,7 @@ class FrontendConfig:
 
     @property
     def base_dim(self) -> int:
-        return self.n_ceps if self.feature_type == "mfcc" else self.n_mels
+        return self.n_mels if self.feature_type == "fbank" else self.n_ceps
 
     @property
     def feat_dim(self) -> int:

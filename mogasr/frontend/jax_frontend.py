@@ -45,6 +45,9 @@ class FrontendConsts(NamedTuple):
     mel: jax.Array        # [n_bins, n_mels]
     dct_lift: jax.Array   # [n_mels, n_ceps], lifter folded in
     window: jax.Array     # [frame_length] (for the energy path)
+    plp_eql: Optional[jax.Array] = None   # [n_mels] equal-loudness weights
+    plp_idft: Optional[jax.Array] = None  # [n_mels+2, lpc_order+1] iDCT-I
+    plp_lift: Optional[jax.Array] = None  # [n_ceps] cepstral lifter
 
 
 def build_consts(cfg: FrontendConfig) -> FrontendConsts:
@@ -57,13 +60,54 @@ def build_consts(cfg: FrontendConfig) -> FrontendConsts:
     dct = npref.dct_matrix(cfg.n_ceps, cfg.n_mels)
     dct = dct * npref.lifter_coeffs(cfg.n_ceps, cfg.cepstral_lifter)[None, :]
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    plp = cfg.feature_type == "plp"
     return FrontendConsts(
         dft_cos_w=f32(np.cos(ang) * win[:, None]),
         dft_sin_w=f32(-np.sin(ang) * win[:, None]),
         mel=f32(npref.mel_filterbank_matrix(cfg)),
         dct_lift=f32(dct),
         window=f32(win),
+        plp_eql=f32(npref.equal_loudness_weights(cfg)) if plp else None,
+        plp_idft=f32(npref.plp_idft_matrix(cfg.n_mels, cfg.lpc_order)) if plp else None,
+        plp_lift=f32(npref.lifter_coeffs(cfg.n_ceps, cfg.cepstral_lifter)) if plp else None,
     )
+
+
+def _plp_cepstra(mel: jax.Array, cfg: FrontendConfig,
+                 consts: FrontendConsts) -> jax.Array:
+    """[N, n_mels] mel power -> [N, n_ceps] liftered PLP cepstra.
+
+    Mirrors numpy_ref.plp_from_pspec: equal loudness, cube-root compression,
+    iDCT-I autocorrelation (one GEMM), then Levinson-Durbin and the LPC->
+    cepstrum recursion unrolled over the fixed (static) lpc_order — tiny
+    elementwise chains XLA fuses; all heavy lifting stays in the GEMMs.
+    """
+    p = cfg.lpc_order
+    aud = jnp.maximum(mel * consts.plp_eql[None, :], 0.0)
+    compressed = jnp.cbrt(aud)
+    padded = jnp.concatenate(
+        [compressed[:, :1], compressed, compressed[:, -1:]], axis=1)
+    R = jnp.dot(padded, consts.plp_idft, precision=HIGHEST)  # [N, p+1]
+    floor = npref._PLP_R0_FLOOR
+    # Levinson-Durbin, unrolled (p is static and small)
+    a = [jnp.zeros(R.shape[0], R.dtype) for _ in range(p)]
+    err = jnp.maximum(R[:, 0], floor)
+    for i in range(p):
+        acc = sum((a[j] * R[:, i - j] for j in range(i)), start=jnp.zeros_like(err))
+        kref = (R[:, i + 1] - acc) / err
+        new_a = [a[j] - kref * a[i - 1 - j] for j in range(i)]
+        a = new_a + [kref] + a[i + 1:][: p - i - 1]
+        err = jnp.maximum(err * (1.0 - kref * kref), floor * 1e-4)
+    # LPC -> cepstrum
+    c = [jnp.log(err)]
+    for n_i in range(1, cfg.n_ceps):
+        acc = sum(
+            ((k_i / n_i) * c[k_i] * a[n_i - 1 - k_i] for k_i in range(1, n_i)),
+            start=jnp.zeros_like(err),
+        )
+        c.append(a[n_i - 1] + acc)
+    ceps = jnp.stack(c, axis=1)  # [N, n_ceps]
+    return ceps * consts.plp_lift[None, :]
 
 
 def _dither_noise(n: int, seed: int = npref._DITHER_SEED) -> jax.Array:
@@ -239,7 +283,10 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
         if cfg.feature_type == "fbank":
             base = logmel.reshape(B, t_max, cfg.n_mels)
         else:
-            mfcc = jnp.dot(logmel, consts.dct_lift, precision=HIGHEST)
+            if cfg.feature_type == "plp":
+                ceps = _plp_cepstra(mel, cfg, consts)
+            else:
+                ceps = jnp.dot(logmel, consts.dct_lift, precision=HIGHEST)
             if cfg.use_energy:
                 raw = frames_of(waves, num_samples).reshape(
                     B * t_max, cfg.frame_length
@@ -247,8 +294,8 @@ def make_frontend(cfg: FrontendConfig, max_samples: int):
                 energy = jnp.log(
                     jnp.maximum(jnp.sum(raw * raw, axis=-1), cfg.log_floor)
                 )
-                mfcc = mfcc.at[:, 0].set(energy)
-            base = mfcc.reshape(B, t_max, cfg.n_ceps)
+                ceps = ceps.at[:, 0].set(energy)
+            base = ceps.reshape(B, t_max, cfg.n_ceps)
 
         feats = [base]
         prev_f = base

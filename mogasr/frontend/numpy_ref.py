@@ -97,12 +97,8 @@ def vtln_warp_freq(
     return np.where((freq < low_hz) | (freq > high_hz), freq, out)
 
 
-def mel_filterbank_matrix(cfg: FrontendConfig) -> np.ndarray:
-    """[n_fft//2 + 1, n_mels] triangular mel filterbank matrix.
-
-    cfg.vtln_warp != 1 warps the triangle corner frequencies (Kaldi
-    convention: warp in linear frequency, then convert to mel)."""
-    n_bins = cfg.n_fft // 2 + 1
+def _mel_centers(cfg: FrontendConfig) -> np.ndarray:
+    """[n_mels + 2] mel-domain triangle corner/center points (VTLN-warped)."""
     high = cfg.mel_high_hz if cfg.mel_high_hz > 0 else cfg.sample_rate / 2.0
     mel_lo = hz_to_mel(np.array(cfg.mel_low_hz), cfg.mel_scale)
     mel_hi = hz_to_mel(np.array(high), cfg.mel_scale)
@@ -118,6 +114,16 @@ def mel_filterbank_matrix(cfg: FrontendConfig) -> np.ndarray:
             cfg.mel_low_hz, high,
         )
         centers_mel = hz_to_mel(warped_hz, cfg.mel_scale)
+    return centers_mel
+
+
+def mel_filterbank_matrix(cfg: FrontendConfig) -> np.ndarray:
+    """[n_fft//2 + 1, n_mels] triangular mel filterbank matrix.
+
+    cfg.vtln_warp != 1 warps the triangle corner frequencies (Kaldi
+    convention: warp in linear frequency, then convert to mel)."""
+    n_bins = cfg.n_fft // 2 + 1
+    centers_mel = _mel_centers(cfg)
     fft_bin_hz = np.arange(n_bins, dtype=np.float64) * cfg.sample_rate / cfg.n_fft
     fft_bin_mel = hz_to_mel(fft_bin_hz, cfg.mel_scale)
     left = centers_mel[:-2][None, :]
@@ -143,6 +149,92 @@ def lifter_coeffs(n_ceps: int, q: float) -> np.ndarray:
     if q <= 0:
         return np.ones(n_ceps)
     return 1.0 + 0.5 * q * np.sin(np.pi * np.arange(n_ceps) / q)
+
+
+# ------------------------------------------------------------------ PLP
+# Hermansky 1990 perceptual linear prediction on the mel bank (Kaldi-style):
+# mel power -> equal-loudness weighting -> cube-root intensity compression ->
+# inverse DCT-I to autocorrelation -> Levinson-Durbin -> LPC cepstrum.
+# Every stage is a GEMM or an O(order^2) fixed-size recursion, so the fused
+# JAX path (jax_frontend) is the same chain with the matrices precomputed.
+
+_PLP_R0_FLOOR = 1e-8  # absolute floor on the frame autocorrelation R[0]
+
+
+def equal_loudness_weights(cfg: FrontendConfig) -> np.ndarray:
+    """[n_mels] Hermansky equal-loudness curve at the mel center freqs."""
+    f = mel_to_hz(_mel_centers(cfg)[1:-1], cfg.mel_scale)
+    fsq = np.asarray(f, np.float64) ** 2
+    return ((fsq / (fsq + 1.6e5)) ** 2) * ((fsq + 1.44e6) / (fsq + 9.61e6))
+
+
+def plp_idft_matrix(n_mels: int, lpc_order: int) -> np.ndarray:
+    """[n_mels + 2, lpc_order + 1] inverse-DCT-I matrix.
+
+    The compressed auditory spectrum (endpoints duplicated) is treated as
+    half a period of an even, nonnegative power spectrum; its inverse DCT-I
+    is then a valid (positive-semidefinite) autocorrelation sequence, which
+    keeps Levinson-Durbin stable.
+    """
+    M = n_mels
+    j = np.arange(M + 2, dtype=np.float64)[:, None]
+    k = np.arange(lpc_order + 1, dtype=np.float64)[None, :]
+    mat = np.cos(np.pi * j * k / (M + 1))
+    w = np.full(M + 2, 2.0)
+    w[0] = w[-1] = 1.0
+    return mat * w[:, None] / (2.0 * (M + 1))
+
+
+def levinson_np(R: np.ndarray) -> tuple:
+    """Batched Levinson-Durbin: R [N, p+1] -> (a [N, p], err [N]).
+
+    Prediction convention x[t] ~ sum_j a_j x[t-j]; err is the residual
+    energy after order-p prediction.
+    """
+    R = np.asarray(R, np.float64)
+    N, p1 = R.shape
+    p = p1 - 1
+    a = np.zeros((N, p))
+    err = np.maximum(R[:, 0], _PLP_R0_FLOOR).copy()
+    for i in range(p):
+        acc = np.sum(a[:, :i] * R[:, i:0:-1], axis=1) if i else np.zeros(N)
+        k = (R[:, i + 1] - acc) / err
+        a[:, :i] = a[:, :i] - k[:, None] * a[:, :i][:, ::-1]
+        a[:, i] = k
+        err = np.maximum(err * (1.0 - k * k), _PLP_R0_FLOOR * 1e-4)
+    return a, err
+
+
+def lpc_to_cepstrum_np(a: np.ndarray, err: np.ndarray, n_ceps: int) -> np.ndarray:
+    """[N, p] LPC + [N] gain -> [N, n_ceps] cepstra (c0 = ln err).
+
+    Standard minimum-phase recursion c_n = a_n + sum_{k<n} (k/n) c_k a_{n-k};
+    requires lpc_order >= n_ceps - 1.
+    """
+    N, p = a.shape
+    if n_ceps - 1 > p:
+        raise ValueError(f"n_ceps={n_ceps} needs lpc_order >= {n_ceps - 1}")
+    c = np.zeros((N, n_ceps))
+    c[:, 0] = np.log(err)
+    for n in range(1, n_ceps):
+        acc = np.zeros(N)
+        for k in range(1, n):
+            acc += (k / n) * c[:, k] * a[:, n - 1 - k]
+        c[:, n] = a[:, n - 1] + acc
+    return c
+
+
+def plp_from_pspec(pspec: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """[T, n_bins] power spectrum -> [T, n_ceps] liftered PLP cepstra."""
+    mel = pspec @ mel_filterbank_matrix(cfg)
+    aud = np.maximum(mel * equal_loudness_weights(cfg)[None, :], 0.0)
+    compressed = np.cbrt(aud)
+    padded = np.concatenate(
+        [compressed[:, :1], compressed, compressed[:, -1:]], axis=1)
+    R = padded @ plp_idft_matrix(cfg.n_mels, cfg.lpc_order)
+    a, err = levinson_np(R)
+    c = lpc_to_cepstrum_np(a, err, cfg.n_ceps)
+    return c * lifter_coeffs(cfg.n_ceps, cfg.cepstral_lifter)[None, :]
 
 
 _DITHER_SEED = 0x5EED1234  # fixed stream id shared by all three front ends
@@ -282,6 +374,10 @@ def extract_features_np(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     logmel = np.log(np.maximum(mel, cfg.log_floor))
     if cfg.feature_type == "fbank":
         base = logmel
+    elif cfg.feature_type == "plp":
+        base = plp_from_pspec(pspec, cfg)
+        if cfg.use_energy:
+            base[:, 0] = energy
     else:
         mfcc = logmel @ dct_matrix(cfg.n_ceps, cfg.n_mels)
         mfcc = mfcc * lifter_coeffs(cfg.n_ceps, cfg.cepstral_lifter)[None, :]

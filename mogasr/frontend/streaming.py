@@ -31,7 +31,7 @@ import numpy as np
 
 from mogasr.config import FrontendConfig
 from mogasr.frontend import numpy_ref as npref
-from mogasr.frontend.jax_frontend import HIGHEST, build_consts
+from mogasr.frontend.jax_frontend import HIGHEST, _plp_cepstra, build_consts
 
 
 @functools.lru_cache(maxsize=16)
@@ -45,6 +45,8 @@ def _chunk_kernel(cfg: FrontendConfig, max_frames: int):
         im = jnp.dot(frames, consts.dft_sin_w, precision=HIGHEST)
         pspec = re * re + im * im
         mel = jnp.dot(pspec, consts.mel, precision=HIGHEST)
+        if cfg.feature_type == "plp":
+            return _plp_cepstra(mel, cfg, consts)
         logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
         if cfg.feature_type == "fbank":
             return logmel
@@ -122,7 +124,7 @@ class StreamingFrontend:
         # matching the offline fused path and the NumPy oracle exactly
         # (the buffer already carries dithered samples — see process())
         energy = None
-        if cfg.use_energy and cfg.feature_type == "mfcc":
+        if cfg.use_energy and cfg.feature_type in ("mfcc", "plp"):
             raw32 = raw.astype(np.float32)
             energy = np.log(
                 np.maximum((raw32 * raw32).sum(-1), cfg.log_floor)

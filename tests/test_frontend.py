@@ -69,6 +69,62 @@ def test_parity_no_cmvn_no_deltas(wave):
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-4)
 
 
+def test_levinson_solves_normal_equations():
+    """Levinson-Durbin output must solve the Toeplitz normal equations."""
+    rng = np.random.default_rng(0)
+    p = 12
+    # build a valid autocorrelation from a random spectrum (PSD by construction)
+    spec = rng.uniform(0.1, 2.0, size=(4, 64))
+    full = np.concatenate([spec, spec[:, -2:0:-1]], axis=1)
+    R = np.fft.ifft(full, axis=1).real[:, : p + 1]
+    a, err = npref.levinson_np(R)
+    for b in range(R.shape[0]):
+        T = np.array([[R[b, abs(i - j)] for j in range(p)] for i in range(p)])
+        np.testing.assert_allclose(T @ a[b], R[b, 1 : p + 1], rtol=1e-8, atol=1e-10)
+        assert err[b] > 0
+
+
+def test_plp_idft_autocorrelation_identity():
+    """iDCT-I of a flat compressed spectrum gives R[0]=power, R[k>0]=0."""
+    mat = npref.plp_idft_matrix(40, 12)
+    flat = np.ones(42)
+    R = flat @ mat
+    np.testing.assert_allclose(R[0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(R[1:], 0.0, atol=1e-12)
+
+
+def test_parity_plp(wave):
+    cfg = FrontendConfig(feature_type="plp")
+    ref = npref.extract_features_np(wave, cfg)
+    got = jf.extract_features(wave, cfg)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=4e-4, rtol=4e-4)
+
+
+def test_parity_plp_energy_no_cmvn(wave):
+    cfg = FrontendConfig(feature_type="plp", use_energy=True,
+                         cmvn="none", delta_order=1)
+    ref = npref.extract_features_np(wave, cfg)
+    got = jf.extract_features(wave, cfg)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=4e-4)
+
+
+def test_plp_padding_invariance(wave):
+    cfg = FrontendConfig(feature_type="plp")
+    n = len(wave)
+    solo = jf.extract_features(wave, cfg)
+    padded_len = n + 4801
+    fn = jf.make_frontend(cfg, padded_len)
+    waves = np.zeros((2, padded_len), np.float32)
+    waves[0, :n] = wave
+    other = synth_utterance("t1", ["dog"], seed=9).wave
+    waves[1, : len(other)] = other
+    feats, n_frames = fn(jnp.asarray(waves), jnp.asarray([n, len(other)]))
+    t = int(n_frames[0])
+    assert t == solo.shape[0]
+    np.testing.assert_allclose(np.asarray(feats[0, :t]), solo, atol=4e-4, rtol=4e-4)
+
+
 def test_cmvn_property(wave):
     feats = jf.extract_features(wave, CFG)
     np.testing.assert_allclose(feats.mean(axis=0), 0.0, atol=1e-4)

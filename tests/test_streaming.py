@@ -52,6 +52,18 @@ def test_streaming_ragged_chunks(wave):
     np.testing.assert_allclose(np.concatenate(outs), ref, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("use_energy", [False, True])
+def test_streaming_plp_matches_offline(wave, use_energy):
+    cfg = FrontendConfig(feature_type="plp", cmvn="none", use_energy=use_energy)
+    ref = npref.extract_features_np(wave, cfg)
+    sf = StreamingFrontend(cfg)
+    outs = [sf.process(wave[i : i + 3000]) for i in range(0, len(wave), 3000)]
+    outs.append(sf.finalize())
+    got = np.concatenate(outs)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=4e-4, rtol=4e-4)
+
+
 def test_streaming_global_cmvn(wave):
     cfg = FrontendConfig(cmvn="global")
     base = npref.extract_features_np(wave, FrontendConfig(cmvn="none"))
