@@ -40,6 +40,11 @@ def main() -> None:
                         "training (expected frame accuracy, I-smoothed EBW)")
     p.add_argument("--disc-acoustic-scale", type=float, default=0.1,
                    help="acoustic scale (kappa) for --mmi/--smbr")
+    p.add_argument("--lda", type=int, default=0, metavar="CONTEXT",
+                   help="after monophone training, train a splice(+-CONTEXT)"
+                        "->LDA->MLLT system bootstrapped from its alignments")
+    p.add_argument("--lda-dim", type=int, default=40,
+                   help="LDA projection dimension (with --lda)")
     args = p.parse_args()
 
     corpus, lex = load_corpus(args)
@@ -92,6 +97,35 @@ def main() -> None:
     ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm")
     save_checkpoint(ckpt, gmm._asdict(), step=len(history))
     print(f"saved GMM ({gmm.n_states} states x {gmm.n_components} comps) to {ckpt}")
+
+    if args.lda > 0:
+        import numpy as np
+
+        from mogasr.pipeline import train_lda_mllt
+
+        with Timer() as tl:
+            sys_lda = train_lda_mllt(
+                corpus, lex, topo, fcfg, BatchConfig(), gcfg, tcfg, gmm,
+                context=args.lda, lda_dim=args.lda_dim, logger=logger,
+                mode=args.mode,
+            )
+        logger.log({
+            "stage": "train_lda_mllt_done", "context": args.lda,
+            "lda_dim": args.lda_dim,
+            "final_avg_loglik": sys_lda.history[-1], "wall_sec": tl.seconds,
+        })
+        lda_ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm_lda")
+        save_checkpoint(
+            lda_ckpt,
+            {
+                **sys_lda.gmm._asdict(),
+                "lda_transform": np.asarray(sys_lda.transform),
+                "lda_context": np.asarray([args.lda], np.int32),
+            },
+            step=len(sys_lda.history),
+        )
+        print(f"saved LDA+MLLT GMM ({args.lda_dim}-dim, context "
+              f"+-{args.lda}) to {lda_ckpt}")
 
     if args.triphones > 0:
         from mogasr.pipeline import train_triphone

@@ -1166,6 +1166,128 @@ def estimate_stc_batches(
     return A, vars_y, gmm_y, transform_batches
 
 
+# ----------------------------- splice + LDA (+ MLLT) ------------------------
+
+
+@dataclasses.dataclass
+class LdaMlltResult:
+    """A trained LDA(+MLLT)-space system: ``gmm`` scores features produced
+    by splicing base (delta-free) features +-context frames and applying the
+    single affine ``transform`` [lda_dim, (2*context+1)*base_dim + 1]."""
+
+    gmm: GmmSet
+    transform: np.ndarray
+    context: int
+    base_fcfg: FrontendConfig
+    history: List[float]
+    topo: Topology
+
+    def transform_featbatches(self, bs: Sequence[FeatBatch]) -> List[FeatBatch]:
+        from mogasr.am import lda as ld
+        from mogasr.am.fmllr import apply_fmllr
+
+        return [
+            FeatBatch(
+                fb.utt_ids,
+                apply_fmllr(
+                    ld.splice_frames(fb.feats, fb.n_frames, self.context),
+                    self.transform,
+                ),
+                fb.n_frames,
+                fb.words,
+            )
+            for fb in bs
+        ]
+
+    def featurize(
+        self, utts: Sequence[Tuple[str, np.ndarray, List[str]]], bcfg: BatchConfig
+    ) -> List[FeatBatch]:
+        return self.transform_featbatches(featurize(utts, self.base_fcfg, bcfg))
+
+
+def train_lda_mllt(
+    utts: Sequence[Tuple[str, np.ndarray, List[str]]],
+    lexicon: Lexicon,
+    topo: Topology,
+    fcfg: FrontendConfig,
+    bcfg: BatchConfig,
+    gcfg: GmmConfig,
+    tcfg: TrainConfig,
+    boot_gmm: GmmSet,
+    boot_fcfg: Optional[FrontendConfig] = None,
+    context: int = 3,
+    lda_dim: int = 40,
+    mllt: bool = True,
+    mllt_iters: int = 8,
+    mode: str = "viterbi",
+    logger=None,
+) -> LdaMlltResult:
+    """Kaldi tri2b-shaped recipe: splice -> LDA -> GMM EM (-> MLLT).
+
+    ``boot_gmm`` (trained on ``boot_fcfg`` features, default ``fcfg``)
+    supplies forced-alignment class labels; LDA statistics are the
+    class-conditional scatters of the SPLICED delta-free base features
+    (``fcfg`` with delta_order=0 — LDA learns its own temporal weighting,
+    which is the point of replacing deltas); a fresh GMM trains from flat
+    start in the projected space; optional MLLT (am/stc.py) re-rotates it
+    and composes into the single returned affine transform.
+    """
+    from mogasr.am import lda as ld
+    from mogasr.am.fmllr import apply_fmllr
+
+    boot_fcfg = boot_fcfg or fcfg
+    base_fcfg = dataclasses.replace(fcfg, delta_order=0)
+    batches_boot = featurize(utts, boot_fcfg, bcfg)
+    batches_base = featurize(utts, base_fcfg, bcfg)
+
+    n_classes = boot_gmm.means.shape[0]
+    stats = None
+    spliced_all: List[jax.Array] = []
+    for fb_boot, fb_base in zip(batches_boot, batches_base):
+        if fb_boot.utt_ids != fb_base.utt_ids:
+            raise RuntimeError("boot/base featurization batch order diverged")
+        _res, labels, _ = align_batch(fb_boot, boot_gmm, lexicon, topo)
+        spliced = ld.splice_frames(fb_base.feats, fb_base.n_frames, context)
+        spliced_all.append(spliced)
+        ds = spliced.shape[-1]
+        s = ld.accumulate_lda_stats(
+            spliced.reshape(-1, ds), labels.reshape(-1), n_classes
+        )
+        stats = s if stats is None else ld.add_lda_stats(stats, s)
+    w_lda = ld.solve_lda(stats, lda_dim)
+
+    lda_batches = [
+        FeatBatch(fb.utt_ids, apply_fmllr(spl, w_lda), fb.n_frames, fb.words)
+        for fb, spl in zip(batches_base, spliced_all)
+    ]
+    res = train_gmm(
+        lda_batches, lexicon, topo, gcfg, tcfg, logger=logger, mode=mode
+    )
+    gmm_lda, history, topo_out = res.gmm, res.history, res.topo
+
+    transform = w_lda
+    gmm_out = gmm_lda
+    if mllt:
+        a_mllt, _vars_y, gmm_y, tb = estimate_stc_batches(
+            lda_batches, gmm_lda, lexicon, topo_out, n_iters=mllt_iters
+        )
+        from mogasr.am.stc import stc_feature_transform
+
+        transform = ld.compose_affine(stc_feature_transform(a_mllt), w_lda)
+        # refit means/weights in the rotated space (Kaldi interleaves MLLT
+        # with EM passes; the scatter-derived variances alone are noisy on
+        # small data — measured WER regression without this refit)
+        res2 = train_gmm(
+            tb(lda_batches), lexicon, topo_out,
+            dataclasses.replace(gcfg, n_components=gmm_y.n_components),
+            dataclasses.replace(tcfg, num_em_iters=2),
+            gmm=gmm_y, logger=logger, mode=mode,
+        )
+        gmm_out = res2.gmm
+        history = history + res2.history
+    return LdaMlltResult(gmm_out, transform, context, base_fcfg, history, topo_out)
+
+
 # ----------------------------- VTLN two-pass decode -------------------------
 
 

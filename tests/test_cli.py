@@ -236,6 +236,22 @@ def test_train_gmm_cli_triphones(tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "run" / "gmm_cd")
 
 
+def test_train_gmm_cli_lda(tmp_path, monkeypatch):
+    from cli import train_gmm
+
+    run_cli(
+        train_gmm,
+        ["--synthetic", "6", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--num-iters", "2",
+         "--lda", "2", "--lda-dim", "16"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "train_lda_mllt_done"]
+    assert done and done[0]["lda_dim"] == 16
+    assert os.path.isdir(tmp_path / "run" / "gmm_lda")
+
+
 def test_train_gmm_cli_discriminative(tmp_path, monkeypatch):
     """ML EM -> MMI -> sMBR refinement through the train_gmm CLI."""
     from cli import train_gmm
