@@ -13,8 +13,9 @@ north_star: "feature-extraction and scoring entry points"):
     mogasr.gmm_loglik_pallas(x, gmm)     -> [N, S] (fused Pallas TPU kernel)
     mogasr.viterbi / mogasr.forward_backward
     mogasr.ctc_loss / mogasr.rnnt_loss / mogasr.train_bpe
+    mogasr.aed_decode_batch (attention encoder-decoder beam search)
     mogasr.pipeline.{featurize, train_gmm, train_ctc, train_rnnt,
-                     evaluate, ...}
+                     train_aed, evaluate, ...}
 """
 
 __version__ = "0.1.0"
@@ -64,6 +65,10 @@ def __getattr__(name):  # lazy: keep `import mogasr` light, no jax at import
         from mogasr.am.rnnt import rnnt_loss
 
         return rnnt_loss
+    if name == "aed_decode_batch":
+        from mogasr.am.aed import aed_decode_batch
+
+        return aed_decode_batch
     if name == "train_bpe":
         from mogasr.data.bpe import train_bpe
 

@@ -751,6 +751,87 @@ def train_rnnt_units(
     return model, state.params
 
 
+def train_aed(
+    batches: Sequence[FeatBatch],
+    lexicon: Lexicon,
+    tcfg: TrainConfig,
+    include_sil: bool = False,
+    logger=None,
+    **kwargs,
+):
+    """Attention encoder-decoder (Conformer + Transformer decoder) on
+    (features, phone sequence) pairs — the third alignment-free family
+    next to train_ctc / train_rnnt (mogasr.am.aed). Decode with
+    aed_decode_batch (on-device beam search, optional joint-CTC rescore)."""
+    from mogasr.am import ctc as C
+
+    return train_aed_units(
+        batches,
+        lambda words: C.ctc_labels_from_words(lexicon, words, include_sil),
+        lexicon.n_phones,
+        tcfg, logger=logger, **kwargs,
+    )
+
+
+def train_aed_bpe(
+    batches: Sequence[FeatBatch],
+    bpe,
+    tcfg: TrainConfig,
+    logger=None,
+    **kwargs,
+):
+    """Lexicon-free AED on BPE subword targets (open-vocabulary words via
+    bpe.decode, like train_ctc_bpe / train_rnnt_bpe)."""
+    return train_aed_units(
+        batches, bpe.encode, bpe.n_units, tcfg, logger=logger, **kwargs
+    )
+
+
+def train_aed_units(
+    batches: Sequence[FeatBatch],
+    encode_fn,
+    n_units: int,
+    tcfg: TrainConfig,
+    ctc_weight: float = 0.3,
+    smoothing: float = 0.1,
+    steps: Optional[int] = None,
+    logger=None,
+):
+    """Generic AED over any unit inventory (phones, BPE)."""
+    from mogasr.am import aed as A
+    from mogasr.am import ctc as C
+
+    model = A.build_aed_model(n_units, tcfg)
+    seqs_all = [
+        [encode_fn(fb.words[b]) for b in range(fb.size)]
+        for fb in batches
+    ]
+    l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)
+    labeled = []
+    for fb, seqs in zip(batches, seqs_all):
+        rows = int(fb.feats.shape[0])
+        seqs = seqs + [[] for _ in range(rows - fb.size)]
+        labels, n_labels = C.pack_label_batch(seqs, pad_to=l_max)
+        labeled.append((fb, jnp.asarray(labels), jnp.asarray(n_labels)))
+    state = A.init_aed_train_state(
+        model, tcfg, batches[0].feats.shape[-1], l_max, jax.random.key(tcfg.seed)
+    )
+    step_fn = A.make_aed_train_step(
+        model, tcfg, ctc_weight=ctc_weight, smoothing=smoothing
+    )
+    total = steps if steps is not None else tcfg.num_nn_steps
+    i, m = 0, {"loss": jnp.asarray(0.0)}
+    while i < total:
+        for fb, labels, n_labels in labeled:
+            state, m = step_fn(state, fb.feats, fb.n_frames, labels, n_labels)
+            i += 1
+            if logger is not None and i % 50 == 0:
+                logger.log({"stage": "train_aed", "step": i, "loss": float(m["loss"])})
+            if i >= total:
+                break
+    return model, state.params
+
+
 def evaluate(
     batches: Sequence[FeatBatch],
     gmm: Optional[GmmSet],

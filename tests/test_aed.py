@@ -1,0 +1,191 @@
+"""AED (Conformer encoder + attention decoder) tests: teacher-batch and
+label-smoothing oracles, encoder padding invariance, beam-search sanity
+(beam-1 == stepwise greedy), and learn-then-decode on the unit task."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mogasr.am import aed
+from mogasr.config import TrainConfig
+
+
+def _tiny_model(n_units=3):
+    return aed.AedModel(
+        n_units=n_units, d_model=32, enc_blocks=1, dec_blocks=1, heads=2,
+        conv_kernel=7,
+    )
+
+
+def _unit_task(seed=0, B=4, n_units=3, units_T=6, frames_per=8):
+    """Unit id u -> a one-hot feature burst of frames_per frames (the
+    test_rnnt task at a frame rate that survives the 4x subsampling)."""
+    rng = np.random.default_rng(seed)
+    D = n_units + 1
+    T = units_T * frames_per
+    seqs, feats, n_frames = [], [], []
+    for _ in range(B):
+        n = int(rng.integers(2, units_T + 1))
+        seq = []
+        while len(seq) < n:
+            u = int(rng.integers(0, n_units))
+            if not seq or seq[-1] != u:
+                seq.append(u)
+        x = np.zeros((T, D), np.float32)
+        t = 0
+        for u in seq:
+            for _ in range(frames_per):
+                x[t, u] = 1.0
+                t += 1
+        x += 0.05 * rng.standard_normal((T, D)).astype(np.float32)
+        seqs.append(seq)
+        feats.append(x)
+        n_frames.append(t)
+    U = max(len(s) for s in seqs)
+    labels = np.full((B, U), -1, np.int32)
+    for b, s in enumerate(seqs):
+        labels[b, : len(s)] = s
+    n_labels = np.asarray([len(s) for s in seqs], np.int32)
+    return (
+        jnp.asarray(np.stack(feats)),
+        jnp.asarray(np.asarray(n_frames, np.int32)),
+        jnp.asarray(labels), jnp.asarray(n_labels), seqs,
+    )
+
+
+def test_subsampled_frames():
+    n = jnp.asarray([0, 1, 2, 3, 4, 5, 100, 101])
+    got = np.asarray(aed.subsampled_frames(n))
+    want = np.asarray([0, 1, 1, 1, 1, 2, 25, 26])  # two ceil-div-2 steps
+    np.testing.assert_array_equal(got, want)
+
+
+def test_make_teacher_batch():
+    labels = jnp.asarray([[0, 1, 2, -1], [3, -1, -1, -1]])
+    n_labels = jnp.asarray([3, 1])
+    dec_in, tgt, mask = aed.make_teacher_batch(labels, n_labels, sos=4, eos=5)
+    np.testing.assert_array_equal(
+        np.asarray(dec_in), [[4, 0, 1, 2, 0], [4, 3, 0, 0, 0]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tgt), [[0, 1, 2, 5, 5], [3, 5, 5, 5, 5]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mask),
+        [[True, True, True, True, False],
+         [True, True, False, False, False]],
+    )
+
+
+def test_smoothed_ce_matches_numpy():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 3, 5)).astype(np.float32)
+    tgt = np.asarray([[0, 2, 4], [1, 3, 0]])
+    mask = np.asarray([[True, True, False], [True, True, True]])
+    eps = 0.1
+    got = np.asarray(
+        aed.smoothed_ce(jnp.asarray(logits), jnp.asarray(tgt),
+                        jnp.asarray(mask), smoothing=eps)
+    )
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    want = np.zeros(2)
+    for b in range(2):
+        for u in range(3):
+            if mask[b, u]:
+                want[b] -= (1 - eps) * logp[b, u, tgt[b, u]] + eps * logp[
+                    b, u
+                ].mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_encoder_padding_invariance():
+    """Garbage in the padded frames must not change valid encoder outputs,
+    the subsampled frame counts, or the training loss."""
+    m = _tiny_model()
+    feats, n_frames, labels, n_labels, _ = _unit_task(seed=3)
+    params = m.init(
+        jax.random.key(0), feats, n_frames,
+        jnp.zeros((feats.shape[0], labels.shape[1] + 1), jnp.int32),
+    )
+    enc, n_out = m.apply(params, feats, n_frames, method=aed.AedModel.encode)
+
+    rng = np.random.default_rng(1)
+    mask = np.arange(feats.shape[1])[None, :] < np.asarray(n_frames)[:, None]
+    junk = np.where(
+        mask[..., None], np.asarray(feats),
+        100.0 * rng.standard_normal(feats.shape).astype(np.float32),
+    )
+    enc2, n_out2 = m.apply(
+        params, jnp.asarray(junk), n_frames, method=aed.AedModel.encode
+    )
+    np.testing.assert_array_equal(np.asarray(n_out), np.asarray(n_out2))
+    vmask = np.arange(enc.shape[1])[None, :] < np.asarray(n_out)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(enc)[vmask], np.asarray(enc2)[vmask], rtol=1e-5, atol=1e-5
+    )
+    l1, _ = aed.aed_objective(m, params, feats, n_frames, labels, n_labels)
+    l2, _ = aed.aed_objective(
+        m, params, jnp.asarray(junk), n_frames, labels, n_labels
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_beam1_equals_stepwise_greedy():
+    """make_aed_decoder(beam=1) must reproduce a hand-rolled greedy loop
+    over decode_logits (validates the scan/top-k/finished machinery)."""
+    m = _tiny_model()
+    feats, n_frames, _, _, _ = _unit_task(seed=5, B=3)
+    params = m.init(
+        jax.random.key(1), feats, n_frames, jnp.zeros((3, 7), jnp.int32)
+    )
+    U = 7
+    dec = aed.make_aed_decoder(m, params, beam=1, max_tokens=U)
+    toks, n_toks, _ = jax.tree.map(np.asarray, dec(feats, n_frames))
+
+    enc, n_out = m.apply(params, feats, n_frames, method=aed.AedModel.encode)
+    B = feats.shape[0]
+    buf = np.full((B, U), m.eos, np.int32)
+    done = np.zeros(B, bool)
+    for u in range(U):
+        dec_in = np.concatenate(
+            [np.full((B, 1), m.sos, np.int32), buf[:, :-1]], axis=1
+        )
+        logits = np.array(
+            m.apply(params, enc, n_out, jnp.asarray(dec_in),
+                    method=aed.AedModel.decode_logits)
+        )[:, u]
+        logits[:, m.sos] = -np.inf
+        nxt = logits.argmax(-1)
+        nxt = np.where(done, m.eos, nxt)
+        buf[:, u] = nxt
+        done |= nxt == m.eos
+    for b in range(B):
+        n = int(np.argmax(buf[b] == m.eos)) if (buf[b] == m.eos).any() else U
+        assert n == n_toks[b], (b, buf[b], toks[b])
+        np.testing.assert_array_equal(toks[b, :n], buf[b, :n])
+
+
+def test_aed_learns_unit_task():
+    feats, n_frames, labels, n_labels, seqs = _unit_task()
+    m = _tiny_model()
+    cfg = TrainConfig(lr=2e-3, num_nn_steps=300)
+    state = aed.init_aed_train_state(
+        m, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step = aed.make_aed_train_step(m, cfg)
+    first = None
+    for _ in range(cfg.num_nn_steps):
+        state, met = step(state, feats, n_frames, labels, n_labels)
+        if first is None:
+            first = float(met["loss"])
+    assert float(met["loss"]) < first * 0.5, (first, float(met["loss"]))
+    hyps = aed.aed_decode_batch(
+        m, state.params, feats, n_frames, beam=2, max_tokens=8
+    )
+    assert hyps == seqs, (hyps, seqs)
+    # joint CTC rescoring must not break the solved task
+    hyps_joint = aed.aed_decode_batch(
+        m, state.params, feats, n_frames, beam=2, max_tokens=8, ctc_weight=0.3
+    )
+    assert hyps_joint == seqs, (hyps_joint, seqs)
