@@ -50,10 +50,23 @@ def main() -> None:
                         "--objective rnnt): frame-synchronous greedy phone "
                         "decode (--mode phone only; --am lstm/blstm picks "
                         "the encoder)")
+    p.add_argument("--aed", action="store_true",
+                   help="the NN checkpoint is an attention encoder-decoder "
+                        "(train_nn --objective aed): on-device beam search "
+                        "over the Conformer+decoder (--mode phone, or word "
+                        "with --bpe; --nn-hidden/--nn-layers must match "
+                        "training; --am is ignored)")
+    p.add_argument("--aed-beam", type=int, default=4,
+                   help="beam width of the AED decoder")
+    p.add_argument("--aed-ctc-weight", type=float, default=0.3,
+                   help="joint decoding: rescore final AED beams with the "
+                        "encoder CTC head at this weight (0 = attention only)")
+    p.add_argument("--aed-max-tokens", type=int, default=64,
+                   help="token budget of the jitted AED beam search")
     p.add_argument("--bpe", metavar="FILE",
-                   help="with --ctc: the checkpoint was trained on BPE "
+                   help="with --ctc/--aed: the checkpoint was trained on BPE "
                         "subword units (train_nn --bpe-merges; FILE is its "
-                        "bpe.json) — lexicon-free greedy word decoding")
+                        "bpe.json) — lexicon-free word decoding")
     p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
                    help="prediction-network architecture of the RNN-T "
                         "checkpoint (must match training)")
@@ -125,9 +138,41 @@ def main() -> None:
         word_insertion_penalty=args.insertion_penalty,
     )
     logger = make_logger(args)
+
+    # Flag-compatibility guards run BEFORE any model build/compile so a bad
+    # invocation fails in milliseconds, not after minutes of jit.
+    needs_lattice = args.trigram_rescore or args.nbest > 0 or args.consensus != "off"
+    if (needs_lattice or args.multi_pron) and args.mode != "word":
+        raise SystemExit("--multi-pron/--trigram-rescore/--nbest/--consensus "
+                         "require --mode word")
+    if (args.ctc or args.rnnt) and (args.am == "gmm" or args.multi_pron):
+        raise SystemExit("--ctc/--rnnt require a neural --am and no --multi-pron")
+    if args.aed and (
+        args.ctc or args.rnnt or args.multi_pron or needs_lattice
+        or args.bigram_lm or args.grammar or args.trigram_rescore
+    ):
+        raise SystemExit(
+            "--aed is direct beam-search decoding: incompatible with "
+            "--ctc/--rnnt/--multi-pron/--bigram-lm/--grammar/lattice passes"
+        )
+    if args.ctc and args.bpe and (
+        args.mode == "phone" or args.consensus != "off" or args.nbest > 0
+        or args.bigram_lm or args.trigram_rescore
+    ):
+        # The lexicon-free BPE branch is greedy word decoding only; silently
+        # ignoring these flags produced meaningless PER / skipped passes.
+        raise SystemExit(
+            "--ctc --bpe is greedy word decoding: incompatible with --mode "
+            "phone, --consensus, --nbest, --bigram-lm, --trigram-rescore"
+        )
+    if args.aed and args.bpe and args.mode != "word":
+        raise SystemExit("--aed --bpe decodes words: use --mode word")
+    if args.aed and not args.bpe and args.mode != "phone":
+        raise SystemExit("--aed without --bpe decodes phones: use --mode phone")
+
     batches = featurize(corpus, fcfg, BatchConfig())
 
-    if args.am == "gmm":
+    if args.am == "gmm" and not args.aed:
         gmm = bundle[0] if bundle is not None else load_or_random_gmm(args, fcfg.feat_dim)
         scorer = None
     else:
@@ -144,7 +189,40 @@ def main() -> None:
             raise SystemExit("--nn-ckpt is required with --am mlp/lstm")
         tcfg = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
-        if args.rnnt:
+        if args.aed:
+            import numpy as _np
+
+            from mogasr.am.aed import (
+                build_aed_model, init_aed_train_state, make_aed_decoder,
+            )
+
+            if args.bpe:
+                from mogasr.data.bpe import load_bpe
+
+                bpe = load_bpe(args.bpe)
+                n_aed_units = bpe.n_units
+            else:
+                bpe = None
+                n_aed_units = lex.n_phones
+            model = build_aed_model(n_aed_units, tcfg)
+            template = {
+                "params": init_aed_train_state(
+                    model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+                ).params,
+            }
+            ck = restore_checkpoint(args.nn_ckpt, template)
+            aed_dec = make_aed_decoder(
+                model, ck["params"], beam=args.aed_beam,
+                max_tokens=args.aed_max_tokens,
+                ctc_weight=args.aed_ctc_weight,
+            )
+
+            def scorer(fb, _d=aed_dec):
+                toks, n_toks, _ = (_np.asarray(a) for a in _d(fb.feats, fb.n_frames))
+                return [
+                    list(map(int, toks[b, : n_toks[b]])) for b in range(len(toks))
+                ]
+        elif args.rnnt:
             from mogasr.am.rnnt import (
                 build_rnnt_model, init_rnnt_train_state, rnnt_greedy_decode_device,
             )
@@ -194,24 +272,10 @@ def main() -> None:
             scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
         gmm = None
 
-    needs_lattice = args.trigram_rescore or args.nbest > 0 or args.consensus != "off"
-    if (needs_lattice or args.multi_pron) and args.mode != "word":
-        raise SystemExit("--multi-pron/--trigram-rescore/--nbest/--consensus "
-                         "require --mode word")
-    if (args.ctc or args.rnnt) and (args.am == "gmm" or args.multi_pron):
-        raise SystemExit("--ctc/--rnnt require a neural --am and no --multi-pron")
-    if args.ctc and args.bpe and (
-        args.mode == "phone" or args.consensus != "off" or args.nbest > 0
-        or args.bigram_lm or args.trigram_rescore
-    ):
-        # The lexicon-free BPE branch is greedy word decoding only; silently
-        # ignoring these flags produced meaningless PER / skipped passes.
-        raise SystemExit(
-            "--ctc --bpe is greedy word decoding: incompatible with --mode "
-            "phone, --consensus, --nbest, --bigram-lm, --trigram-rescore"
-        )
     pron_logp = None
-    if args.rnnt:
+    if args.aed:
+        graph = None  # label-synchronous attention decode needs no graph
+    elif args.rnnt:
         graph = None  # frame-synchronous transducer decode needs no graph
     elif args.ctc and args.bpe:
         graph = None  # lexicon-free: greedy units -> bpe.decode, no graph
@@ -276,6 +340,17 @@ def main() -> None:
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
         for fb in batches:
+            if args.aed:
+                seqs = scorer(fb)
+                out = (
+                    [bpe.decode(s) for s in seqs] if bpe is not None
+                    else [[lex.phones[u] for u in s] for s in seqs]
+                )
+                for b in range(fb.size):
+                    ids.append(fb.utt_ids[b])
+                    refs.append([w.lower() for w in fb.words[b]])
+                    hyps.append([w.lower() for w in out[b]])
+                continue
             if args.rnnt:
                 out = [[lex.phones[u] for u in seq] for seq in scorer(fb)]
                 for b in range(fb.size):

@@ -40,13 +40,16 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--spec-augment", action="store_true",
                    help="SpecAugment time/feature masking during training")
-    p.add_argument("--objective", default="ce", choices=["ce", "ctc", "rnnt"],
+    p.add_argument("--objective", default="ce", choices=["ce", "ctc", "rnnt", "aed"],
                    help="ce: frame CE on GMM forced alignments; "
                         "ctc: alignment-free CTC on transcript phone targets; "
                         "rnnt: RNN-transducer (label-history-conditioned, "
-                        "streaming-native; --arch picks the encoder lstm/blstm)")
+                        "streaming-native; --arch picks the encoder lstm/blstm); "
+                        "aed: attention encoder-decoder (Conformer + "
+                        "Transformer decoder, joint CTC/attention loss; "
+                        "--hidden/--layers size the Conformer, --arch ignored)")
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
-                   help="with --objective ctc: train on BPE SUBWORD units "
+                   help="with --objective ctc/aed: train on BPE SUBWORD units "
                         "(N merges learned from the transcripts) instead of "
                         "phones — lexicon-free word recognition; writes "
                         "bpe.json next to the checkpoint")
@@ -69,27 +72,32 @@ def main() -> None:
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
 
-    if args.objective in ("ctc", "rnnt"):
+    if args.objective in ("ctc", "rnnt", "aed"):
         import jax.numpy as jnp
 
-        from mogasr.pipeline import train_ctc, train_rnnt
+        from mogasr.pipeline import train_aed, train_ctc, train_rnnt
 
         tcfg = TrainConfig(
             nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
             lr=args.lr, num_nn_steps=args.steps,
         )
         with Timer() as t:
-            if args.objective == "ctc" and args.bpe_merges > 0:
+            if args.objective in ("ctc", "aed") and args.bpe_merges > 0:
                 from mogasr.data.bpe import save_bpe, train_bpe
-                from mogasr.pipeline import train_ctc_bpe
+                from mogasr.pipeline import train_aed_bpe, train_ctc_bpe
 
                 transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
                 bpe = train_bpe(transcripts, n_merges=args.bpe_merges)
                 save_bpe(bpe, os.path.join(os.path.abspath(args.run_dir), "bpe.json"))
-                model, params = train_ctc_bpe(
-                    batches, bpe, tcfg, arch=args.arch,
-                    spec_augment=args.spec_augment, logger=logger,
-                )
+                if args.objective == "aed":
+                    model, params = train_aed_bpe(batches, bpe, tcfg, logger=logger)
+                else:
+                    model, params = train_ctc_bpe(
+                        batches, bpe, tcfg, arch=args.arch,
+                        spec_augment=args.spec_augment, logger=logger,
+                    )
+            elif args.objective == "aed":
+                model, params = train_aed(batches, lex, tcfg, logger=logger)
             elif args.objective == "ctc":
                 model, params = train_ctc(
                     batches, lex, tcfg, arch=args.arch,

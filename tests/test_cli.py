@@ -697,3 +697,58 @@ def test_eval_cli_vtln(tmp_path, monkeypatch):
     metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
     ev = [m for m in metrics if m.get("stage") == "eval"]
     assert ev and ev[0]["utts"] == 4
+
+
+def test_train_aed_then_decode_cli(tmp_path, monkeypatch):
+    """Attention encoder-decoder smoke: train_nn --objective aed ->
+    decode --aed (on-device beam search, phone mode)."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "32", "--layers", "1", "--steps", "6",
+         "--objective", "aed"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any(m.get("stage") == "train_aed_done" for m in metrics)
+
+    out = str(tmp_path / "aed_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run2"),
+         "--aed", "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--mode", "phone", "--nn-hidden", "32", "--nn-layers", "1",
+         "--aed-beam", "2", "--aed-max-tokens", "16", "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 3
+
+
+def test_train_aed_bpe_then_decode_cli(tmp_path, monkeypatch):
+    """Lexicon-free AED: train_nn --objective aed --bpe-merges ->
+    decode --aed --bpe (open-vocabulary word mode)."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "32", "--layers", "1", "--steps", "6",
+         "--objective", "aed", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    bpe_file = tmp_path / "run" / "bpe.json"
+    assert bpe_file.exists()
+
+    out = str(tmp_path / "aed_bpe_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run2"),
+         "--aed", "--bpe", str(bpe_file),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--mode", "word", "--nn-hidden", "32", "--nn-layers", "1",
+         "--aed-beam", "2", "--aed-max-tokens", "16", "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 3
