@@ -103,6 +103,16 @@ def main() -> None:
                    help="minimum-Bayes-risk decoding over the word lattice: "
                         "cn = confusion-network consensus, mbr = N-best MBR "
                         "(expected-WER minimization); implies a lattice pass")
+    p.add_argument("--nnlm-rescore", metavar="DIR",
+                   help="second-pass NEURAL-LM rescoring: extract N-best "
+                        "from the word lattice and re-rank with the LSTM LM "
+                        "trained by cli/train_lm.py (DIR is its nnlm/ ckpt; "
+                        "word mode only, implies a lattice pass)")
+    p.add_argument("--nnlm-weight", type=float, default=0.5,
+                   help="log-linear weight of the neural-LM score against "
+                        "the first-pass lattice score")
+    p.add_argument("--nnlm-nbest", type=int, default=16,
+                   help="N-best depth fed to the neural rescorer")
     p.add_argument("--lm-smoothing", default="addalpha", choices=["addalpha", "kn"],
                    help="n-gram estimation: add-alpha or interpolated "
                         "Kneser-Ney (continuation counts)")
@@ -141,7 +151,11 @@ def main() -> None:
 
     # Flag-compatibility guards run BEFORE any model build/compile so a bad
     # invocation fails in milliseconds, not after minutes of jit.
-    needs_lattice = args.trigram_rescore or args.nbest > 0 or args.consensus != "off"
+    needs_lattice = (args.trigram_rescore or args.nbest > 0
+                     or args.consensus != "off" or bool(args.nnlm_rescore))
+    if args.nnlm_rescore and args.consensus != "off":
+        raise SystemExit("--nnlm-rescore re-ranks N-best lists: incompatible "
+                         "with --consensus")
     if (needs_lattice or args.multi_pron) and args.mode != "word":
         raise SystemExit("--multi-pron/--trigram-rescore/--nbest/--consensus "
                          "require --mode word")
@@ -336,6 +350,12 @@ def main() -> None:
 
             write_arpa(args.write_arpa, trigram if trigram is not None else lm)
 
+    nnlm = None
+    if args.nnlm_rescore:
+        from mogasr.lm.neural import load_nnlm
+
+        nnlm = load_nnlm(args.nnlm_rescore)  # (model, params, vocab)
+
     refs, hyps, ids, nbest_lists = [], [], [], []
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
@@ -395,9 +415,24 @@ def main() -> None:
                         mbr_nbest_decode(lat, second, n=max(args.nbest, 16))[0]
                         for lat in lats
                     ]
+                elif nnlm is not None:
+                    from mogasr.lm.neural import rescore_nbest_nnlm
+
+                    depth = max(args.nnlm_nbest, args.nbest)
+                    rescored = rescore_nbest_nnlm(
+                        nnlm[0], nnlm[1], nnlm[2],
+                        [lattice_nbest(lat, second, depth) for lat in lats],
+                        weight=args.nnlm_weight,
+                    )
+                    out = [lst[0][0] if lst else [] for lst in rescored]
+                    if args.nbest > 0:
+                        nbest_lists.extend(
+                            [{"hyp": h, "logp": s} for h, s in lst[: args.nbest]]
+                            for lst in rescored
+                        )
                 else:
                     out = [rescore_lattice(lat, second)[0] for lat in lats]
-                if args.nbest > 0:
+                if args.nbest > 0 and nnlm is None:
                     nbest_lists.extend(
                         [
                             [{"hyp": [w.lower() for w in h], "logp": s}

@@ -752,3 +752,35 @@ def test_train_aed_bpe_then_decode_cli(tmp_path, monkeypatch):
         monkeypatch,
     )
     assert len([json.loads(l) for l in open(out)]) == 3
+
+
+def test_train_lm_then_nnlm_rescore_cli(tmp_path, monkeypatch):
+    """Neural-LM second pass: train_lm (reports held-out PPL vs the KN
+    bigram baseline) -> decode --nnlm-rescore over lattice N-best."""
+    from cli import decode, train_lm
+
+    run_cli(
+        train_lm,
+        ["--synthetic", "12", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "16", "--layers", "1", "--steps", "40"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "train_nnlm_done"]
+    assert done and done[0]["heldout_ppl"] > 0
+
+    out = str(tmp_path / "nnlm_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run2"),
+         "--mode", "word", "--num-components", "1",
+         "--nnlm-rescore", str(tmp_path / "run" / "nnlm"),
+         "--nnlm-nbest", "4", "--nbest", "2", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4 and all("nbest" in r for r in recs)
+    # rescored N-best lists are sorted by combined score
+    for r in recs:
+        lps = [e["logp"] for e in r["nbest"]]
+        assert lps == sorted(lps, reverse=True)
