@@ -10,6 +10,8 @@ untrustworthy — docs/TPU_NOTES.md):
   lstm      frontend -> LSTM posteriors -> prior-scaled Viterbi word-loop
   ctc       frontend -> LSTM encoder -> device argmax (+ host collapse)
   rnnt      frontend -> LSTM encoder -> fully on-device greedy scan
+  aed       frontend -> Conformer encoder -> on-device beam search (beam 4;
+            fixed token budget, so speed is weight-independent worst case)
 
 NN weights are randomly initialized at production sizes — decode SPEED is
 weight-independent (decisions are not scored here; accuracy rows live in
@@ -143,12 +145,24 @@ def main() -> None:
         enc = rnnt_model.apply(rnnt_params, feats, nf, method=RnntModel.encode)
         return rnnt_decode(enc, nf)
 
+    from mogasr.am.aed import build_aed_model, init_aed_train_state, make_aed_decoder
+
+    aed_model = build_aed_model(lex.n_phones, tcfg)
+    aed_params = init_aed_train_state(
+        aed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(3)).params
+    aed_decode = make_aed_decoder(aed_model, aed_params, beam=4, max_tokens=48)
+
+    def run_aed(w, ns, fe):
+        feats, nf = fe(w, ns)
+        return aed_decode(feats, nf)
+
     families = [
         ("gmm", run_gmm, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
         ("ctc", run_ctc, "collapse"),
         ("rnnt", run_rnnt, None),
+        ("aed", run_aed, None),
     ]
 
     rows = []
