@@ -39,6 +39,38 @@ def add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile", action="store_true", help="emit jax profiler trace")
 
 
+def add_augment_args(p: argparse.ArgumentParser) -> None:
+    """Training-time waveform augmentation (mogasr.data.augment)."""
+    p.add_argument("--speed-perturb", action="store_true",
+                   help="Kaldi-style 3-way speed perturbation (0.9/1.0/1.1): "
+                        "triples the training corpus")
+    p.add_argument("--aug-snr", metavar="LO,HI",
+                   help="additive white noise at a per-utterance SNR drawn "
+                        "uniformly from [LO, HI] dB")
+    p.add_argument("--aug-gain", metavar="LO,HI",
+                   help="random volume perturbation, gain drawn uniformly "
+                        "from [LO, HI] dB")
+
+
+def apply_augmentation(corpus, args):
+    """Expand/perturb the corpus per the add_augment_args flags."""
+    if not (getattr(args, "speed_perturb", False) or args.aug_snr or args.aug_gain):
+        return corpus
+    from mogasr.data.augment import augment_corpus
+
+    def _range(s):
+        lo, hi = (float(x) for x in s.split(","))
+        return (lo, hi)
+
+    return augment_corpus(
+        corpus,
+        speed_factors=(0.9, 1.0, 1.1) if args.speed_perturb else (1.0,),
+        snr_db_range=_range(args.aug_snr) if args.aug_snr else None,
+        gain_db_range=_range(args.aug_gain) if args.aug_gain else None,
+        seed=getattr(args, "synthetic_seed", 0),
+    )
+
+
 def load_corpus(args) -> Tuple[List[Tuple[str, np.ndarray, List[str]]], Lexicon]:
     """Returns ([(utt_id, wave, words)], lexicon)."""
     if getattr(args, "synthetic_v2", 0) > 0:

@@ -13,7 +13,10 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from cli.common import add_corpus_args, add_run_args, load_corpus, make_logger
+from cli.common import (
+    add_augment_args, add_corpus_args, add_run_args, apply_augmentation,
+    load_corpus, make_logger,
+)
 from mogasr.config import BatchConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig
 from mogasr.hmm.topology import build_topology
 from mogasr.pipeline import featurize, train_gmm
@@ -25,6 +28,7 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_corpus_args(p)
     add_run_args(p)
+    add_augment_args(p)
     p.add_argument("--num-components", type=int, default=8)
     p.add_argument("--num-iters", type=int, default=10)
     p.add_argument("--mode", default="viterbi", choices=["viterbi", "baum-welch"],
@@ -48,6 +52,7 @@ def main() -> None:
     args = p.parse_args()
 
     corpus, lex = load_corpus(args)
+    corpus = apply_augmentation(corpus, args)
     fcfg = FrontendConfig()
     topo = build_topology(lex, TopologyConfig())
     gcfg = GmmConfig(

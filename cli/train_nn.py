@@ -19,7 +19,10 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-from cli.common import add_corpus_args, add_run_args, load_corpus, make_logger
+from cli.common import (
+    add_augment_args, add_corpus_args, add_run_args, apply_augmentation,
+    load_corpus, make_logger,
+)
 from mogasr.config import (
     BatchConfig, FrontendConfig, GmmConfig, TopologyConfig, TrainConfig,
 )
@@ -33,6 +36,7 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_corpus_args(p)
     add_run_args(p)
+    add_augment_args(p)
     p.add_argument("--arch", default="mlp", choices=["mlp", "lstm", "blstm", "tdnn"])
     p.add_argument("--hidden", type=int, default=512)
     p.add_argument("--layers", type=int, default=3)
@@ -67,6 +71,7 @@ def main() -> None:
     from mogasr.am.train_nn import init_train_state, make_train_step
 
     corpus, lex = load_corpus(args)
+    corpus = apply_augmentation(corpus, args)
     fcfg = FrontendConfig()
     topo = build_topology(lex, TopologyConfig())
     logger = make_logger(args)

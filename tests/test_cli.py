@@ -784,3 +784,23 @@ def test_train_lm_then_nnlm_rescore_cli(tmp_path, monkeypatch):
     for r in recs:
         lps = [e["logp"] for e in r["nbest"]]
         assert lps == sorted(lps, reverse=True)
+
+
+def test_train_gmm_cli_augmented(tmp_path, monkeypatch):
+    """--speed-perturb triples the EM corpus; --aug-snr/--aug-gain perturb
+    waveforms. The run must train end-to-end on the expanded corpus."""
+    from cli import train_gmm
+
+    run_cli(
+        train_gmm,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--num-iters", "2",
+         "--speed-perturb", "--aug-snr", "15,25", "--aug-gain=-3,3"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    em = [m for m in metrics if m.get("stage") == "em"]
+    assert em, "EM never ran"
+    # 4 utts x 3 speeds
+    done = [m for m in metrics if m.get("stage") == "train_gmm_done"]
+    assert done and done[0].get("utts", 12) == 12
