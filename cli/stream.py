@@ -49,6 +49,12 @@ def main() -> None:
     p.add_argument("--insertion-penalty", type=float, default=2.0)
     p.add_argument("--chunk-ms", type=float, default=250.0)
     p.add_argument("--cmvn-window", type=int, default=600)
+    p.add_argument("--endpoint", action="store_true",
+                   help="causal endpointing (frontend/endpoint.py): stop "
+                        "decoding and finalize when a rule fires (trailing "
+                        "silence / no speech / max length)")
+    p.add_argument("--endpoint-trailing-sil", type=float, default=0.5,
+                   help="rule-1 trailing-silence seconds")
     p.add_argument("--ctc", action="store_true",
                    help="neural online CTC instead of the GMM: a streaming "
                         "LSTM (train_nn --objective ctc --arch lstm ckpt via "
@@ -84,6 +90,9 @@ def main() -> None:
 
         utt = make_corpus(1, words_per_utt=(4, 6), seed=7)[0]
         wave = utt.wave
+        if args.endpoint:  # give rule 1 trailing silence to detect
+            pad = np.zeros(int(2.0 * fcfg.sample_rate), np.float32)
+            wave = np.concatenate([wave, pad])
     elif args.audio:
         from mogasr.data.audio import read_audio
 
@@ -267,6 +276,12 @@ def main() -> None:
 
     if not args.ctc:
         carries = None
+    ep = None
+    if args.endpoint:
+        from mogasr.frontend.endpoint import EndpointConfig, StreamingEndpointer
+
+        ep = StreamingEndpointer(fcfg, EndpointConfig(
+            rule1_trailing_sil_s=args.endpoint_trailing_sil))
     with Timer() as t:
         for i in range(0, len(wave), chunk):
             consumed = min(i + chunk, len(wave))
@@ -274,21 +289,32 @@ def main() -> None:
             if feats.size:
                 dec.process(score_feats(feats), np.asarray([feats.shape[0]]))
             path, entered, _score = dec.partial()
-            print(json.dumps({
+            event = {
                 "t_audio_s": round(consumed / fcfg.sample_rate, 2),
                 "partial": words_of(path, entered),
-            }), flush=True)
+            }
+            if ep is not None and ep.feed(wave[i : i + chunk]):
+                event["endpoint"] = ep.rule
+                print(json.dumps(event), flush=True)
+                break
+            print(json.dumps(event), flush=True)
         feats = sf.finalize()
         if feats.size:
             dec.process(score_feats(feats), np.asarray([feats.shape[0]]))
         path, entered, score = dec.finalize()
-    audio_s = len(wave) / fcfg.sample_rate
+    audio_s = consumed / fcfg.sample_rate  # decoded audio (endpoint may stop early)
     final = words_of(path, entered)
-    print(json.dumps({"final": final, "rtf": round(t.seconds / audio_s, 4)}))
+    rec = {"final": final, "rtf": round(t.seconds / max(audio_s, 1e-9), 4)}
+    if ep is not None and ep.endpointed:
+        rec["endpoint"] = ep.rule
+        rec["endpoint_t_s"] = round(
+            ep.endpoint_frame * fcfg.frame_shift_ms / 1000.0, 2)
+    print(json.dumps(rec))
     logger.log({
         "stage": "stream", "audio_s": round(audio_s, 2),
         "wall_sec": t.seconds, "rtf": t.seconds / max(audio_s, 1e-9),
         "final_words": final,
+        **({"endpoint": ep.rule} if ep is not None and ep.endpointed else {}),
     })
 
 

@@ -804,3 +804,22 @@ def test_train_gmm_cli_augmented(tmp_path, monkeypatch):
     # 4 utts x 3 speeds
     done = [m for m in metrics if m.get("stage") == "train_gmm_done"]
     assert done and done[0].get("utts", 12) == 12
+
+
+def test_stream_cli_endpoint(tmp_path, monkeypatch, capsys):
+    """--endpoint stops the streaming decode at the rule-1 trailing-silence
+    endpoint instead of consuming the padded tail."""
+    from cli import stream
+
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--endpoint"],
+        monkeypatch,
+    )
+    events = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+              if l.startswith("{")]
+    finals = [e for e in events if "final" in e]
+    assert finals and finals[0].get("endpoint") == "rule1_trailing_silence"
+    # the endpoint fires inside the 2 s silence pad, before the audio ends
+    assert finals[0]["endpoint_t_s"] < 4.0
