@@ -59,48 +59,113 @@ def subsampled_frames(n_frames: jax.Array, n_convs: int = 2) -> jax.Array:
     return n
 
 
+def _same_lohi(n: int, k: int = 3, s: int = 2) -> Tuple[int, int]:
+    """TF-'SAME' (lo, hi) padding for kernel k stride s over n elements."""
+    out = -(-n // s)
+    pt = max((out - 1) * s + k - n, 0)
+    return (pt // 2, pt - pt // 2)
+
+
 class ConvSubsample(nn.Module):
     """Two stride-2 2-D convs over (time, freq) -> 4x frame-rate reduction,
-    then a Dense projection to d_model (the standard Conformer front)."""
+    then a Dense projection to d_model (the standard Conformer front).
+
+    causal=True left-pads time (no lookahead) so the module can run
+    chunk-incrementally via ``step`` with EXACT offline equivalence; both
+    modes produce ceil-div-2 frame counts per conv (subsampled_frames)."""
 
     d_model: int
     channels: int = 32
+    causal: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.conv1 = nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                             padding="VALID")
+        self.conv2 = nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                             padding="VALID")
+        self.proj = nn.Dense(self.d_model)
+
+    def _pad(self, x: jax.Array, time_pad: Tuple[int, int]) -> jax.Array:
+        # x: [B, T, F, C]; freq is always SAME
+        return jnp.pad(
+            x, ((0, 0), time_pad, _same_lohi(x.shape[2]), (0, 0))
+        )
+
     def __call__(self, feats: jax.Array) -> jax.Array:  # [B, T, D]
         x = feats[..., None]  # [B, T, D, 1]
-        for _ in range(2):
-            x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.relu(x)
+        for conv in (self.conv1, self.conv2):
+            tp = (2, 0) if self.causal else _same_lohi(x.shape[1])
+            x = nn.relu(conv(self._pad(x, tp)))
         B, T4, D4, C = x.shape
-        return nn.Dense(self.d_model)(x.reshape(B, T4, D4 * C))
+        return self.proj(x.reshape(B, T4, D4 * C))
+
+    def step(
+        self, feats: jax.Array, raw_cache: jax.Array, c1_cache: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Causal chunk step: VALID time-conv over [cache || chunk] exactly
+        reproduces the left-padded offline conv. feats [B, F, D] with F a
+        multiple of 4 (>= 4); caches: raw [B, 2, D], c1 [B, 2, ceil(D/2), C].
+        Returns (subsampled [B, F/4, d_model], new_raw, new_c1)."""
+        x = jnp.concatenate([raw_cache, feats], axis=1)[..., None]
+        c1 = nn.relu(self.conv1(self._pad(x, (0, 0))))
+        x2 = jnp.concatenate([c1_cache, c1], axis=1)
+        c2 = nn.relu(self.conv2(self._pad(x2, (0, 0))))
+        B, T4, D4, C = c2.shape
+        return (
+            self.proj(c2.reshape(B, T4, D4 * C)),
+            feats[:, -2:],
+            c1[:, -2:],
+        )
 
 
 class RelSelfAttention(nn.Module):
     """Multi-head self-attention with a learned clipped relative-position
     bias (T5-style): bias[h, clip(q - k, -max_rel, max_rel)] added to the
-    attention logits. Static shapes, one gather per call."""
+    attention logits. Static shapes, one gather per call.
 
+    Queries and keys/values may differ (streaming: queries are the new
+    chunk, keys/values include cached left context); qpos/kpos carry the
+    positions so relative offsets match the offline computation exactly."""
+
+    d_model: int
     heads: int
     max_rel: int = 64
 
-    @nn.compact
-    def __call__(self, x: jax.Array, key_mask: jax.Array) -> jax.Array:
-        B, T, D = x.shape
-        H, hd = self.heads, D // self.heads
-        q = nn.Dense(D, use_bias=False)(x).reshape(B, T, H, hd)
-        k = nn.Dense(D, use_bias=False)(x).reshape(B, T, H, hd)
-        v = nn.Dense(D, use_bias=False)(x).reshape(B, T, H, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-        table = self.param(
-            "rel_bias", nn.initializers.zeros, (H, 2 * self.max_rel + 1)
+    def setup(self):
+        D = self.d_model
+        self.q_proj = nn.Dense(D, use_bias=False)
+        self.k_proj = nn.Dense(D, use_bias=False)
+        self.v_proj = nn.Dense(D, use_bias=False)
+        self.o_proj = nn.Dense(D)
+        self.rel_bias = self.param(
+            "rel_bias", nn.initializers.zeros, (self.heads, 2 * self.max_rel + 1)
         )
-        rel = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
+
+    def __call__(
+        self,
+        xq: jax.Array,           # [B, Q, D]
+        xkv: jax.Array,          # [B, K, D]
+        key_mask: jax.Array,     # [B, K]
+        qpos: jax.Array,         # [Q]
+        kpos: jax.Array,         # [K]
+        attn_mask: Optional[jax.Array] = None,  # [Q, K]
+    ) -> jax.Array:
+        B, Q, D = xq.shape
+        Kn = xkv.shape[1]
+        H, hd = self.heads, D // self.heads
+        q = self.q_proj(xq).reshape(B, Q, H, hd)
+        k = self.k_proj(xkv).reshape(B, Kn, H, hd)
+        v = self.v_proj(xkv).reshape(B, Kn, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        rel = qpos[:, None] - kpos[None, :]
         idx = jnp.clip(rel, -self.max_rel, self.max_rel) + self.max_rel
-        logits = logits + table[:, idx][None]  # [1, H, T, T]
-        logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+        logits = logits + self.rel_bias[:, idx][None]  # [1, H, Q, K]
+        mask = key_mask[:, None, None, :]
+        if attn_mask is not None:
+            mask = mask & attn_mask[None, None]
+        logits = jnp.where(mask, logits, NEG_INF)
         out = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits), v)
-        return nn.Dense(D)(out.reshape(B, T, D))
+        return self.o_proj(out.reshape(B, Q, D))
 
 
 class CrossAttention(nn.Module):
@@ -138,54 +203,150 @@ class ConformerBlock(nn.Module):
     The conv module's BatchNorm is replaced by LayerNorm (no running
     statistics to thread through a functional train step; at these widths
     the difference is not measurable). Padded frames are zeroed before the
-    depthwise conv so the kernel window never reads padding."""
+    depthwise conv so the kernel window never reads padding.
 
+    causal=True left-pads the depthwise conv (no lookahead) — required for
+    the chunk-streaming ``step`` path, which caches the last left_chunks
+    of post-FFN1 frames (attention context) and conv_kernel-1 pre-conv
+    frames per block and is EXACTLY equal to the offline chunk-masked
+    forward (tested)."""
+
+    d_model: int
     heads: int = 4
     conv_kernel: int = 15
     max_rel: int = 64
+    causal: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, frame_mask: jax.Array) -> jax.Array:
-        x = x + 0.5 * _Ffn()(nn.LayerNorm()(x))
-        x = x + RelSelfAttention(self.heads, self.max_rel)(
-            nn.LayerNorm()(x), frame_mask
+    def setup(self):
+        D = self.d_model
+        self.ln_ffn1 = nn.LayerNorm()
+        self.ffn1 = _Ffn()
+        self.ln_attn = nn.LayerNorm()
+        self.attn = RelSelfAttention(D, self.heads, self.max_rel)
+        self.ln_conv = nn.LayerNorm()
+        self.conv_in = nn.Dense(2 * D)
+        self.dconv = nn.Conv(
+            D, (self.conv_kernel,), padding="VALID", feature_group_count=D
         )
-        # conv module
-        D = x.shape[-1]
-        y = nn.LayerNorm()(x)
-        y = nn.Dense(2 * D)(y)
-        y = nn.glu(y, axis=-1)
-        y = jnp.where(frame_mask[..., None], y, 0.0)
-        y = nn.Conv(
-            D, (self.conv_kernel,), padding="SAME", feature_group_count=D
-        )(y)
-        y = nn.swish(nn.LayerNorm()(y))
-        x = x + nn.Dense(D)(y)
-        x = x + 0.5 * _Ffn()(nn.LayerNorm()(x))
-        return nn.LayerNorm()(x)
+        self.ln_dconv = nn.LayerNorm()
+        self.conv_out = nn.Dense(D)
+        self.ln_ffn2 = nn.LayerNorm()
+        self.ffn2 = _Ffn()
+        self.ln_out = nn.LayerNorm()
+
+    def _conv_module(self, x: jax.Array, frame_mask: Optional[jax.Array]) -> jax.Array:
+        y = nn.glu(self.conv_in(self.ln_conv(x)), axis=-1)
+        if frame_mask is not None:
+            y = jnp.where(frame_mask[..., None], y, 0.0)
+        k = self.conv_kernel
+        tp = (k - 1, 0) if self.causal else ((k - 1) // 2, (k - 1) - (k - 1) // 2)
+        y = self.dconv(jnp.pad(y, ((0, 0), tp, (0, 0))))
+        return self.conv_out(nn.swish(self.ln_dconv(y)))
+
+    def __call__(
+        self,
+        x: jax.Array,
+        frame_mask: jax.Array,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        T = x.shape[1]
+        pos = jnp.arange(T)
+        x = x + 0.5 * self.ffn1(self.ln_ffn1(x))
+        h = self.ln_attn(x)
+        x = x + self.attn(h, h, frame_mask, pos, pos, attn_mask)
+        x = x + self._conv_module(x, frame_mask)
+        x = x + 0.5 * self.ffn2(self.ln_ffn2(x))
+        return self.ln_out(x)
+
+    def step(
+        self,
+        x_new: jax.Array,     # [B, C, D] new (all-valid) frames
+        x1_ctx: jax.Array,    # [B, Lc, D] cached post-FFN1 context
+        ctx_valid: jax.Array, # [B, Lc]
+        y_ctx: jax.Array,     # [B, conv_kernel-1, D] cached pre-conv frames
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        B, C, D = x_new.shape
+        Lc = x1_ctx.shape[1]
+        x1 = x_new + 0.5 * self.ffn1(self.ln_ffn1(x_new))
+        cat = jnp.concatenate([x1_ctx, x1], axis=1)
+        h = self.ln_attn(cat)
+        kmask = jnp.concatenate(
+            [ctx_valid, jnp.ones((B, C), bool)], axis=1
+        )
+        x2 = x1 + self.attn(
+            h[:, Lc:], h, kmask, jnp.arange(C) + Lc, jnp.arange(Lc + C)
+        )
+        y = nn.glu(self.conv_in(self.ln_conv(x2)), axis=-1)
+        ycat = jnp.concatenate([y_ctx, y], axis=1)
+        x3 = x2 + self.conv_out(nn.swish(self.ln_dconv(self.dconv(ycat))))
+        x4 = x3 + 0.5 * self.ffn2(self.ln_ffn2(x3))
+        new_x1_ctx = cat[:, -Lc:] if Lc > 0 else x1_ctx
+        return self.ln_out(x4), new_x1_ctx, ycat[:, -(self.conv_kernel - 1):]
 
 
 class ConformerEncoder(nn.Module):
-    """Subsample 4x, then a stack of Conformer blocks."""
+    """Subsample 4x, then a stack of Conformer blocks.
+
+    chunk_frames > 0 makes the encoder STREAMING-CAPABLE: attention is
+    masked to the query's chunk plus left_chunks of left context (in
+    subsampled frames), and all convolutions become causal. The offline
+    forward with that mask and the chunk-incremental ``stream_step`` are
+    exactly equal, so one checkpoint serves both modes."""
 
     d_model: int = 144
     blocks: int = 4
     heads: int = 4
     conv_kernel: int = 15
+    chunk_frames: int = 0   # subsampled frames per chunk; 0 = offline/global
+    left_chunks: int = 1
 
-    @nn.compact
+    def setup(self):
+        causal = self.chunk_frames > 0
+        self.sub = ConvSubsample(self.d_model, causal=causal)
+        self.blks = [
+            ConformerBlock(self.d_model, self.heads, self.conv_kernel,
+                           causal=causal)
+            for _ in range(self.blocks)
+        ]
+
     def __call__(
         self, feats: jax.Array, n_frames: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
         mask_in = jnp.arange(feats.shape[1])[None, :] < n_frames[:, None]
         x = jnp.where(mask_in[..., None], feats, 0.0)
-        x = ConvSubsample(self.d_model)(x)
+        x = self.sub(x)
         n_out = subsampled_frames(n_frames)
         mask = jnp.arange(x.shape[1])[None, :] < n_out[:, None]
         x = jnp.where(mask[..., None], x, 0.0)
-        for _ in range(self.blocks):
-            x = ConformerBlock(self.heads, self.conv_kernel)(x, mask)
+        attn_mask = None
+        if self.chunk_frames > 0:
+            c = jnp.arange(x.shape[1]) // self.chunk_frames
+            attn_mask = (c[None, :] <= c[:, None]) & (
+                c[None, :] >= c[:, None] - self.left_chunks
+            )
+        for blk in self.blks:
+            x = blk(x, mask, attn_mask)
         return x, n_out
+
+    def stream_step(self, feats_chunk: jax.Array, state: dict):
+        """One chunk of 4*chunk_frames (all-valid) feature frames ->
+        (enc [B, chunk_frames, D], new state). See aed_stream_init."""
+        x, raw, c1 = self.sub.step(feats_chunk, state["raw"], state["c1"])
+        B, C, _ = x.shape
+        x1_list, y_list = [], []
+        for i, blk in enumerate(self.blks):
+            x, x1c, yc = blk.step(x, state["x1"][i], state["valid"], state["y"][i])
+            x1_list.append(x1c)
+            y_list.append(yc)
+        Lc = state["valid"].shape[1]
+        if Lc > 0:
+            valid = jnp.concatenate(
+                [state["valid"], jnp.ones((B, C), bool)], axis=1
+            )[:, -Lc:]
+        else:
+            valid = state["valid"]
+        return x, {"raw": raw, "c1": c1, "valid": valid,
+                   "x1": x1_list, "y": y_list}
 
 
 def _sin_positions(U: int, D: int) -> np.ndarray:
@@ -232,6 +393,8 @@ class AedModel(nn.Module):
     dec_blocks: int = 2
     heads: int = 4
     conv_kernel: int = 15
+    chunk_frames: int = 0   # > 0: streaming-capable chunked encoder
+    left_chunks: int = 1
 
     @property
     def sos(self) -> int:
@@ -247,7 +410,8 @@ class AedModel(nn.Module):
 
     def setup(self):
         self.encoder = ConformerEncoder(
-            self.d_model, self.enc_blocks, self.heads, self.conv_kernel
+            self.d_model, self.enc_blocks, self.heads, self.conv_kernel,
+            self.chunk_frames, self.left_chunks,
         )
         self.embed = nn.Embed(self.vocab, self.d_model)
         self.dec = [DecoderBlock(self.heads) for _ in range(self.dec_blocks)]
@@ -261,6 +425,13 @@ class AedModel(nn.Module):
     def encode_with_ctc(self, feats, n_frames):
         enc, n_out = self.encoder(feats, n_frames)
         return enc, n_out, self.ctc_head(enc)
+
+    def encode_stream_step(self, feats_chunk, state):
+        """Streaming chunk (chunk_frames > 0): -> (enc chunk, CTC logits
+        chunk, new state). Exactly equal to the offline chunk-masked
+        encode (tested)."""
+        enc, state = self.encoder.stream_step(feats_chunk, state)
+        return enc, self.ctc_head(enc), state
 
     def decode_logits(self, enc, n_out, tokens_in):
         """Causal decoder pass: tokens_in [B, U] -> logits [B, U, vocab]."""
@@ -283,10 +454,13 @@ def build_aed_model(
     tcfg: TrainConfig,
     dec_blocks: Optional[int] = None,
     heads: int = 4,
+    chunk_frames: int = 0,
+    left_chunks: int = 1,
 ) -> AedModel:
     """Single source of truth for the TrainConfig -> AedModel derivation
     (shared by pipeline.train_aed and the decode CLI, like
-    rnnt.build_rnnt_model — a drift would break checkpoint restores)."""
+    rnnt.build_rnnt_model — a drift would break checkpoint restores).
+    chunk_frames > 0 builds the streaming-capable chunked variant."""
     d = max(heads * (tcfg.nn_hidden // heads), heads)
     return AedModel(
         n_units=n_units,
@@ -294,7 +468,53 @@ def build_aed_model(
         enc_blocks=tcfg.nn_layers,
         dec_blocks=dec_blocks if dec_blocks is not None else max(tcfg.nn_layers // 2, 1),
         heads=heads,
+        chunk_frames=chunk_frames,
+        left_chunks=left_chunks,
     )
+
+
+def aed_stream_init(model: AedModel, batch: int, n_feats: int) -> dict:
+    """Zero streaming state for ``AedModel.encode_stream_step``.
+
+    The offline causal path left-pads every conv with zeros, so zero
+    caches make the first chunk bit-equal to the offline prefix; `valid`
+    starts all-False so early chunks see only the context that exists.
+    Layout (B = batch, D = d_model, Lc = left_chunks * chunk_frames):
+      raw  [B, 2, n_feats]          last 2 raw feature frames (conv1 input)
+      c1   [B, 2, ceil(n_feats/2), 32]  last 2 post-conv1 frames
+      valid [B, Lc]                 which attention-context frames exist
+      x1   blocks x [B, Lc, D]      cached post-FFN1 frames (attention K/V)
+      y    blocks x [B, k-1, D]     cached pre-depthwise-conv frames
+    """
+    if model.chunk_frames <= 0:
+        raise ValueError("streaming state requires chunk_frames > 0")
+    B, D = batch, model.d_model
+    Lc = model.left_chunks * model.chunk_frames
+    f1 = -(-n_feats // 2)
+    return {
+        "raw": jnp.zeros((B, 2, n_feats), jnp.float32),
+        "c1": jnp.zeros((B, 2, f1, 32), jnp.float32),
+        "valid": jnp.zeros((B, Lc), bool),
+        "x1": [jnp.zeros((B, Lc, D), jnp.float32)
+               for _ in range(model.enc_blocks)],
+        "y": [jnp.zeros((B, model.conv_kernel - 1, D), jnp.float32)
+              for _ in range(model.enc_blocks)],
+    }
+
+
+def make_aed_stream_step(model: AedModel, params):
+    """Jitted chunk step: (feats_chunk [B, 4*chunk_frames, F], state) ->
+    (enc [B, chunk_frames, D], ctc_logits [B, chunk_frames, n_units+1],
+    new state). Exactly equal to the offline chunk-masked encoder on the
+    same prefix (tested in tests/test_aed_stream.py)."""
+
+    @jax.jit
+    def step(feats_chunk, state):
+        return model.apply(
+            params, feats_chunk, state, method=AedModel.encode_stream_step
+        )
+
+    return step
 
 
 # --------------------------------------------------------------------------
