@@ -70,6 +70,19 @@ def main() -> None:
     p.add_argument("--rnnt-plain", action="store_true",
                    help="checkpoint was trained WITHOUT the auxiliary CTC head "
                         "(train_rnnt aux_ctc=False)")
+    p.add_argument("--aed", action="store_true",
+                   help="streaming AED: chunked Conformer encoder trained "
+                        "with train_nn --objective aed --aed-chunk C; CTC-head "
+                        "greedy partials per chunk, exact attention-beam "
+                        "finalization (offline == streamed, tested)")
+    p.add_argument("--aed-chunk", type=int, default=8,
+                   help="subsampled frames per chunk (must match training)")
+    p.add_argument("--aed-left-chunks", type=int, default=1,
+                   help="left-context chunks (must match training)")
+    p.add_argument("--aed-beam", type=int, default=4,
+                   help="final attention beam width")
+    p.add_argument("--aed-ctc-weight", type=float, default=0.3,
+                   help="joint CTC weight in the final rescoring")
     p.add_argument("--max-symbols", type=int, default=0,
                    help="with --rnnt: hypothesis-buffer cap (0 = scale with "
                         "the audio length; the buffer silently stops "
@@ -109,6 +122,100 @@ def main() -> None:
         word_insertion_penalty=args.insertion_penalty,
     )
     logger = make_logger(args)
+
+    if args.aed and (args.ctc or args.rnnt):
+        raise SystemExit("--aed is its own streaming family: drop --ctc/--rnnt")
+
+    if args.aed:
+        import jax
+
+        from mogasr.am import aed as A
+        from mogasr.am.ctc import CtcStreamDecoder
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--aed requires --nn-ckpt (train_nn --objective "
+                             "aed --aed-chunk C)")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            n_units = bpe.n_units
+        else:
+            bpe = None
+            n_units = lex.n_phones
+        tcfg = TrainConfig(nn_hidden=args.nn_hidden, nn_layers=args.nn_layers)
+        model = A.build_aed_model(
+            n_units, tcfg, chunk_frames=args.aed_chunk,
+            left_chunks=args.aed_left_chunks,
+        )
+        template = {
+            "params": A.init_aed_train_state(
+                model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+            ).params,
+        }
+        params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        step = A.make_aed_stream_step(model, params)
+        state = A.aed_stream_init(model, batch=1, n_feats=fcfg.feat_dim)
+        ctc_dec = CtcStreamDecoder(blank_id=n_units, mode="greedy")
+        raw_per = 4 * args.aed_chunk
+        sf = StreamingFrontend(fcfg)
+        chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
+        buf = np.zeros((0, fcfg.feat_dim), np.float32)
+        all_feats: list = []
+
+        def consume(feats):
+            """Buffer feature frames; stream every complete encoder chunk
+            through the chunked Conformer + CTC-greedy partial decoder."""
+            nonlocal buf, state
+            all_feats.append(feats)
+            buf = np.concatenate([buf, feats], axis=0)
+            while buf.shape[0] >= raw_per:
+                _enc, ctc_logits, state = step(
+                    jnp.asarray(buf[None, :raw_per]), state
+                )
+                ctc_dec.step(np.asarray(
+                    jax.nn.log_softmax(ctc_logits[0], axis=-1)
+                ))
+                buf = buf[raw_per:]
+
+        def to_text(units):
+            return bpe.decode(units) if bpe else [lex.phones[u] for u in units]
+
+        with Timer() as t:
+            for i in range(0, len(wave), chunk):
+                consumed = min(i + chunk, len(wave))
+                feats = sf.process(wave[i : i + chunk])
+                if feats.size:
+                    consume(feats)
+                print(json.dumps({
+                    "t_audio_s": round(consumed / fcfg.sample_rate, 2),
+                    "partial": to_text(ctc_dec.partial()),
+                }), flush=True)
+            feats = sf.finalize()
+            if feats.size:
+                consume(feats)
+            # attention finalization: exact offline beam decode of the full
+            # utterance — identical checkpoint, and the chunk-masked offline
+            # encoder equals the streamed prefix (tests/test_aed_stream.py),
+            # so this is a refinement of the partials, not a different model
+            fa = np.concatenate(all_feats, axis=0) if all_feats else buf
+            seqs = A.aed_decode_batch(
+                model, params, jnp.asarray(fa[None]),
+                jnp.asarray([fa.shape[0]], np.int32),
+                beam=args.aed_beam, max_tokens=max(8, 2 + fa.shape[0] // 4),
+                ctc_weight=args.aed_ctc_weight,
+            )
+        audio_s = len(wave) / fcfg.sample_rate
+        final = to_text(seqs[0])
+        print(json.dumps({"final": final, "rtf": round(t.seconds / audio_s, 4)}))
+        logger.log({
+            "stage": "stream_aed", "audio_s": round(audio_s, 2),
+            "wall_sec": t.seconds, "rtf": t.seconds / max(audio_s, 1e-9),
+            "final_units": final,
+        })
+        return
 
     if args.rnnt:
         import jax

@@ -52,6 +52,13 @@ def main() -> None:
                         "aed: attention encoder-decoder (Conformer + "
                         "Transformer decoder, joint CTC/attention loss; "
                         "--hidden/--layers size the Conformer, --arch ignored)")
+    p.add_argument("--aed-chunk", type=int, default=0, metavar="C",
+                   help="with --objective aed: train the STREAMING-capable "
+                        "chunked encoder (causal convs, attention masked to "
+                        "C subsampled frames per chunk; decode offline or "
+                        "stream with cli/stream.py --aed)")
+    p.add_argument("--aed-left-chunks", type=int, default=1,
+                   help="left-context chunks visible to attention")
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
                    help="with --objective ctc/aed: train on BPE SUBWORD units "
                         "(N merges learned from the transcripts) instead of "
@@ -95,14 +102,22 @@ def main() -> None:
                 bpe = train_bpe(transcripts, n_merges=args.bpe_merges)
                 save_bpe(bpe, os.path.join(os.path.abspath(args.run_dir), "bpe.json"))
                 if args.objective == "aed":
-                    model, params = train_aed_bpe(batches, bpe, tcfg, logger=logger)
+                    model, params = train_aed_bpe(
+                        batches, bpe, tcfg, logger=logger,
+                        chunk_frames=args.aed_chunk,
+                        left_chunks=args.aed_left_chunks,
+                    )
                 else:
                     model, params = train_ctc_bpe(
                         batches, bpe, tcfg, arch=args.arch,
                         spec_augment=args.spec_augment, logger=logger,
                     )
             elif args.objective == "aed":
-                model, params = train_aed(batches, lex, tcfg, logger=logger)
+                model, params = train_aed(
+                    batches, lex, tcfg, logger=logger,
+                    chunk_frames=args.aed_chunk,
+                    left_chunks=args.aed_left_chunks,
+                )
             elif args.objective == "ctc":
                 model, params = train_ctc(
                     batches, lex, tcfg, arch=args.arch,

@@ -795,13 +795,20 @@ def train_aed_units(
     ctc_weight: float = 0.3,
     smoothing: float = 0.1,
     steps: Optional[int] = None,
+    chunk_frames: int = 0,
+    left_chunks: int = 1,
     logger=None,
 ):
-    """Generic AED over any unit inventory (phones, BPE)."""
+    """Generic AED over any unit inventory (phones, BPE).
+
+    chunk_frames > 0 trains the streaming-capable chunked encoder
+    (causal convs + chunk-masked attention; see mogasr.am.aed)."""
     from mogasr.am import aed as A
     from mogasr.am import ctc as C
 
-    model = A.build_aed_model(n_units, tcfg)
+    model = A.build_aed_model(
+        n_units, tcfg, chunk_frames=chunk_frames, left_chunks=left_chunks
+    )
     seqs_all = [
         [encode_fn(fb.words[b]) for b in range(fb.size)]
         for fb in batches

@@ -342,6 +342,38 @@ def test_stream_cli_ctc(tmp_path, monkeypatch, capsys):
     assert isinstance(finals[0]["final"], list)
 
 
+def test_stream_cli_aed(tmp_path, monkeypatch, capsys):
+    """Streaming AED: train a chunked (streaming-capable) Conformer with
+    train_nn --aed-chunk, then stream it — CTC-greedy partial events per
+    chunk plus an exact attention-beam final hypothesis."""
+    from cli import stream, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "32", "--layers", "1", "--steps", "6",
+         "--objective", "aed", "--aed-chunk", "4"],
+        monkeypatch,
+    )
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--aed",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--nn-hidden", "32", "--nn-layers", "1", "--aed-chunk", "4",
+         "--aed-beam", "2"],
+        monkeypatch,
+    )
+    events = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    partials = [e for e in events if "partial" in e]
+    finals = [e for e in events if "final" in e]
+    assert len(partials) >= 3 and len(finals) == 1
+    assert isinstance(finals[0]["final"], list)
+
+
 def test_transcribe_cli_ctc(tmp_path, monkeypatch):
     """Long-audio transcription (VAD -> segments) with a CTC acoustic model:
     word confidences/timestamps via FB over the skip-transition CTC graph."""
