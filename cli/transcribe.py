@@ -44,7 +44,19 @@ def main() -> None:
                    help="use a CTC acoustic model (train_nn --objective ctc "
                         "ckpt via --nn-ckpt) through the CTC-topology word "
                         "graph instead of the GMM")
-    p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
+    p.add_argument("--aed", action="store_true",
+                   help="use an attention encoder-decoder (train_nn "
+                        "--objective aed ckpt via --nn-ckpt): beam-search "
+                        "decode per VAD segment; outputs phones (or words "
+                        "with --bpe) with segment timestamps — no per-word "
+                        "times/confidences (no frame alignment)")
+    p.add_argument("--bpe", metavar="FILE",
+                   help="with --aed: BPE inventory (bpe.json) -> word output")
+    p.add_argument("--aed-beam", type=int, default=4)
+    p.add_argument("--aed-ctc-weight", type=float, default=0.3)
+    p.add_argument("--aed-max-tokens", type=int, default=64)
+    p.add_argument("--nn-ckpt", help="CTC/AED checkpoint dir (with "
+                        "--ctc/--aed)")
     p.add_argument("--nn-arch", default="mlp",
                    choices=["mlp", "lstm", "blstm", "tdnn"])
     p.add_argument("--nn-hidden", type=int, default=512)
@@ -83,7 +95,40 @@ def main() -> None:
         acoustic_scale=args.acoustic_scale,
         word_insertion_penalty=args.insertion_penalty,
     )
-    if args.ctc:
+    if args.aed and args.ctc:
+        raise SystemExit("--aed and --ctc are different acoustic models")
+    if args.aed and (args.nbest or args.ctm):
+        raise SystemExit("--aed has no word lattice/alignment: "
+                         "incompatible with --nbest/--ctm")
+    if args.aed:
+        import jax
+
+        from mogasr.am.aed import (
+            aed_decode_batch, build_aed_model, init_aed_train_state,
+        )
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--aed requires --nn-ckpt")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            n_units = bpe.n_units
+        else:
+            bpe = None
+            n_units = lex.n_phones
+        tcfg = TrainConfig(nn_hidden=args.nn_hidden, nn_layers=args.nn_layers)
+        aed_model = build_aed_model(n_units, tcfg)
+        template = {
+            "params": init_aed_train_state(
+                aed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+            ).params,
+        }
+        aed_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        gmm = None
+    elif args.ctc:
         import jax
 
         from mogasr.am.ctc import make_ctc_scorer
@@ -119,7 +164,9 @@ def main() -> None:
         ]
         results = []
         if corpus:
-            if args.ctc:
+            if args.aed:
+                graph = None
+            elif args.ctc:
                 from mogasr.am.ctc import ctc_decode_graph
 
                 graph = ctc_decode_graph(lex, dcfg)
@@ -142,6 +189,22 @@ def main() -> None:
                 nbest_lm = uniform_bigram(sorted(set(graph.labels)))
             shift_s = fcfg.frame_shift_ms / 1000.0
             for fb in featurize(corpus, fcfg, bcfg):
+                if args.aed:
+                    seqs = aed_decode_batch(
+                        aed_model, aed_params, fb.feats, fb.n_frames,
+                        beam=args.aed_beam, max_tokens=args.aed_max_tokens,
+                        ctc_weight=args.aed_ctc_weight,
+                    )
+                    for b in range(fb.size):
+                        idx = int(fb.utt_ids[b].split("-")[1])
+                        a, e = segments[idx]
+                        results.append({
+                            "start_s": round(a / fcfg.sample_rate, 2),
+                            "end_s": round(e / fcfg.sample_rate, 2),
+                            "words": (bpe.decode(seqs[b]) if bpe
+                                      else [lex.phones[u] for u in seqs[b]]),
+                        })
+                    continue
                 scores = ctc_scorer(fb) if args.ctc else score_batch(fb.feats, gmm)
                 out = decode_batch_with_confidence(
                     fb, scores, graph, dcfg, with_times=True

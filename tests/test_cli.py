@@ -404,6 +404,44 @@ def test_transcribe_cli_ctc(tmp_path, monkeypatch):
             assert 0.0 <= c <= 1.0
 
 
+def test_transcribe_cli_aed(tmp_path, monkeypatch):
+    """Long-audio transcription with the AED family: VAD segments ->
+    per-segment attention beam decode, segment timestamps (no word times)."""
+    from cli import train_nn, transcribe
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "32", "--layers", "1", "--steps", "6",
+         "--objective", "aed"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "t.jsonl")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--aed",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--nn-hidden", "32", "--nn-layers", "1",
+         "--aed-beam", "2", "--aed-max-tokens", "16", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert recs
+    for r in recs:
+        assert r["end_s"] > r["start_s"]
+        assert isinstance(r["words"], list)
+    # --ctm needs word alignments the AED doesn't produce
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        run_cli(
+            transcribe,
+            ["--synthetic-demo", "--run-dir", str(tmp_path / "run3"), "--aed",
+             "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+             "--ctm", str(tmp_path / "x.ctm")],
+            monkeypatch,
+        )
+
+
 def test_eval_cli_consensus(tmp_path, monkeypatch):
     from cli import eval as eval_cli
 
