@@ -38,6 +38,9 @@ def main() -> None:
     p.add_argument("--speakers", type=int, default=12)
     p.add_argument("--target-pdfs", type=int, default=400)
     p.add_argument("--components", type=int, default=8)
+    p.add_argument("--e2e", action="store_true",
+                   help="also train + score the AED end-to-end family")
+    p.add_argument("--e2e-steps", type=int, default=800)
     args = p.parse_args()
 
     import jax
@@ -169,6 +172,30 @@ def main() -> None:
             )
         report("heldout_wer_gmm_consensus", corpus_wer(refs, hyps_cn)[0])
 
+        # (e2) neural-LM N-best rescoring over the same bigram lattices —
+        # the unbounded-context continuation of the LM ladder
+        from mogasr.decoder.lattice import lattice_nbest
+        from mogasr.lm import neural as NL
+
+        vocab_nl = NL.vocab_from_transcripts(train_text)
+        nnlm_model, nnlm_params = NL.train_nnlm(
+            train_text, vocab_nl,
+            TrainConfig(nn_hidden=64, nn_layers=1, lr=5e-3, num_nn_steps=400),
+        )
+        results["nnlm_heldout_ppl"] = round(NL.nnlm_perplexity(
+            nnlm_model, nnlm_params, vocab_nl,
+            [[w.lower() for w in r] for r in refs]), 2)
+        hyps_nl = []
+        for fb in eb:
+            scores = pipe.score_batch(fb.feats, gmm)
+            lats, _ = pipe.decode_batch_lattices(fb, scores, graph, lm, dcfg)
+            rescored = NL.rescore_nbest_nnlm(
+                nnlm_model, nnlm_params, vocab_nl,
+                [lattice_nbest(lat, lm, 16) for lat in lats], weight=0.5,
+            )
+            hyps_nl.extend([lst[0][0] if lst else [] for lst in rescored])
+        report("heldout_wer_gmm_nnlm_rescore", corpus_wer(refs, hyps_nl)[0])
+
         # (f) MMI refinement of the ML mono GMM
         from mogasr.am.mmi import train_mmi
 
@@ -243,6 +270,31 @@ def main() -> None:
             jnp.asarray(state_priors(all_labels, topo.n_pdfs)))
         m_nn = pipe.evaluate(eb, None, lex, topo_t, dcfg, scorer=scorer)
         report("heldout_wer_mlp_unigram", m_nn["wer"])
+
+    if args.e2e:
+        # (m) attention encoder-decoder trained on v2 phone targets —
+        # the end-to-end family's accuracy row (decode: on-device beam 4
+        # with joint-CTC rescoring; PER-oriented phone output scored as
+        # word-free phone WER against the expanded references)
+        from mogasr.am.aed import aed_decode_batch, build_aed_model
+        from mogasr.pipeline import train_aed
+
+        tcfg_aed = TrainConfig(nn_hidden=192, nn_layers=2, lr=2e-3,
+                               num_nn_steps=args.e2e_steps)
+        aed_model, aed_params = train_aed(tb, lex, tcfg_aed)
+        phone_refs, phone_hyps = [], []
+        for fb in eb:
+            seqs = aed_decode_batch(
+                aed_model, aed_params, fb.feats, fb.n_frames,
+                beam=4, max_tokens=48, ctc_weight=0.3,
+            )
+            for b in range(fb.size):
+                phone_refs.append([
+                    lex.phones[p] for p in lex.words_to_phone_ids(
+                        fb.words[b], interword_sil=False, edge_sil=False)
+                ])
+                phone_hyps.append([lex.phones[u] for u in seqs[b]])
+        report("heldout_per_aed", corpus_wer(phone_refs, phone_hyps)[0])
 
     results["wall_s"] = round(time.time() - t_start, 1)
     out_path = os.path.join(
