@@ -14,6 +14,7 @@ north_star: "feature-extraction and scoring entry points"):
     mogasr.viterbi / mogasr.forward_backward
     mogasr.ctc_loss / mogasr.rnnt_loss / mogasr.train_bpe
     mogasr.aed_decode_batch (attention encoder-decoder beam search)
+    mogasr.aed_stream_init / mogasr.make_aed_stream_step (streaming AED)
     mogasr.pipeline.{featurize, train_gmm, train_ctc, train_rnnt,
                      train_aed, evaluate, ...}
 """
@@ -69,6 +70,14 @@ def __getattr__(name):  # lazy: keep `import mogasr` light, no jax at import
         from mogasr.am.aed import aed_decode_batch
 
         return aed_decode_batch
+    if name == "aed_stream_init":
+        from mogasr.am.aed import aed_stream_init
+
+        return aed_stream_init
+    if name == "make_aed_stream_step":
+        from mogasr.am.aed import make_aed_stream_step
+
+        return make_aed_stream_step
     if name == "train_bpe":
         from mogasr.data.bpe import train_bpe
 

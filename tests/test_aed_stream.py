@@ -88,6 +88,50 @@ def test_chunked_offline_is_causal_in_chunks():
     )
 
 
+def test_chunked_aed_learns_unit_task():
+    """The chunk-masked encoder must still LEARN (causality + limited
+    context costs capacity, not trainability), and the streamed CTC head
+    must emit the learned units — the streaming partials pipeline."""
+    from mogasr.config import TrainConfig
+    from tests.test_aed import _unit_task
+
+    feats, n_frames, labels, n_labels, seqs = _unit_task()
+    m = aed.AedModel(
+        n_units=3, d_model=32, enc_blocks=1, dec_blocks=1, heads=2,
+        conv_kernel=7, chunk_frames=2, left_chunks=2,
+    )
+    cfg = TrainConfig(lr=2e-3, num_nn_steps=400)
+    state = aed.init_aed_train_state(
+        m, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step = aed.make_aed_train_step(m, cfg)
+    first = None
+    for _ in range(cfg.num_nn_steps):
+        state, met = step(state, feats, n_frames, labels, n_labels)
+        if first is None:
+            first = float(met["loss"])
+    assert float(met["loss"]) < first * 0.5, (first, float(met["loss"]))
+    hyps = aed.aed_decode_batch(
+        m, state.params, feats, n_frames, beam=2, max_tokens=8
+    )
+    assert hyps == seqs, (hyps, seqs)
+    # streamed CTC-greedy partials on an all-valid utterance recover the
+    # sequence too (collapse repeats/blanks), using only chunk dispatches
+    b = 0
+    T = int(n_frames[b])
+    sstep = aed.make_aed_stream_step(m, state.params)
+    st = aed.aed_stream_init(m, batch=1, n_feats=feats.shape[-1])
+    raw_per = 4 * m.chunk_frames
+    toks, prev = [], -1
+    for c in range(T // raw_per):
+        _e, logits, st = sstep(feats[b : b + 1, c * raw_per : (c + 1) * raw_per], st)
+        for f in np.argmax(np.asarray(logits[0]), axis=-1):
+            if f != prev and f != 3:  # 3 = blank (n_units)
+                toks.append(int(f))
+            prev = int(f)
+    assert toks == seqs[b], (toks, seqs[b])
+
+
 def test_stream_init_requires_chunked():
     model = aed.AedModel(n_units=3, d_model=32, enc_blocks=1, dec_blocks=1,
                          heads=2)
