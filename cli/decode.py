@@ -63,6 +63,14 @@ def main() -> None:
                         "encoder CTC head at this weight (0 = attention only)")
     p.add_argument("--aed-max-tokens", type=int, default=64,
                    help="token budget of the jitted AED beam search")
+    p.add_argument("--aed-chunk", type=int, default=0,
+                   help="the checkpoint was trained with train_nn "
+                        "--aed-chunk C (streaming-capable chunked encoder): "
+                        "decode with the SAME chunk mask — a chunk-trained "
+                        "checkpoint decoded globally is a silent "
+                        "train/test mismatch")
+    p.add_argument("--aed-left-chunks", type=int, default=1,
+                   help="left-context chunks (must match training)")
     p.add_argument("--bpe", metavar="FILE",
                    help="with --ctc/--aed: the checkpoint was trained on BPE "
                         "subword units (train_nn --bpe-merges; FILE is its "
@@ -218,7 +226,10 @@ def main() -> None:
             else:
                 bpe = None
                 n_aed_units = lex.n_phones
-            model = build_aed_model(n_aed_units, tcfg)
+            model = build_aed_model(
+                n_aed_units, tcfg, chunk_frames=args.aed_chunk,
+                left_chunks=args.aed_left_chunks,
+            )
             template = {
                 "params": init_aed_train_state(
                     model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)

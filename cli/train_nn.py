@@ -106,6 +106,7 @@ def main() -> None:
                         batches, bpe, tcfg, logger=logger,
                         chunk_frames=args.aed_chunk,
                         left_chunks=args.aed_left_chunks,
+                        spec_augment=args.spec_augment,
                     )
                 else:
                     model, params = train_ctc_bpe(
@@ -117,6 +118,7 @@ def main() -> None:
                     batches, lex, tcfg, logger=logger,
                     chunk_frames=args.aed_chunk,
                     left_chunks=args.aed_left_chunks,
+                    spec_augment=args.spec_augment,
                 )
             elif args.objective == "ctc":
                 model, params = train_ctc(

@@ -55,6 +55,10 @@ def main() -> None:
     p.add_argument("--aed-beam", type=int, default=4)
     p.add_argument("--aed-ctc-weight", type=float, default=0.3)
     p.add_argument("--aed-max-tokens", type=int, default=64)
+    p.add_argument("--aed-chunk", type=int, default=0,
+                   help="checkpoint trained with train_nn --aed-chunk C: "
+                        "decode with the matching chunk mask")
+    p.add_argument("--aed-left-chunks", type=int, default=1)
     p.add_argument("--nn-ckpt", help="CTC/AED checkpoint dir (with "
                         "--ctc/--aed)")
     p.add_argument("--nn-arch", default="mlp",
@@ -120,7 +124,10 @@ def main() -> None:
             bpe = None
             n_units = lex.n_phones
         tcfg = TrainConfig(nn_hidden=args.nn_hidden, nn_layers=args.nn_layers)
-        aed_model = build_aed_model(n_units, tcfg)
+        aed_model = build_aed_model(
+            n_units, tcfg, chunk_frames=args.aed_chunk,
+            left_chunks=args.aed_left_chunks,
+        )
         template = {
             "params": init_aed_train_state(
                 aed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)

@@ -606,18 +606,27 @@ def make_aed_train_step(
     cfg: TrainConfig,
     ctc_weight: float = 0.3,
     smoothing: float = 0.1,
+    spec_augment: bool = False,
 ):
     from mogasr.am.train_nn import make_optimizer
 
     opt = make_optimizer(cfg)
+    if spec_augment:
+        from mogasr.am.neural import spec_augment as _sa
 
     @jax.jit
     def train_step(
         state: AedTrainState, feats, n_frames, labels, n_labels
     ) -> Tuple[AedTrainState, Dict[str, jax.Array]]:
+        if spec_augment:
+            key = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+            feats_in = _sa(feats, n_frames, key)
+        else:
+            feats_in = feats
+
         def loss_fn(p):
             return aed_objective(
-                model, p, feats, n_frames, labels, n_labels,
+                model, p, feats_in, n_frames, labels, n_labels,
                 ctc_weight=ctc_weight, smoothing=smoothing,
             )
 

@@ -797,6 +797,7 @@ def train_aed_units(
     steps: Optional[int] = None,
     chunk_frames: int = 0,
     left_chunks: int = 1,
+    spec_augment: bool = False,
     logger=None,
 ):
     """Generic AED over any unit inventory (phones, BPE).
@@ -824,7 +825,8 @@ def train_aed_units(
         model, tcfg, batches[0].feats.shape[-1], l_max, jax.random.key(tcfg.seed)
     )
     step_fn = A.make_aed_train_step(
-        model, tcfg, ctc_weight=ctc_weight, smoothing=smoothing
+        model, tcfg, ctc_weight=ctc_weight, smoothing=smoothing,
+        spec_augment=spec_augment,
     )
     total = steps if steps is not None else tcfg.num_nn_steps
     i, m = 0, {"loss": jnp.asarray(0.0)}

@@ -166,6 +166,30 @@ def test_beam1_equals_stepwise_greedy():
         np.testing.assert_array_equal(toks[b, :n], buf[b, :n])
 
 
+def test_aed_train_step_spec_augment():
+    """SpecAugment in the AED step: runs, finite loss, updates params, and
+    masking actually changes the loss vs the clean step."""
+    feats, n_frames, labels, n_labels, _ = _unit_task()
+    m = _tiny_model()
+    cfg = TrainConfig(lr=1e-3, num_nn_steps=10)
+    state = aed.init_aed_train_state(
+        m, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step_sa = aed.make_aed_train_step(m, cfg, spec_augment=True)
+    step_plain = aed.make_aed_train_step(m, cfg, spec_augment=False)
+    _, met_sa = step_sa(state, feats, n_frames, labels, n_labels)
+    _, met_plain = step_plain(state, feats, n_frames, labels, n_labels)
+    assert np.isfinite(float(met_sa["loss"]))
+    assert float(met_sa["loss"]) != float(met_plain["loss"])
+    # params move once past LR warmup (warmup LR is 0 at step 0)
+    new_state = state
+    for _ in range(3):
+        new_state, _m = step_sa(new_state, feats, n_frames, labels, n_labels)
+    leaves0 = jax.tree.leaves(state.params)
+    leaves1 = jax.tree.leaves(new_state.params)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
 def test_aed_learns_unit_task():
     feats, n_frames, labels, n_labels, seqs = _unit_task()
     m = _tiny_model()

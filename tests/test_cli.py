@@ -796,6 +796,31 @@ def test_train_aed_then_decode_cli(tmp_path, monkeypatch):
     assert len([json.loads(l) for l in open(out)]) == 3
 
 
+def test_train_aed_chunked_then_decode_cli(tmp_path, monkeypatch):
+    """Chunk-trained AED checkpoint decoded with the MATCHING chunk mask
+    (decode --aed-chunk): restore + beam decode round-trip."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "32", "--layers", "1", "--steps", "6",
+         "--objective", "aed", "--aed-chunk", "4", "--spec-augment"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "aed_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run2"),
+         "--aed", "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--mode", "phone", "--nn-hidden", "32", "--nn-layers", "1",
+         "--aed-chunk", "4", "--aed-beam", "2", "--aed-max-tokens", "16",
+         "--out", out],
+        monkeypatch,
+    )
+    assert len([json.loads(l) for l in open(out)]) == 3
+
+
 def test_train_aed_bpe_then_decode_cli(tmp_path, monkeypatch):
     """Lexicon-free AED: train_nn --objective aed --bpe-merges ->
     decode --aed --bpe (open-vocabulary word mode)."""
