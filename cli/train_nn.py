@@ -59,6 +59,11 @@ def main() -> None:
                         "stream with cli/stream.py --aed)")
     p.add_argument("--aed-left-chunks", type=int, default=1,
                    help="left-context chunks visible to attention")
+    p.add_argument("--mwer-steps", type=int, default=0, metavar="N",
+                   help="with --objective aed: N steps of on-policy MWER "
+                        "(minimum word error rate) fine-tuning after the "
+                        "CE/CTC phase — beam N-best against the current "
+                        "params, expected edit-distance risk minimized")
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
                    help="with --objective ctc/aed: train on BPE SUBWORD units "
                         "(N merges learned from the transcripts) instead of "
@@ -131,6 +136,24 @@ def main() -> None:
                 model, params = train_rnnt(
                     batches, lex, tcfg, encoder_arch=args.arch, logger=logger,
                 )
+        if args.objective == "aed" and args.mwer_steps > 0:
+            from mogasr.am.ctc import ctc_labels_from_words
+            from mogasr.pipeline import finetune_aed_mwer
+
+            if args.bpe_merges > 0:
+                encode_fn = bpe.encode
+            else:
+                encode_fn = lambda words: ctc_labels_from_words(  # noqa: E731
+                    lex, words, include_sil=False)
+            params, mwer_hist = finetune_aed_mwer(
+                model, params, batches, encode_fn, tcfg,
+                steps=args.mwer_steps, logger=logger,
+            )
+            logger.log({
+                "stage": "mwer_done", "steps": args.mwer_steps,
+                "expected_risk_first": mwer_hist[0],
+                "expected_risk_last": mwer_hist[-1],
+            })
         logger.log({"stage": f"train_{args.objective}_done", "steps": args.steps,
                     "wall_sec": t.seconds})
         ckpt = os.path.join(

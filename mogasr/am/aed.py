@@ -652,6 +652,7 @@ def make_aed_decoder(
     max_tokens: int = 48,
     ctc_weight: float = 0.0,
     length_penalty: float = 0.0,
+    return_all: bool = False,
 ):
     """Jitted batched beam search: (feats, n_frames) -> (tokens [B, U_max],
     n_tokens [B], scores [B]).
@@ -668,10 +669,13 @@ def make_aed_decoder(
     sos, eos, V = model.sos, model.eos, model.vocab
 
     @jax.jit
-    def decode(feats, n_frames):
+    def decode(feats, n_frames, p=params):
+        # p defaults to the bound checkpoint; pass updated params explicitly
+        # to reuse the compiled decoder during fine-tuning (MWER) without
+        # rebuilding/retracing.
         B = feats.shape[0]
         enc, n_out, ctc_logits = model.apply(
-            params, feats, n_frames, method=AedModel.encode_with_ctc
+            p, feats, n_frames, method=AedModel.encode_with_ctc
         )
         enc_k = jnp.repeat(enc, K, axis=0)          # [B*K, T', D]
         n_out_k = jnp.repeat(n_out, K, axis=0)      # [B*K]
@@ -688,7 +692,7 @@ def make_aed_decoder(
                 [jnp.full((B, K, 1), sos, jnp.int32), toks[:, :, :-1]], axis=2
             ).reshape(B * K, U)
             logits = model.apply(
-                params, enc_k, n_out_k, dec_in, method=AedModel.decode_logits
+                p, enc_k, n_out_k, dec_in, method=AedModel.decode_logits
             )
             logp = jax.nn.log_softmax(
                 logits[jnp.arange(B * K), u].reshape(B, K, V), axis=-1
@@ -724,6 +728,14 @@ def make_aed_decoder(
             final = (1.0 - ctc_weight) * scores + ctc_weight * ctc_lp
         if length_penalty > 0.0:
             final = final / (n_toks.astype(jnp.float32) + 1.0) ** length_penalty
+        if return_all:
+            # all K final beams, best-first (N-best for rescoring / MWER)
+            order = jnp.argsort(-final, axis=1)
+            return (
+                jnp.take_along_axis(toks, order[..., None], axis=1),
+                jnp.take_along_axis(n_toks, order, axis=1),
+                jnp.take_along_axis(final, order, axis=1),
+            )
         best = jnp.argmax(final, axis=1)
         pick = lambda a: jnp.take_along_axis(
             a, best[:, None] if a.ndim == 2 else best[:, None, None], axis=1
@@ -755,3 +767,113 @@ def aed_decode_batch(
     )
     toks, n_toks, _ = jax.tree.map(np.asarray, dec(feats, n_frames))
     return [list(map(int, toks[b, : n_toks[b]])) for b in range(len(toks))]
+
+
+# --------------------------------------------------------------------------
+# MWER fine-tuning (minimum word/unit error rate; Prabhavalkar et al. 2018)
+# --------------------------------------------------------------------------
+
+
+def aed_seq_logprob(
+    model: AedModel, params, enc, n_out, hyps, n_hyp_tokens
+):
+    """Teacher-forced total log-probability of unit sequences, INCLUDING the
+    eos emission (so shorter hypotheses aren't spuriously favored).
+    enc [R, T', D] / n_out [R] pair row-wise with hyps [R, U] (-1-padded),
+    n_hyp_tokens [R]. Returns [R]."""
+    dec_in, tgt, mask = make_teacher_batch(
+        hyps, n_hyp_tokens, model.sos, model.eos
+    )
+    logits = model.apply(
+        params, enc, n_out, dec_in, method=AedModel.decode_logits
+    )
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(mask, tok_lp, 0.0), axis=-1)
+
+
+def aed_mwer_objective(
+    model: AedModel,
+    params,
+    feats,
+    n_frames,
+    hyps,          # [B, N, U] int32 unit ids, -1-padded
+    n_hyp_tokens,  # [B, N]
+    hyp_mask,      # [B, N] bool — False: empty/duplicate N-best slot
+    risks,         # [B, N] float — per-hypothesis error count (edit distance)
+    labels,        # [B, L] reference targets (-1-padded), CE anchor
+    n_labels,      # [B]
+    ce_weight: float = 0.1,
+):
+    """Expected-risk over the model's own N-best, renormalized over the list
+    (the standard MWER surrogate): L = sum_n p_hat(n) * (r_n - r_bar) with
+    p_hat = softmax of sequence log-probs over the list and r_bar the mean
+    risk of the valid slots (constant baseline — variance reduction only).
+    A small CE anchor on the references keeps the distribution from
+    collapsing away from the teacher-forced optimum during fine-tuning.
+    Padded batch rows (n_frames == 0 or no valid hypothesis) are excluded."""
+    B, N, U = hyps.shape
+    enc, n_out = model.apply(params, feats, n_frames, method=AedModel.encode)
+    enc_r = jnp.repeat(enc, N, axis=0)
+    n_out_r = jnp.repeat(n_out, N, axis=0)
+    seq_lp = aed_seq_logprob(
+        model, params, enc_r, n_out_r,
+        hyps.reshape(B * N, U), n_hyp_tokens.reshape(B * N),
+    ).reshape(B, N)
+    seq_lp = jnp.where(hyp_mask, seq_lp, NEG_INF)
+    phat = jax.nn.softmax(seq_lp, axis=1)
+    n_valid = jnp.maximum(jnp.sum(hyp_mask, axis=1), 1)
+    rbar = jnp.sum(jnp.where(hyp_mask, risks, 0.0), axis=1) / n_valid
+    row_risk = jnp.sum(phat * jnp.where(hyp_mask, risks, 0.0), axis=1)
+    row_loss = row_risk - rbar
+    row_ok = (n_frames > 0) & jnp.any(hyp_mask, axis=1)
+    denom = jnp.maximum(jnp.sum(row_ok), 1)
+    mwer = jnp.sum(jnp.where(row_ok, row_loss, 0.0)) / denom
+    exp_risk = jnp.sum(jnp.where(row_ok, row_risk, 0.0)) / denom
+    metrics = {"mwer": mwer, "expected_risk": exp_risk}
+    loss = mwer
+    if ce_weight > 0.0:
+        dec_in, tgt, mask = make_teacher_batch(
+            labels, n_labels, model.sos, model.eos
+        )
+        logits = model.apply(
+            params, enc, n_out, dec_in, method=AedModel.decode_logits
+        )
+        ce = smoothed_ce(logits, tgt, mask, smoothing=0.0)
+        ce_obj, _ = masked_mean_objective(ce, n_frames, n_labels + 1)
+        loss = loss + ce_weight * ce_obj
+        metrics["ce"] = ce_obj
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_aed_mwer_step(
+    model: AedModel, cfg: TrainConfig, ce_weight: float = 0.1
+):
+    """Jitted MWER fine-tuning step:
+    (state, feats, n_frames, hyps, n_hyp_tokens, hyp_mask, risks,
+     labels, n_labels) -> (state, metrics).
+    N-best generation and risk computation happen OUTSIDE (host beam decode
+    with return_all=True against the CURRENT params, edit distances vs the
+    reference) — see pipeline.finetune_aed_mwer."""
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def step(state, feats, n_frames, hyps, n_hyp_tokens, hyp_mask, risks,
+             labels, n_labels):
+        def loss_fn(p):
+            return aed_mwer_objective(
+                model, p, feats, n_frames, hyps, n_hyp_tokens, hyp_mask,
+                risks, labels, n_labels, ce_weight=ce_weight,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return AedTrainState(params, opt_state, state.step + 1), metrics
+
+    return step

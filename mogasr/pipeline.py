@@ -841,6 +841,89 @@ def train_aed_units(
     return model, state.params
 
 
+def finetune_aed_mwer(
+    model,
+    params,
+    batches: Sequence[FeatBatch],
+    encode_fn,
+    tcfg: TrainConfig,
+    n_hyps: int = 4,
+    ce_weight: float = 0.1,
+    steps: Optional[int] = None,
+    logger=None,
+):
+    """On-policy MWER fine-tuning of a CE/CTC-trained AED
+    (mogasr.am.aed.make_aed_mwer_step): each step beam-decodes the batch
+    N-best with the CURRENT params (the compiled decoder is reused — params
+    are a traced argument), computes per-hypothesis edit-distance risks vs
+    the references on the host, and minimizes the expected risk over the
+    renormalized list. Returns (params, history) where history is the
+    expected risk per step — the criterion that should fall."""
+    from mogasr.am import aed as A
+    from mogasr.am.train_nn import make_optimizer
+    from mogasr.eval.wer import edit_counts
+
+    seqs_all = [
+        [encode_fn(fb.words[b]) for b in range(fb.size)] for fb in batches
+    ]
+    l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)
+    u_max = l_max + 2
+    from mogasr.am import ctc as C
+
+    labeled = []
+    for fb, seqs in zip(batches, seqs_all):
+        rows = int(fb.feats.shape[0])
+        seqs_p = seqs + [[] for _ in range(rows - fb.size)]
+        labels, n_labels = C.pack_label_batch(seqs_p, pad_to=l_max)
+        labeled.append((fb, seqs, jnp.asarray(labels), jnp.asarray(n_labels)))
+
+    dec = A.make_aed_decoder(
+        model, params, beam=n_hyps, max_tokens=u_max, return_all=True
+    )
+    opt = make_optimizer(tcfg)
+    state = A.AedTrainState(
+        params, opt.init(params), jnp.zeros((), jnp.int32)
+    )
+    step_fn = A.make_aed_mwer_step(model, tcfg, ce_weight=ce_weight)
+    total = steps if steps is not None else tcfg.num_nn_steps
+    history: List[float] = []
+    i = 0
+    while i < total:
+        for fb, seqs, labels, n_labels in labeled:
+            toks, n_toks, _sc = dec(fb.feats, fb.n_frames, state.params)
+            toks = np.asarray(toks)
+            n_toks = np.asarray(n_toks)
+            rows, N = toks.shape[0], toks.shape[1]
+            hyps = np.full((rows, N, u_max), -1, np.int32)
+            n_h = np.zeros((rows, N), np.int32)
+            h_mask = np.zeros((rows, N), bool)
+            risks = np.zeros((rows, N), np.float32)
+            for b in range(fb.size):
+                seen = set()
+                for n in range(N):
+                    h = tuple(int(t) for t in toks[b, n, : n_toks[b, n]])
+                    if h in seen:  # duplicate beam slot: don't double-count
+                        continue
+                    seen.add(h)
+                    hyps[b, n, : len(h)] = h
+                    n_h[b, n] = len(h)
+                    h_mask[b, n] = True
+                    risks[b, n] = edit_counts(seqs[b], list(h)).errors
+            state, m = step_fn(
+                state, fb.feats, fb.n_frames, jnp.asarray(hyps),
+                jnp.asarray(n_h), jnp.asarray(h_mask), jnp.asarray(risks),
+                labels, n_labels,
+            )
+            history.append(float(m["expected_risk"]))
+            i += 1
+            if logger is not None and i % 10 == 0:
+                logger.log({"stage": "mwer", "step": i,
+                            "expected_risk": history[-1]})
+            if i >= total:
+                break
+    return state.params, history
+
+
 def evaluate(
     batches: Sequence[FeatBatch],
     gmm: Optional[GmmSet],

@@ -213,3 +213,104 @@ def test_aed_learns_unit_task():
         m, state.params, feats, n_frames, beam=2, max_tokens=8, ctc_weight=0.3
     )
     assert hyps_joint == seqs, (hyps_joint, seqs)
+
+
+def test_aed_seq_logprob_matches_manual():
+    """aed_seq_logprob == sum of token log-softmaxes along the teacher path
+    (incl. the eos emission), computed manually from decode_logits."""
+    feats, n_frames, labels, n_labels, _ = _unit_task(B=2)
+    m = _tiny_model()
+    cfg = TrainConfig(lr=1e-3, num_nn_steps=1)
+    state = aed.init_aed_train_state(
+        m, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    enc, n_out = m.apply(state.params, feats, n_frames, method=aed.AedModel.encode)
+    got = np.asarray(aed.aed_seq_logprob(
+        m, state.params, enc, n_out, labels, n_labels
+    ))
+    dec_in, tgt, mask = aed.make_teacher_batch(labels, n_labels, m.sos, m.eos)
+    logits = m.apply(state.params, enc, n_out, dec_in,
+                     method=aed.AedModel.decode_logits)
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    want = np.zeros(2)
+    for b in range(2):
+        for u in range(tgt.shape[1]):
+            if bool(mask[b, u]):
+                want[b] += lp[b, u, int(tgt[b, u])]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_mwer_shifts_mass_to_low_risk_hyp():
+    """With a 2-slot N-best (reference risk 0, corrupted risk > 0) and no CE
+    anchor, MWER steps must increase the model's preference for the
+    low-risk hypothesis."""
+    feats, n_frames, labels, n_labels, seqs = _unit_task(B=4)
+    m = _tiny_model()
+    cfg = TrainConfig(lr=2e-3, num_nn_steps=50)
+    state = aed.init_aed_train_state(
+        m, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    B, L = labels.shape
+    U = L
+    hyps = np.full((B, 2, U), -1, np.int32)
+    n_h = np.zeros((B, 2), np.int32)
+    risks = np.zeros((B, 2), np.float32)
+    for b, s in enumerate(seqs):
+        hyps[b, 0, : len(s)] = s
+        n_h[b, 0] = len(s)
+        bad = list(s)
+        bad[0] = (bad[0] + 1) % 3  # one substitution
+        hyps[b, 1, : len(bad)] = bad
+        n_h[b, 1] = len(bad)
+        risks[b, 1] = 1.0
+    h_mask = np.ones((B, 2), bool)
+    args = (jnp.asarray(hyps), jnp.asarray(n_h), jnp.asarray(h_mask),
+            jnp.asarray(risks))
+
+    def pref(params):
+        enc, n_out = m.apply(params, feats, n_frames, method=aed.AedModel.encode)
+        enc2 = jnp.repeat(enc, 2, axis=0)
+        n2 = jnp.repeat(n_out, 2, axis=0)
+        lp = aed.aed_seq_logprob(
+            m, params, enc2, n2,
+            jnp.asarray(hyps.reshape(B * 2, U)),
+            jnp.asarray(n_h.reshape(B * 2)),
+        ).reshape(B, 2)
+        return float(jnp.mean(lp[:, 0] - lp[:, 1]))
+
+    before = pref(state.params)
+    step = aed.make_aed_mwer_step(m, cfg, ce_weight=0.0)
+    for _ in range(cfg.num_nn_steps):
+        state, met = step(state, feats, n_frames, *args, labels, n_labels)
+    after = pref(state.params)
+    assert after > before, (before, after)
+    assert np.isfinite(float(met["loss"]))
+
+
+def test_finetune_aed_mwer_reduces_expected_risk():
+    """End-to-end on-policy MWER: CE-pretrain briefly (imperfect model),
+    then pipeline.finetune_aed_mwer — the expected risk criterion falls."""
+    from mogasr import pipeline as pipe
+
+    feats, n_frames, labels, n_labels, seqs = _unit_task(B=4)
+    m = _tiny_model()
+    cfg = TrainConfig(lr=2e-3, num_nn_steps=80)
+    state = aed.init_aed_train_state(
+        m, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    step = aed.make_aed_train_step(m, cfg)
+    for _ in range(cfg.num_nn_steps):
+        state, _met = step(state, feats, n_frames, labels, n_labels)
+
+    class _Fb:
+        pass
+
+    fb = _Fb()
+    fb.feats, fb.n_frames, fb.size = feats, n_frames, len(seqs)
+    fb.words = {b: seqs[b] for b in range(len(seqs))}
+    params, hist = pipe.finetune_aed_mwer(
+        m, state.params, [fb], lambda s: list(s),
+        TrainConfig(lr=1e-3, num_nn_steps=30), n_hyps=3, ce_weight=0.05,
+    )
+    assert len(hist) == 30
+    assert np.mean(hist[-5:]) <= np.mean(hist[:5]) + 1e-6, hist

@@ -805,9 +805,12 @@ def test_train_aed_chunked_then_decode_cli(tmp_path, monkeypatch):
         train_nn,
         ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
          "--hidden", "32", "--layers", "1", "--steps", "6",
-         "--objective", "aed", "--aed-chunk", "4", "--spec-augment"],
+         "--objective", "aed", "--aed-chunk", "4", "--spec-augment",
+         "--mwer-steps", "3"],
         monkeypatch,
     )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert any(m.get("stage") == "mwer_done" for m in metrics)
     out = str(tmp_path / "aed_hyp.jsonl")
     run_cli(
         decode,
