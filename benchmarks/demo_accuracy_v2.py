@@ -296,6 +296,29 @@ def main() -> None:
                 phone_hyps.append([lex.phones[u] for u in seqs[b]])
         report("heldout_per_aed", corpus_wer(phone_refs, phone_hyps)[0])
 
+        # (n) MWER fine-tuning of the same AED — the e2e family's
+        # discriminative row (criterion = expected edit distance over the
+        # model's own N-best; should move the criterion AND the PER)
+        from mogasr.am.ctc import ctc_labels_from_words
+        from mogasr.pipeline import finetune_aed_mwer
+
+        aed_params_mwer, mwer_hist = finetune_aed_mwer(
+            aed_model, aed_params, tb,
+            lambda words: ctc_labels_from_words(lex, words, False),
+            TrainConfig(lr=2e-4, num_nn_steps=max(args.e2e_steps // 4, 40)),
+        )
+        results["aed_mwer_risk_first"] = round(mwer_hist[0], 4)
+        results["aed_mwer_risk_last"] = round(mwer_hist[-1], 4)
+        phone_hyps_m = []
+        for fb in eb:
+            seqs = aed_decode_batch(
+                aed_model, aed_params_mwer, fb.feats, fb.n_frames,
+                beam=4, max_tokens=48, ctc_weight=0.3,
+            )
+            for b in range(fb.size):
+                phone_hyps_m.append([lex.phones[u] for u in seqs[b]])
+        report("heldout_per_aed_mwer", corpus_wer(phone_refs, phone_hyps_m)[0])
+
     results["wall_s"] = round(time.time() - t_start, 1)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results_accuracy_v2.json")
