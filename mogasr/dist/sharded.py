@@ -248,6 +248,47 @@ def make_sharded_aed_train_step(model, cfg: TrainConfig, mesh: Mesh):
     return train_step
 
 
+def make_sharded_aed_mwer_step(model, cfg: TrainConfig, mesh: Mesh,
+                               ce_weight: float = 0.1):
+    """DP-sharded MWER fine-tuning step: batch rows (and their N-best
+    lists/risks) sharded over 'data', params replicated; the expected-risk
+    objective averages over VALID rows globally, so the derived grad psum
+    matches the local step exactly (equality-tested in test_dist.py).
+    N-best generation stays on the host driver (pipeline.finetune_aed_mwer
+    pattern) — only the gradient step is sharded."""
+    import optax
+
+    from mogasr.am.aed import AedTrainState, aed_mwer_objective
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh, dsh, dsh, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def mwer_step(state, feats, n_frames, hyps, n_hyp_tokens, hyp_mask,
+                  risks, labels, n_labels):
+        def loss_fn(params):
+            loss, metrics = aed_mwer_objective(
+                model, params, feats, n_frames, hyps, n_hyp_tokens,
+                hyp_mask, risks, labels, n_labels, ce_weight=ce_weight,
+            )
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return AedTrainState(params, opt_state, state.step + 1), metrics
+
+    return mwer_step
+
+
 def make_sharded_train_step(model, cfg: TrainConfig, mesh: Mesh, spec_augment: bool = False):
     """NN train step with the batch sharded and params/opt-state replicated.
 

@@ -219,6 +219,52 @@ def test_sharded_aed_train_step_matches_local(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_aed_mwer_step_matches_local(mesh, rng):
+    from mogasr.am import aed as A
+    from mogasr.dist.sharded import make_sharded_aed_mwer_step
+
+    cfg = TrainConfig(lr=1e-2, num_nn_steps=10, nn_hidden=16, nn_layers=1)
+    model = A.build_aed_model(3, cfg)
+    state = A.init_aed_train_state(model, cfg, 5, 3, jax.random.key(0))
+    B, N, U = 8, 2, 4
+    feats = rng.standard_normal((B, 16, 5)).astype(np.float32)
+    n_frames = np.full(B, 16, np.int32)
+    labels = rng.integers(0, 3, (B, 3)).astype(np.int32)
+    n_labels = np.full(B, 3, np.int32)
+    hyps = np.full((B, N, U), -1, np.int32)
+    n_h = np.zeros((B, N), np.int32)
+    for b in range(B):
+        for n in range(N):
+            k = 2 + (b + n) % 3
+            hyps[b, n, :k] = rng.integers(0, 3, k)
+            n_h[b, n] = k
+    h_mask = np.ones((B, N), bool)
+    h_mask[3, 1] = False  # one duplicate/empty slot
+    risks = rng.random((B, N)).astype(np.float32)
+
+    local_step = A.make_aed_mwer_step(model, cfg, ce_weight=0.1)
+    s_local, m_local = local_step(
+        state, jnp.asarray(feats), jnp.asarray(n_frames), jnp.asarray(hyps),
+        jnp.asarray(n_h), jnp.asarray(h_mask), jnp.asarray(risks),
+        jnp.asarray(labels), jnp.asarray(n_labels),
+    )
+    dist_step = make_sharded_aed_mwer_step(model, cfg, mesh, ce_weight=0.1)
+    state_r = M.replicate(state, mesh)
+    sharded = M.shard_batch(
+        (feats, n_frames, hyps, n_h, h_mask, risks, labels, n_labels), mesh
+    )
+    s_dist, m_dist = dist_step(state_r, *sharded)
+    np.testing.assert_allclose(
+        float(m_dist["loss"]), float(m_local["loss"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_dist["expected_risk"]), float(m_local["expected_risk"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(s_local.params), jax.tree.leaves(s_dist.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_pad_to_multiple():
     a = np.arange(10)
     p, n = M.pad_to_multiple(a, 8)
