@@ -60,9 +60,9 @@ def main() -> None:
     p.add_argument("--aed-left-chunks", type=int, default=1,
                    help="left-context chunks visible to attention")
     p.add_argument("--mwer-steps", type=int, default=0, metavar="N",
-                   help="with --objective aed: N steps of on-policy MWER "
-                        "(minimum word error rate) fine-tuning after the "
-                        "CE/CTC phase — beam N-best against the current "
+                   help="with --objective aed/rnnt: N steps of on-policy "
+                        "MWER (minimum word error rate) fine-tuning after "
+                        "the main phase — beam N-best against the current "
                         "params, expected edit-distance risk minimized")
     p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
                    help="with --objective ctc/aed: train on BPE SUBWORD units "
@@ -136,16 +136,17 @@ def main() -> None:
                 model, params = train_rnnt(
                     batches, lex, tcfg, encoder_arch=args.arch, logger=logger,
                 )
-        if args.objective == "aed" and args.mwer_steps > 0:
+        if args.objective in ("aed", "rnnt") and args.mwer_steps > 0:
             from mogasr.am.ctc import ctc_labels_from_words
-            from mogasr.pipeline import finetune_aed_mwer
+            from mogasr.pipeline import finetune_aed_mwer, finetune_rnnt_mwer
 
-            if args.bpe_merges > 0:
+            if args.objective == "aed" and args.bpe_merges > 0:
                 encode_fn = bpe.encode
             else:
                 encode_fn = lambda words: ctc_labels_from_words(  # noqa: E731
                     lex, words, include_sil=False)
-            params, mwer_hist = finetune_aed_mwer(
+            ft = finetune_aed_mwer if args.objective == "aed" else finetune_rnnt_mwer
+            params, mwer_hist = ft(
                 model, params, batches, encode_fn, tcfg,
                 steps=args.mwer_steps, logger=logger,
             )

@@ -736,3 +736,95 @@ def rnnt_beam_decode(
             A = dict(sorted(new_A.items(), key=lambda kv: -kv[1])[:beam_size])
         beams = dict(sorted(done.items(), key=lambda kv: -kv[1])[:beam_size])
     return sorted(((s, list(p)) for p, s in beams.items()), key=lambda x: -x[0])
+
+
+# --------------------------------------------------------------------------
+# MWER fine-tuning (expected edit-distance over the beam N-best) — the
+# transducer twin of mogasr.am.aed's MWER: the sequence log-probability is
+# the transducer forward marginal over ALL alignments (-rnnt_loss), so no
+# teacher-forced path choice is needed.
+# --------------------------------------------------------------------------
+
+
+def rnnt_seq_logprob(model: RnntModel, params, feats, n_frames, hyps, n_hyp):
+    """log P(hyp | x) marginalized over alignments: -rnnt_loss of the
+    hypothesis as the label sequence. feats [R, T, D] rows pair with
+    hyps [R, U] (-1-padded), n_hyp [R]. Returns [R]."""
+    logits = model.apply(params, feats, n_frames, hyps)
+    return -rnnt_loss(logits, n_frames, hyps, n_hyp)
+
+
+def rnnt_mwer_objective(
+    model: RnntModel,
+    params,
+    feats,
+    n_frames,
+    hyps,          # [B, N, U] int32, -1-padded
+    n_hyp,         # [B, N]
+    hyp_mask,      # [B, N] bool — False: empty/duplicate slot
+    risks,         # [B, N] float
+    labels,        # [B, L] reference targets (anchor)
+    n_labels,      # [B]
+    anchor_weight: float = 0.1,
+    ctc_weight: float = 1.0,
+):
+    """Expected risk over the renormalized N-best (see aed_mwer_objective
+    for the estimator; identical math, transducer sequence probabilities)
+    plus anchor_weight * the standard transducer objective on the
+    references."""
+    B, N, U = hyps.shape
+    feats_r = jnp.repeat(feats, N, axis=0)
+    nfr = jnp.repeat(n_frames, N, axis=0)
+    seq_lp = rnnt_seq_logprob(
+        model, params, feats_r, nfr,
+        hyps.reshape(B * N, U), n_hyp.reshape(B * N),
+    ).reshape(B, N)
+    seq_lp = jnp.where(hyp_mask, seq_lp, NEG_INF)
+    phat = jax.nn.softmax(seq_lp, axis=1)
+    n_valid = jnp.maximum(jnp.sum(hyp_mask, axis=1), 1)
+    rbar = jnp.sum(jnp.where(hyp_mask, risks, 0.0), axis=1) / n_valid
+    row_risk = jnp.sum(phat * jnp.where(hyp_mask, risks, 0.0), axis=1)
+    row_ok = (n_frames > 0) & jnp.any(hyp_mask, axis=1)
+    denom = jnp.maximum(jnp.sum(row_ok), 1)
+    mwer = jnp.sum(jnp.where(row_ok, row_risk - rbar, 0.0)) / denom
+    exp_risk = jnp.sum(jnp.where(row_ok, row_risk, 0.0)) / denom
+    metrics = {"mwer": mwer, "expected_risk": exp_risk}
+    loss = mwer
+    if anchor_weight > 0.0:
+        anchor, _ = rnnt_objective(
+            model, params, feats, n_frames, labels, n_labels, ctc_weight
+        )
+        loss = loss + anchor_weight * anchor
+        metrics["anchor"] = anchor
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_rnnt_mwer_step(
+    model: RnntModel, cfg: TrainConfig, anchor_weight: float = 0.1,
+    ctc_weight: float = 1.0,
+):
+    """Jitted MWER step — N-best generation and risks stay on the host
+    (pipeline.finetune_rnnt_mwer uses rnnt_beam_decode per utterance)."""
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def step(state, feats, n_frames, hyps, n_hyp, hyp_mask, risks,
+             labels, n_labels):
+        def loss_fn(p):
+            return rnnt_mwer_objective(
+                model, p, feats, n_frames, hyps, n_hyp, hyp_mask, risks,
+                labels, n_labels, anchor_weight=anchor_weight,
+                ctc_weight=ctc_weight,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return RnntTrainState(params, opt_state, state.step + 1), metrics
+
+    return step

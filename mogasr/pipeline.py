@@ -924,6 +924,82 @@ def finetune_aed_mwer(
     return state.params, history
 
 
+def finetune_rnnt_mwer(
+    model,
+    params,
+    batches: Sequence[FeatBatch],
+    encode_fn,
+    tcfg: TrainConfig,
+    n_hyps: int = 4,
+    anchor_weight: float = 0.1,
+    steps: Optional[int] = None,
+    logger=None,
+):
+    """On-policy MWER fine-tuning of a trained RNN-T (the transducer twin of
+    finetune_aed_mwer): per-utterance beam N-best via rnnt_beam_decode
+    against the CURRENT params, host edit-distance risks, jitted
+    expected-risk step (am.rnnt.make_rnnt_mwer_step). Returns
+    (params, history) of the expected risk per step."""
+    from mogasr.am import ctc as C
+    from mogasr.am import rnnt as R
+    from mogasr.am.train_nn import make_optimizer
+    from mogasr.eval.wer import edit_counts
+
+    seqs_all = [
+        [encode_fn(fb.words[b]) for b in range(fb.size)] for fb in batches
+    ]
+    l_max = max((len(s) for seqs in seqs_all for s in seqs), default=1)
+    u_max = l_max + 4
+    labeled = []
+    for fb, seqs in zip(batches, seqs_all):
+        rows = int(fb.feats.shape[0])
+        seqs_p = seqs + [[] for _ in range(rows - fb.size)]
+        labels, n_labels = C.pack_label_batch(seqs_p, pad_to=l_max)
+        labeled.append((fb, seqs, jnp.asarray(labels), jnp.asarray(n_labels)))
+
+    opt = make_optimizer(tcfg)
+    state = R.RnntTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step_fn = R.make_rnnt_mwer_step(model, tcfg, anchor_weight=anchor_weight)
+    total = steps if steps is not None else tcfg.num_nn_steps
+    history: List[float] = []
+    i = 0
+    while i < total:
+        for fb, seqs, labels, n_labels in labeled:
+            rows = int(fb.feats.shape[0])
+            hyps = np.full((rows, n_hyps, u_max), -1, np.int32)
+            n_h = np.zeros((rows, n_hyps), np.int32)
+            h_mask = np.zeros((rows, n_hyps), bool)
+            risks = np.zeros((rows, n_hyps), np.float32)
+            for b in range(fb.size):
+                nbest = R.rnnt_beam_decode(
+                    model, state.params, fb.feats[b : b + 1],
+                    fb.n_frames[b : b + 1], beam_size=n_hyps, u_cap=u_max,
+                )
+                seen = set()
+                for n, (_lp, h) in enumerate(nbest[:n_hyps]):
+                    h = tuple(h)
+                    if h in seen or len(h) > u_max:
+                        continue
+                    seen.add(h)
+                    hyps[b, n, : len(h)] = h
+                    n_h[b, n] = len(h)
+                    h_mask[b, n] = True
+                    risks[b, n] = edit_counts(seqs[b], list(h)).errors
+            state, m = step_fn(
+                state, fb.feats, fb.n_frames, jnp.asarray(hyps),
+                jnp.asarray(n_h), jnp.asarray(h_mask), jnp.asarray(risks),
+                labels, n_labels,
+            )
+            history.append(float(m["expected_risk"]))
+            i += 1
+            if logger is not None and i % 10 == 0:
+                logger.log({"stage": "rnnt_mwer", "step": i,
+                            "expected_risk": history[-1]})
+            if i >= total:
+                break
+    return state.params, history
+
+
 def evaluate(
     batches: Sequence[FeatBatch],
     gmm: Optional[GmmSet],

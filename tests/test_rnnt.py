@@ -287,3 +287,82 @@ def test_rnnt_trains_and_greedy_decodes():
     assert float(m["loss"]) < first * 0.3, (first, float(m["loss"]))
     hyps = R.rnnt_greedy_decode(model, state.params, feats, n_frames)
     assert hyps == seqs, (hyps, seqs)
+
+
+def test_rnnt_seq_logprob_matches_numpy_oracle():
+    """rnnt_seq_logprob == -rnnt_loss_np on each row (the alignment-
+    marginal sequence probability the MWER estimator reweights)."""
+    logits, n_frames, labels, n_labels = _rand_problem(seed=7, B=3, T=6, U=3)
+    model = R.RnntModel(n_labels=4, enc_hidden=8, enc_layers=1,
+                        pred_hidden=8, joint_hidden=8)
+    # bypass the network: check the public helper's DP against the oracle
+    got = np.asarray(-R.rnnt_loss(logits, n_frames, labels, n_labels))
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    for b in range(3):
+        T = int(n_frames[b])
+        lab = [int(x) for x in np.asarray(labels[b, : n_labels[b]])]
+        want = -R.rnnt_loss_np(logp[b, :T, : len(lab) + 1], lab)
+        np.testing.assert_allclose(got[b], want, rtol=1e-4)
+
+
+def test_rnnt_mwer_shifts_mass_to_low_risk_hyp():
+    feats, n_frames, labels, n_labels, seqs = _make_unit_task()
+    model = R.RnntModel(
+        n_labels=3, enc_hidden=16, enc_layers=1, pred_hidden=8, joint_hidden=16,
+    )
+    cfg = TrainConfig(lr=5e-3, num_nn_steps=40)
+    state = R.init_rnnt_train_state(
+        model, cfg, feats.shape[-1], labels.shape[1], jax.random.key(0)
+    )
+    B, L = labels.shape
+    hyps = np.full((B, 2, L), -1, np.int32)
+    n_h = np.zeros((B, 2), np.int32)
+    risks = np.zeros((B, 2), np.float32)
+    for b, s in enumerate(seqs):
+        hyps[b, 0, : len(s)] = s
+        n_h[b, 0] = len(s)
+        bad = list(s)
+        bad[0] = (bad[0] + 1) % 3
+        hyps[b, 1, : len(bad)] = bad
+        n_h[b, 1] = len(bad)
+        risks[b, 1] = 1.0
+    h_mask = np.ones((B, 2), bool)
+
+    def pref(params):
+        lp = R.rnnt_seq_logprob(
+            model, params,
+            jnp.repeat(feats, 2, axis=0), jnp.repeat(n_frames, 2, axis=0),
+            jnp.asarray(hyps.reshape(B * 2, L)),
+            jnp.asarray(n_h.reshape(B * 2)),
+        ).reshape(B, 2)
+        return float(jnp.mean(lp[:, 0] - lp[:, 1]))
+
+    before = pref(state.params)
+    step = R.make_rnnt_mwer_step(model, cfg, anchor_weight=0.0)
+    for _ in range(cfg.num_nn_steps):
+        state, met = step(
+            state, feats, n_frames, jnp.asarray(hyps), jnp.asarray(n_h),
+            jnp.asarray(h_mask), jnp.asarray(risks), labels, n_labels,
+        )
+    after = pref(state.params)
+    assert after > before, (before, after)
+    assert np.isfinite(float(met["loss"]))
+
+
+def test_finetune_rnnt_mwer_reduces_expected_risk(trained_unit_rnnt):
+    from mogasr import pipeline as pipe
+
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+
+    class _Fb:
+        pass
+
+    fb = _Fb()
+    fb.feats, fb.n_frames, fb.size = feats, n_frames, len(seqs)
+    fb.words = {b: seqs[b] for b in range(len(seqs))}
+    new_params, hist = pipe.finetune_rnnt_mwer(
+        model, params, [fb], lambda s: list(s),
+        TrainConfig(lr=1e-3, num_nn_steps=12), n_hyps=3, anchor_weight=0.05,
+    )
+    assert len(hist) == 12
+    assert np.mean(hist[-3:]) <= np.mean(hist[:3]) + 1e-6, hist
