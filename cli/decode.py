@@ -71,6 +71,15 @@ def main() -> None:
                         "train/test mismatch")
     p.add_argument("--aed-left-chunks", type=int, default=1,
                    help="left-context chunks (must match training)")
+    p.add_argument("--bias", metavar="FILE",
+                   help="with --ctc --bpe: contextual biasing — boost the "
+                        "phrases in FILE (one per line) during prefix beam "
+                        "search (shallow-fusion boosting with retraction; "
+                        "mogasr.decoder.biasing)")
+    p.add_argument("--bias-weight", type=float, default=2.0,
+                   help="per-unit log-score boost of a live phrase match")
+    p.add_argument("--bias-beam", type=int, default=8,
+                   help="prefix beam width used with --bias")
     p.add_argument("--bpe", metavar="FILE",
                    help="with --ctc/--aed: the checkpoint was trained on BPE "
                         "subword units (train_nn --bpe-merges; FILE is its "
@@ -392,10 +401,31 @@ def main() -> None:
             if args.ctc and args.bpe:
                 from mogasr.am.ctc import ctc_greedy_decode
 
-                out = [
-                    bpe.decode(seq)
-                    for seq in ctc_greedy_decode(scorer(fb), fb.n_frames)
-                ]
+                if args.bias:
+                    import numpy as _np
+
+                    from mogasr.am.ctc import ctc_prefix_beam_decode
+                    from mogasr.decoder.biasing import (
+                        biaser_from_bpe, load_phrases,
+                    )
+
+                    biaser = biaser_from_bpe(
+                        bpe, load_phrases(args.bias), weight=args.bias_weight
+                    )
+                    lp = _np.asarray(scorer(fb))
+                    out = [
+                        bpe.decode(ctc_prefix_beam_decode(
+                            lp[b, : int(fb.n_frames[b])],
+                            beam_size=args.bias_beam,
+                            ext_score=biaser.score,
+                        )[0][1])
+                        for b in range(fb.size)
+                    ]
+                else:
+                    out = [
+                        bpe.decode(seq)
+                        for seq in ctc_greedy_decode(scorer(fb), fb.n_frames)
+                    ]
                 for b in range(fb.size):
                     ids.append(fb.utt_ids[b])
                     refs.append([w.lower() for w in fb.words[b]])

@@ -93,6 +93,12 @@ def main() -> None:
                         "(train_nn --bpe-merges; FILE is its bpe.json) — "
                         "streaming OPEN-VOCABULARY word partials via greedy "
                         "collapse, no lexicon or graph")
+    p.add_argument("--bias", metavar="FILE",
+                   help="with --ctc --bpe: contextual phrase biasing during "
+                        "the streaming prefix beam (one phrase per line; "
+                        "mogasr.decoder.biasing)")
+    p.add_argument("--bias-weight", type=float, default=2.0)
+    p.add_argument("--bias-beam", type=int, default=8)
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     args = p.parse_args()
@@ -318,7 +324,18 @@ def main() -> None:
             # no lexicon, no graph, no graph-decoder state
             from mogasr.am.ctc import CtcStreamDecoder
 
-            ctc_dec = CtcStreamDecoder(blank_id=V - 1, mode="greedy")
+            if args.bias:
+                from mogasr.decoder.biasing import biaser_from_bpe, load_phrases
+
+                biaser = biaser_from_bpe(
+                    bpe, load_phrases(args.bias), weight=args.bias_weight
+                )
+                ctc_dec = CtcStreamDecoder(
+                    blank_id=V - 1, mode="beam", beam_size=args.bias_beam,
+                    ext_score=biaser.score,
+                )
+            else:
+                ctc_dec = CtcStreamDecoder(blank_id=V - 1, mode="greedy")
             sf = StreamingFrontend(fcfg)
             chunk = int(fcfg.sample_rate * args.chunk_ms / 1000.0)
             part_words: list = []
