@@ -69,6 +69,13 @@ def main() -> None:
                         "(N merges learned from the transcripts) instead of "
                         "phones — lexicon-free word recognition; writes "
                         "bpe.json next to the checkpoint")
+    p.add_argument("--save-every", type=int, default=0, metavar="N",
+                   help="checkpoint every N steps (CE path) — enables "
+                        "--average-last")
+    p.add_argument("--average-last", type=int, default=0, metavar="K",
+                   help="after training, save the uniform average of the "
+                        "last K checkpoints as the newest step (checkpoint "
+                        "averaging, the standard late-training smoother)")
     p.add_argument("--bootstrap-iters", type=int, default=6,
                    help="EM iterations for the GMM that produces labels")
     p.add_argument("--bootstrap-components", type=int, default=4)
@@ -190,6 +197,11 @@ def main() -> None:
     state = init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(tcfg.seed))
     step_fn = make_train_step(model, tcfg, spec_augment=args.spec_augment)
 
+    ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_{args.arch}")
+
+    def tree_of(params):
+        return {"params": params, "log_priors": jnp.asarray(log_priors)}
+
     with Timer() as t:
         i = 0
         while i < args.steps:
@@ -202,13 +214,23 @@ def main() -> None:
                         "loss": float(metrics["loss"]),
                         "frame_acc": float(metrics["frame_acc"]),
                     })
+                if args.save_every > 0 and i % args.save_every == 0:
+                    save_checkpoint(ckpt, tree_of(state.params), step=i)
                 if i >= args.steps:
                     break
     logger.log({"stage": "train_nn_done", "steps": i, "wall_sec": t.seconds,
                 "final_loss": float(metrics["loss"]),
                 "final_frame_acc": float(metrics["frame_acc"])})
-    ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_{args.arch}")
-    save_checkpoint(ckpt, {"params": state.params, "log_priors": jnp.asarray(log_priors)}, step=i)
+    if not (args.save_every > 0 and i % args.save_every == 0):
+        save_checkpoint(ckpt, tree_of(state.params), step=i)
+    if args.average_last > 1:
+        from mogasr.utils.checkpoint import average_checkpoints
+
+        avg = average_checkpoints(ckpt, tree_of(state.params),
+                                  last_k=args.average_last)
+        save_checkpoint(ckpt, avg, step=i + 1)
+        logger.log({"stage": "ckpt_average", "last_k": args.average_last,
+                    "saved_step": i + 1})
     print(f"saved {args.arch} AM to {ckpt}")
 
 

@@ -8,9 +8,10 @@ last completed step.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -40,3 +41,35 @@ def latest_step(path: str) -> Optional[int]:
         return None
     with ocp.CheckpointManager(path) as mgr:
         return mgr.latest_step()
+
+
+def all_steps(path: str) -> List[int]:
+    """All checkpoint steps saved under path, ascending."""
+    path = os.path.abspath(path)
+    with ocp.CheckpointManager(path) as mgr:
+        return sorted(mgr.all_steps())
+
+
+def average_checkpoints(
+    path: str, template: Any, last_k: Optional[int] = None
+) -> Any:
+    """Uniform parameter averaging over saved steps (checkpoint averaging,
+    the standard late-training smoother for e2e ASR: average the float
+    leaves of the last K checkpoints; integer leaves — step counters — are
+    taken from the newest). last_k=None averages every step present."""
+    steps = all_steps(path)
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {path}")
+    if last_k is not None:
+        steps = steps[-last_k:]
+    trees = [restore_checkpoint(path, template, step=s) for s in steps]
+
+    def avg(*leaves):
+        x = leaves[-1]
+        if hasattr(x, "dtype") and jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating
+        ):
+            return sum(jnp.asarray(l) for l in leaves) / len(leaves)
+        return x
+
+    return jax.tree.map(avg, *trees)
