@@ -71,6 +71,13 @@ def main() -> None:
                         "train/test mismatch")
     p.add_argument("--aed-left-chunks", type=int, default=1,
                    help="left-context chunks (must match training)")
+    p.add_argument("--ivector-ckpt", metavar="DIR",
+                   help="i-vector extractor checkpoint (train_nn "
+                        "--ivector-dim): append per-utterance i-vectors to "
+                        "the features before the neural AM — must match "
+                        "training or the input distribution silently shifts")
+    p.add_argument("--ivector-dim", type=int, default=16)
+    p.add_argument("--ivector-components", type=int, default=64)
     p.add_argument("--bias", metavar="FILE",
                    help="with --ctc --bpe: contextual biasing — boost the "
                         "phrases in FILE (one per line) during prefix beam "
@@ -203,6 +210,30 @@ def main() -> None:
 
     batches = featurize(corpus, fcfg, BatchConfig())
 
+    ivec_rank = 0
+    if args.ivector_ckpt:
+        if args.am == "gmm" or args.aed or args.rnnt:
+            raise SystemExit("--ivector-ckpt augments hybrid/CTC neural "
+                             "features: use --am mlp/lstm/blstm/tdnn")
+        import jax.numpy as _jnp
+        import numpy as _np
+
+        from mogasr.am.gmm import GmmSet as _Gmm
+        from mogasr.am.ivector import IvectorExtractor
+        from mogasr.pipeline import append_ivectors
+        from mogasr.utils.checkpoint import restore_checkpoint as _restore
+
+        K, R, D = args.ivector_components, args.ivector_dim, fcfg.feat_dim
+        ck_iv = _restore(args.ivector_ckpt, {
+            "ubm": _Gmm(_jnp.zeros((1, K)), _jnp.zeros((1, K, D)),
+                        _jnp.ones((1, K, D))),
+            "t": _jnp.zeros((K, D, R)),
+        })
+        batches = append_ivectors(
+            batches, IvectorExtractor(ck_iv["ubm"], _np.asarray(ck_iv["t"]))
+        )
+        ivec_rank = R
+
     if args.am == "gmm" and not args.aed:
         gmm = bundle[0] if bundle is not None else load_or_random_gmm(args, fcfg.feat_dim)
         scorer = None
@@ -291,7 +322,8 @@ def main() -> None:
                 n_ctc_units = lex.n_phones
             model = build_model(args.am, n_ctc_units + 1, tcfg)
             template = {
-                "params": init_train_state(model, tcfg, fcfg.feat_dim,
+                "params": init_train_state(model, tcfg,
+                                           fcfg.feat_dim + ivec_rank,
                                            jax.random.key(0)).params,
             }
             ck = restore_checkpoint(args.nn_ckpt, template)
@@ -299,7 +331,9 @@ def main() -> None:
         else:
             model = build_model(args.am, topo.n_pdfs, tcfg)
             template = {
-                "params": init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(0)).params,
+                "params": init_train_state(
+                    model, tcfg, fcfg.feat_dim + ivec_rank, jax.random.key(0)
+                ).params,
                 "log_priors": jnp.zeros(topo.n_pdfs),
             }
             ck = restore_checkpoint(args.nn_ckpt, template)

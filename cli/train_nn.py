@@ -69,6 +69,13 @@ def main() -> None:
                         "(N merges learned from the transcripts) instead of "
                         "phones — lexicon-free word recognition; writes "
                         "bpe.json next to the checkpoint")
+    p.add_argument("--ivector-dim", type=int, default=0, metavar="R",
+                   help="CE path: train an i-vector extractor (UBM + "
+                        "total variability) on the training features and "
+                        "append per-utterance i-vectors to every frame — "
+                        "speaker-aware hybrid training (decode with "
+                        "--ivector-ckpt RUN_DIR/ivector_extractor)")
+    p.add_argument("--ivector-components", type=int, default=64)
     p.add_argument("--save-every", type=int, default=0, metavar="N",
                    help="checkpoint every N steps (CE path) — enables "
                         "--average-last")
@@ -189,12 +196,33 @@ def main() -> None:
     all_labels = _np.concatenate([_np.asarray(l).reshape(-1) for _, l in labeled])
     log_priors = state_priors(all_labels, topo.n_pdfs)
 
+    ivec_rank = 0
+    if args.ivector_dim > 0:
+        from mogasr.am.ivector import train_ivector_extractor
+        from mogasr.pipeline import append_ivectors
+
+        extractor = train_ivector_extractor(
+            batches, n_components=args.ivector_components,
+            rank=args.ivector_dim,
+        )
+        aug = append_ivectors(batches, extractor)
+        labeled = [(afb, labels) for afb, (_fb, labels) in zip(aug, labeled)]
+        iv_ckpt = os.path.join(os.path.abspath(args.run_dir),
+                               "ivector_extractor")
+        save_checkpoint(iv_ckpt, {"ubm": extractor.ubm,
+                                  "t": jnp.asarray(extractor.t_mat)})
+        logger.log({"stage": "ivector_extractor",
+                    "components": args.ivector_components,
+                    "rank": args.ivector_dim, "ckpt": iv_ckpt})
+        ivec_rank = args.ivector_dim
+
     tcfg = TrainConfig(
         nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
         lr=args.lr, num_nn_steps=args.steps,
     )
     model = build_model(args.arch, topo.n_pdfs, tcfg)
-    state = init_train_state(model, tcfg, fcfg.feat_dim, jax.random.key(tcfg.seed))
+    state = init_train_state(model, tcfg, fcfg.feat_dim + ivec_rank,
+                             jax.random.key(tcfg.seed))
     step_fn = make_train_step(model, tcfg, spec_augment=args.spec_augment)
 
     ckpt = os.path.join(os.path.abspath(args.run_dir), f"nn_{args.arch}")

@@ -257,3 +257,44 @@ def cosine_score(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     an = length_normalize(np.atleast_2d(a))
     bn = length_normalize(np.atleast_2d(b))
     return an @ bn.T
+
+
+class IvectorExtractor(NamedTuple):
+    """Trained i-vector front end: diagonal UBM + total-variability matrix.
+    The pytree shape makes it orbax-checkpointable alongside AM params."""
+
+    ubm: GmmSet
+    t_mat: np.ndarray   # [K, D, R]
+
+    @property
+    def rank(self) -> int:
+        return int(self.t_mat.shape[-1])
+
+
+def train_ivector_extractor(
+    batches,
+    n_components: int = 64,
+    rank: int = 16,
+    ubm_iters: int = 8,
+    tv_iters: int = 8,
+    seed: int = 0,
+) -> IvectorExtractor:
+    """UBM + total-variability training on featurized batches — the one-call
+    constructor shared by diarization and i-vector-augmented AM training."""
+    ubm = train_ubm(batches, n_components, n_iters=ubm_iters, seed=seed)
+    stats = [
+        accumulate_bw_stats(fb.feats, fb.n_frames, ubm) for fb in batches
+    ]
+    t_mat = train_total_variability(stats, ubm, rank, n_iters=tv_iters,
+                                    seed=seed)
+    return IvectorExtractor(ubm, t_mat)
+
+
+def utterance_ivectors(
+    extractor: IvectorExtractor, feats, n_frames, length_norm: bool = True
+) -> np.ndarray:
+    """[B, R] per-utterance i-vectors (rows past the real count give zero
+    stats -> zero vectors; callers mask by batch.size)."""
+    stats = accumulate_bw_stats(feats, n_frames, extractor.ubm)
+    vecs = extract_ivectors(stats, extractor.ubm, extractor.t_mat)
+    return length_normalize(vecs) if length_norm else vecs

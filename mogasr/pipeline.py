@@ -841,6 +841,33 @@ def train_aed_units(
     return model, state.params
 
 
+def append_ivectors(
+    batches: Sequence[FeatBatch],
+    extractor,
+    length_norm: bool = True,
+) -> List[FeatBatch]:
+    """Speaker-aware features: concatenate each utterance's i-vector
+    (mogasr.am.ivector.IvectorExtractor) to every frame — the standard
+    hybrid-NN adaptation recipe (feat_dim grows by extractor.rank; the same
+    transformation must be applied at decode time with the SAME extractor,
+    or the AM input distribution silently shifts)."""
+    from mogasr.am.ivector import utterance_ivectors
+
+    out = []
+    for fb in batches:
+        vecs = utterance_ivectors(
+            extractor, fb.feats, fb.n_frames, length_norm=length_norm
+        )
+        tiled = jnp.broadcast_to(
+            jnp.asarray(vecs)[:, None, :],
+            (fb.feats.shape[0], fb.feats.shape[1], vecs.shape[-1]),
+        )
+        out.append(dataclasses.replace(
+            fb, feats=jnp.concatenate([fb.feats, tiled], axis=-1)
+        ))
+    return out
+
+
 def finetune_aed_mwer(
     model,
     params,
