@@ -271,6 +271,29 @@ def main() -> None:
         m_nn = pipe.evaluate(eb, None, lex, topo_t, dcfg, scorer=scorer)
         report("heldout_wer_mlp_unigram", m_nn["wer"])
 
+        # (k) the same MLP with i-vector-augmented features — speaker-aware
+        # hybrid training (the v2 corpus has per-speaker vocal-tract scaling
+        # and channel tilt, exactly what a per-utterance i-vector captures)
+        from mogasr.am.ivector import train_ivector_extractor
+        from mogasr.pipeline import append_ivectors
+
+        extractor = train_ivector_extractor(tb, n_components=32, rank=8)
+        tb_iv = append_ivectors(tb, extractor)
+        eb_iv = append_ivectors(eb, extractor)
+        model_iv = build_model("mlp", topo.n_pdfs, tcfg)
+        state_iv = init_train_state(
+            model_iv, tcfg, tb_iv[0].feats.shape[-1], jax.random.key(0)
+        )
+        step_iv = make_train_step(model_iv, tcfg)
+        for i in range(tcfg.num_nn_steps):
+            fb_iv, (_fb, labels) = tb_iv[i % len(tb_iv)], labeled[i % len(labeled)]
+            state_iv, m_i = step_iv(state_iv, fb_iv.feats, fb_iv.n_frames, labels)
+        scorer_iv = pipe.make_nn_scorer(
+            model_iv, state_iv.params,
+            jnp.asarray(state_priors(all_labels, topo.n_pdfs)))
+        m_nn_iv = pipe.evaluate(eb_iv, None, lex, topo_t, dcfg, scorer=scorer_iv)
+        report("heldout_wer_mlp_ivector", m_nn_iv["wer"])
+
     if args.e2e:
         # (m) attention encoder-decoder trained on v2 phone targets —
         # the end-to-end family's accuracy row (decode: on-device beam 4
