@@ -37,7 +37,7 @@ def main() -> None:
                         "--gmm-ckpt/--lexicon/--num-*")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
-    p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm", "blstm", "tdnn"],
+    p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm", "blstm", "tdnn", "conformer"],
                    help="acoustic model: GMM or a trained neural classifier")
     p.add_argument("--nn-ckpt", help="orbax NN checkpoint dir (from train_nn)")
     p.add_argument("--ctc", action="store_true",

@@ -39,7 +39,7 @@ def main() -> None:
                         "CTC-topology word graph")
     p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
     p.add_argument("--nn-arch", default="mlp",
-                   choices=["mlp", "lstm", "blstm", "tdnn"])
+                   choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--terms", required=True,

@@ -37,7 +37,7 @@ def main() -> None:
     add_corpus_args(p)
     add_run_args(p)
     add_augment_args(p)
-    p.add_argument("--arch", default="mlp", choices=["mlp", "lstm", "blstm", "tdnn"])
+    p.add_argument("--arch", default="mlp", choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
     p.add_argument("--hidden", type=int, default=512)
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--steps", type=int, default=500)  # must be >= 1

@@ -62,7 +62,7 @@ def main() -> None:
     p.add_argument("--nn-ckpt", help="CTC/AED checkpoint dir (with "
                         "--ctc/--aed)")
     p.add_argument("--nn-arch", default="mlp",
-                   choices=["mlp", "lstm", "blstm", "tdnn"])
+                   choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--acoustic-scale", type=float, default=1.0)

@@ -171,7 +171,45 @@ class TdnnAm(nn.Module):
         return nn.Dense(self.n_pdfs)(x)
 
 
+class ConformerAm(nn.Module):
+    """Conformer frame classifier: 4x-subsampled Conformer encoder (the
+    AED's — one code path, mogasr.am.aed.ConformerEncoder) + output head,
+    repeat-upsampled back to the INPUT frame rate so every consumer
+    (CTC loss, per-frame CE, scorers, graph decode) sees the standard
+    [B, T, n_pdfs] contract. The attention/conv GEMMs run at T/4 — the
+    MXU-friendly encoder (TPU_NOTES: ~25x the LSTM families' decode
+    throughput at matched size). Offline only (no chunked stream variant
+    here; use the streaming AED for that)."""
+
+    n_pdfs: int
+    hidden: int = 256
+    layers: int = 3
+    heads: int = 4
+    conv_kernel: int = 15
+
+    def setup(self):
+        # deferred import: neural <- ctc <- aed would otherwise cycle
+        from mogasr.am.aed import ConformerEncoder
+
+        d = max(self.heads * (self.hidden // self.heads), self.heads)
+        self.enc = ConformerEncoder(
+            d_model=d, blocks=self.layers, heads=self.heads,
+            conv_kernel=self.conv_kernel,
+        )
+        self.head = nn.Dense(self.n_pdfs)
+
+    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
+        enc, _n_out = self.enc(feats, n_frames)
+        logits = self.head(enc)                      # [B, ceil(T/4), P]
+        up = jnp.repeat(logits, 4, axis=1)           # back to frame rate
+        return up[:, : feats.shape[1]]               # [B, T, P]
+
+
 def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
+    if arch == "conformer":
+        return ConformerAm(
+            n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=cfg.nn_layers
+        )
     if arch == "mlp":
         return MlpAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=cfg.nn_layers, context=cfg.nn_context)
     if arch == "lstm":
