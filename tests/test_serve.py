@@ -1,0 +1,86 @@
+"""Serve CLI tests: the line-JSON streaming session protocol — ready /
+partial / final event flow, two INTERLEAVED sessions with independent
+state, and protocol error events."""
+
+import io
+import json
+import sys
+
+import numpy as np
+
+from tests.test_cli import run_cli
+
+
+def _events(capsys):
+    return [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+
+
+def test_serve_demo_session(tmp_path, monkeypatch, capsys):
+    from cli import serve
+
+    run_cli(
+        serve,
+        ["--synthetic-demo-session", "--run-dir", str(tmp_path / "run")],
+        monkeypatch,
+    )
+    ev = _events(capsys)
+    assert ev[0] == {"session": "demo", "event": "ready"}
+    partials = [e for e in ev if "partial" in e]
+    finals = [e for e in ev if "final" in e]
+    assert len(partials) >= 3 and len(finals) == 1
+    assert finals[0]["session"] == "demo"
+    # partial timestamps are monotone
+    ts = [e["t_audio_s"] for e in partials]
+    assert ts == sorted(ts)
+
+
+def test_serve_interleaved_sessions_and_errors(tmp_path, monkeypatch, capsys):
+    from cli import serve
+    from mogasr.data.synthetic import make_corpus
+
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=9)
+    chunk = 4000
+    lines = [
+        {"type": "start", "session": "a"},
+        {"type": "start", "session": "a"},          # duplicate -> error
+        {"type": "start", "session": "b"},
+        {"type": "audio", "session": "ghost", "pcm": [0.0] * 10},  # error
+    ]
+    # interleave the two sessions' audio chunk by chunk
+    ca = [utts[0].wave[i : i + chunk] for i in range(0, len(utts[0].wave), chunk)]
+    cb = [utts[1].wave[i : i + chunk] for i in range(0, len(utts[1].wave), chunk)]
+    for i in range(max(len(ca), len(cb))):
+        if i < len(ca):
+            lines.append({"type": "audio", "session": "a",
+                          "pcm": ca[i].tolist()})
+        if i < len(cb):
+            lines.append({"type": "audio", "session": "b",
+                          "pcm": cb[i].tolist()})
+    lines += [
+        {"type": "end", "session": "a"},
+        {"type": "end", "session": "b"},
+        {"type": "end", "session": "a"},            # already ended -> error
+        {"type": "shutdown"},
+        {"type": "start", "session": "never"},      # after shutdown: unread
+    ]
+    stdin = io.StringIO("\n".join(json.dumps(l) for l in lines) + "\n")
+    monkeypatch.setattr(sys, "stdin", stdin)
+    run_cli(serve, ["--run-dir", str(tmp_path / "run")], monkeypatch)
+    ev = _events(capsys)
+
+    finals = {e["session"]: e for e in ev if "final" in e}
+    assert set(finals) == {"a", "b"}
+    errors = [e for e in ev if "error" in e]
+    assert any(e.get("session") == "a" and "exists" in e["error"] for e in errors)
+    assert any(e.get("session") == "ghost" for e in errors)
+    # shutdown stopped the loop before the trailing start
+    assert not any(e.get("session") == "never" for e in ev)
+    # per-session partial streams are independent and monotone
+    for sid in ("a", "b"):
+        ts = [e["t_audio_s"] for e in ev if e.get("session") == sid
+              and "partial" in e]
+        assert ts == sorted(ts) and len(ts) >= 2
