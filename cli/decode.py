@@ -123,6 +123,11 @@ def main() -> None:
     p.add_argument("--write-arpa", help="export the estimated LM (trigram if "
                                         "--trigram-rescore, else bigram) as "
                                         "an ARPA file")
+    p.add_argument("--lattice-out", metavar="FILE",
+                   help="write the word lattices as a text archive "
+                        "(mogasr.decoder.lattice.write_lattices; exact "
+                        "score roundtrip via read_lattices) — implies the "
+                        "lattice pass (word mode)")
     p.add_argument("--consensus", default="off", choices=["off", "cn", "mbr"],
                    help="minimum-Bayes-risk decoding over the word lattice: "
                         "cn = confusion-network consensus, mbr = N-best MBR "
@@ -176,7 +181,8 @@ def main() -> None:
     # Flag-compatibility guards run BEFORE any model build/compile so a bad
     # invocation fails in milliseconds, not after minutes of jit.
     needs_lattice = (args.trigram_rescore or args.nbest > 0
-                     or args.consensus != "off" or bool(args.nnlm_rescore))
+                     or args.consensus != "off" or bool(args.nnlm_rescore)
+                     or bool(args.lattice_out))
     if args.nnlm_rescore and args.consensus != "off":
         raise SystemExit("--nnlm-rescore re-ranks N-best lists: incompatible "
                          "with --consensus")
@@ -411,6 +417,7 @@ def main() -> None:
         nnlm = load_nnlm(args.nnlm_rescore)  # (model, params, vocab)
 
     refs, hyps, ids, nbest_lists = [], [], [], []
+    wrote_lattices = False
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     with Timer() as t:
         for fb in batches:
@@ -473,6 +480,15 @@ def main() -> None:
                 lats, _ = decode_batch_lattices(
                     fb, scores, graph, lm, dcfg, chain_entry_logp=pron_logp
                 )
+                if args.lattice_out:
+                    from mogasr.decoder.lattice import write_lattices
+
+                    write_lattices(
+                        args.lattice_out,
+                        [(fb.utt_ids[b], lats[b]) for b in range(fb.size)],
+                        append=wrote_lattices,
+                    )
+                    wrote_lattices = True
                 second = trigram if trigram is not None else lm
                 if args.consensus == "cn":
                     from mogasr.decoder.confusion import (

@@ -205,3 +205,52 @@ def lattice_oracle_errors(
         return R  # no complete path: all deletions
     # remaining refs are deletions
     return min(e + (R - r) for r, e in end.items())
+
+
+# --------------------------------------------------------------------------
+# Text archive I/O (interop artifact, exact roundtrip)
+# --------------------------------------------------------------------------
+
+
+def write_lattices(path: str, lattices, append: bool = False) -> None:
+    """Write an utterance->lattice archive as text.
+
+    Format (one section per utterance, Kaldi-archive-flavored):
+        <utt_id> <n_frames>
+        <start> <end> <chain> <word> <score-repr>
+        ...
+        .
+    Scores are written with repr() so read_lattices roundtrips exactly.
+    ``lattices``: dict or iterable of (utt_id, Lattice)."""
+    items = lattices.items() if hasattr(lattices, "items") else lattices
+    with open(path, "a" if append else "w") as f:
+        for uid, lat in items:
+            f.write(f"{uid} {lat.n_frames}\n")
+            for a in lat.arcs:
+                f.write(f"{a.start} {a.end} {a.chain} {a.word} {a.score!r}\n")
+            f.write(".\n")
+
+
+def read_lattices(path: str) -> Dict[str, Lattice]:
+    """Inverse of write_lattices (exact roundtrip; tested)."""
+    out: Dict[str, Lattice] = {}
+    with open(path) as f:
+        header: Optional[Tuple[str, int]] = None
+        arcs: List[Arc] = []
+        for line in f:
+            line = line.rstrip("\n")
+            if header is None:
+                if not line.strip():
+                    continue
+                uid, nf = line.rsplit(" ", 1)
+                header = (uid, int(nf))
+                arcs = []
+            elif line == ".":
+                out[header[0]] = Lattice(header[1], arcs)
+                header = None
+            else:
+                s, e, c, w, sc = line.split(" ", 4)
+                arcs.append(Arc(int(s), int(e), int(c), w, float(sc)))
+    if header is not None:
+        raise ValueError(f"truncated lattice archive: {path}")
+    return out

@@ -275,3 +275,55 @@ def test_trigram_rescoring_improves_contextual_wer(trained_system):
             errs_tri += ct.errors
             total += len(ref)
     assert errs_tri <= errs_bi, (errs_tri, errs_bi, total)
+
+
+def test_lattice_archive_roundtrip(tmp_path):
+    """write_lattices -> read_lattices is EXACT (scores via repr), and a
+    rescoring pass over the read-back archive equals the original."""
+    from mogasr.decoder.lattice import (
+        Arc, Lattice, read_lattices, write_lattices,
+    )
+
+    rng = np.random.default_rng(0)
+    lats = {}
+    for u in range(3):
+        arcs = []
+        t = 0
+        for i in range(1 + u):
+            e = t + int(rng.integers(1, 5))
+            arcs.append(Arc(t, e, int(rng.integers(0, 4)),
+                            f"w{int(rng.integers(0, 5))}",
+                            float(rng.standard_normal())))
+            t = e + 1
+        lats[f"utt-{u}"] = Lattice(t + 2, arcs)
+    path = str(tmp_path / "lat.txt")
+    write_lattices(path, lats)
+    back = read_lattices(path)
+    assert set(back) == set(lats)
+    for uid in lats:
+        assert back[uid].n_frames == lats[uid].n_frames
+        assert back[uid].arcs == lats[uid].arcs  # frozen dataclass equality
+
+    # append mode extends the archive
+    write_lattices(path, {"extra": Lattice(4, [Arc(0, 1, 0, "x", -0.5)])},
+                   append=True)
+    assert set(read_lattices(path)) == set(lats) | {"extra"}
+
+
+def test_decode_cli_lattice_out(tmp_path, monkeypatch):
+    from cli import decode
+    from mogasr.decoder.lattice import read_lattices
+    from tests.test_cli import run_cli
+
+    out = str(tmp_path / "hyp.jsonl")
+    lat_out = str(tmp_path / "lats.txt")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--bigram-lm", "--lattice-out", lat_out, "--out", out],
+        monkeypatch,
+    )
+    lats = read_lattices(lat_out)
+    assert len(lats) == 3
+    for lat in lats.values():
+        assert lat.n_frames > 0 and len(lat.arcs) > 0
