@@ -69,6 +69,19 @@ def main() -> None:
     p.add_argument("--cmvn-window", type=int, default=600)
     p.add_argument("--max-sessions", type=int, default=64,
                    help="reject starts beyond this many live sessions")
+    p.add_argument("--ctc", action="store_true",
+                   help="serve a BPE-CTC neural model instead of the GMM: "
+                        "stateful LSTM chunks -> streaming prefix/greedy "
+                        "decode -> words (requires --nn-ckpt and --bpe)")
+    p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
+    p.add_argument("--bpe", metavar="FILE", help="bpe.json (with --ctc)")
+    p.add_argument("--nn-hidden", type=int, default=512)
+    p.add_argument("--nn-layers", type=int, default=3)
+    p.add_argument("--bias", metavar="FILE",
+                   help="with --ctc: contextual phrase biasing (streaming "
+                        "prefix beam; one phrase per line)")
+    p.add_argument("--bias-weight", type=float, default=2.0)
+    p.add_argument("--bias-beam", type=int, default=8)
     p.add_argument("--synthetic-demo-session", action="store_true",
                    help="self-test: synthesize one utterance and drive a "
                         "session through the protocol instead of stdin")
@@ -83,24 +96,106 @@ def main() -> None:
         acoustic_scale=args.acoustic_scale,
         word_insertion_penalty=args.insertion_penalty,
     )
-    gmm = load_or_random_gmm(args, fcfg.feat_dim)
-    graph = word_decode_graph(lex, topo, dcfg)
-    graphs = {
-        k: jnp.asarray(v) for k, v in gr.batch_graphs([graph]).items()
-    }
     logger = make_logger(args)
+    if args.ctc:
+        import jax
 
-    def words_of(path, entered):
-        toks = []
-        for t in range(path.shape[1]):
-            j = path[0, t]
-            if j < 0:
-                break
-            if entered[0, t]:
-                w = graph.labels[graph.chain_id[j]]
-                if w not in ("<sil>", "sil"):
-                    toks.append(w)
-        return toks
+        from mogasr.am.ctc import CtcStreamDecoder
+        from mogasr.am.neural import LstmAm, LstmAmStream, lstm_stream_init
+        from mogasr.am.train_nn import init_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.data.bpe import load_bpe
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not (args.nn_ckpt and args.bpe):
+            raise SystemExit("--ctc requires --nn-ckpt and --bpe")
+        bpe = load_bpe(args.bpe)
+        V = bpe.n_units + 1
+        tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        nn_model = LstmAm(n_pdfs=V, hidden=args.nn_hidden,
+                          layers=max(args.nn_layers - 1, 1))
+        template = {
+            "params": init_train_state(nn_model, tcfg, fcfg.feat_dim,
+                                       jax.random.key(0)).params,
+        }
+        nn_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        stream_model = LstmAmStream(
+            n_pdfs=V, hidden=args.nn_hidden, layers=max(args.nn_layers - 1, 1)
+        )
+
+        @jax.jit
+        def score_chunk(carries, feats):
+            logits, new_carries = stream_model.apply(nn_params, feats, carries)
+            return jax.nn.log_softmax(logits, axis=-1), new_carries
+
+        if args.bias:
+            from mogasr.decoder.biasing import biaser_from_bpe, load_phrases
+
+            biaser = biaser_from_bpe(
+                bpe, load_phrases(args.bias), weight=args.bias_weight
+            )
+
+        def new_decoder():
+            if args.bias:
+                return CtcStreamDecoder(
+                    blank_id=V - 1, mode="beam", beam_size=args.bias_beam,
+                    ext_score=biaser.score,
+                )
+            return CtcStreamDecoder(blank_id=V - 1, mode="greedy")
+
+        def make_session():
+            s = _Session(StreamingFrontend(fcfg), new_decoder())
+            s.carries = lstm_stream_init(nn_model, 1, fcfg.feat_dim)
+            return s
+
+        def feed(s, feats):
+            lp, s.carries = score_chunk(s.carries, jnp.asarray(feats[None]))
+            s.decoder.step(np.asarray(lp[0]))
+
+        def partial_words(s):
+            return bpe.decode(s.decoder.partial())
+
+        def final_words(s):
+            return bpe.decode(s.decoder.finalize())
+    else:
+        gmm = load_or_random_gmm(args, fcfg.feat_dim)
+        graph = word_decode_graph(lex, topo, dcfg)
+        graphs = {
+            k: jnp.asarray(v) for k, v in gr.batch_graphs([graph]).items()
+        }
+
+        def words_of(path, entered):
+            toks = []
+            for t in range(path.shape[1]):
+                j = path[0, t]
+                if j < 0:
+                    break
+                if entered[0, t]:
+                    w = graph.labels[graph.chain_id[j]]
+                    if w not in ("<sil>", "sil"):
+                        toks.append(w)
+            return toks
+
+        def make_session():
+            return _Session(
+                StreamingFrontend(fcfg),
+                OnlineDecoder(graphs, acoustic_scale=dcfg.acoustic_scale),
+            )
+
+        def feed(s, feats):
+            s.decoder.process(
+                score_batch(jnp.asarray(feats[None]), gmm),
+                np.asarray([feats.shape[0]]),
+            )
+
+        def partial_words(s):
+            path, entered, _sc = s.decoder.partial()
+            return words_of(path, entered)
+
+        def final_words(s):
+            path, entered, _sc = s.decoder.finalize()
+            return words_of(path, entered)
 
     sessions: dict = {}
 
@@ -122,10 +217,7 @@ def main() -> None:
             elif len(sessions) >= args.max_sessions:
                 emit({"session": sid, "error": "too many sessions"})
             else:
-                sessions[sid] = _Session(
-                    StreamingFrontend(fcfg),
-                    OnlineDecoder(graphs, acoustic_scale=dcfg.acoustic_scale),
-                )
+                sessions[sid] = make_session()
                 emit({"session": sid, "event": "ready"})
         elif typ == "audio":
             s = sessions.get(sid)
@@ -136,14 +228,10 @@ def main() -> None:
             s.samples += len(pcm)
             feats = s.frontend.process(pcm)
             if feats.size:
-                s.decoder.process(
-                    score_batch(jnp.asarray(feats[None]), gmm),
-                    np.asarray([feats.shape[0]]),
-                )
-            path, entered, _sc = s.decoder.partial()
+                feed(s, feats)
             emit({
                 "session": sid,
-                "partial": words_of(path, entered),
+                "partial": partial_words(s),
                 "t_audio_s": round(s.samples / fcfg.sample_rate, 2),
             })
         elif typ == "end":
@@ -153,13 +241,9 @@ def main() -> None:
                 return True
             feats = s.frontend.finalize()
             if feats.size:
-                s.decoder.process(
-                    score_batch(jnp.asarray(feats[None]), gmm),
-                    np.asarray([feats.shape[0]]),
-                )
-            path, entered, _sc = s.decoder.finalize()
+                feed(s, feats)
             audio_s = s.samples / fcfg.sample_rate
-            final = words_of(path, entered)
+            final = final_words(s)
             emit({"session": sid, "final": final,
                   "audio_s": round(audio_s, 2)})
             logger.log({"stage": "serve_final", "session": sid,

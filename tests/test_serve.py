@@ -84,3 +84,41 @@ def test_serve_interleaved_sessions_and_errors(tmp_path, monkeypatch, capsys):
         ts = [e["t_audio_s"] for e in ev if e.get("session") == sid
               and "partial" in e]
         assert ts == sorted(ts) and len(ts) >= 2
+
+
+def test_serve_ctc_bpe_session(tmp_path, monkeypatch, capsys):
+    """--ctc serving: open-vocabulary BPE-CTC sessions with stateful LSTM
+    chunks and streaming decode."""
+    from cli import serve, train_nn
+    from mogasr.data.synthetic import make_corpus
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "ctc", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    capsys.readouterr()  # drop training output
+    utt = make_corpus(1, words_per_utt=(2, 2), seed=3)[0]
+    chunk = 4000
+    lines = [{"type": "start", "session": "s"}]
+    for i in range(0, len(utt.wave), chunk):
+        lines.append({"type": "audio", "session": "s",
+                      "pcm": utt.wave[i : i + chunk].tolist()})
+    lines += [{"type": "end", "session": "s"}, {"type": "shutdown"}]
+    stdin = io.StringIO("\n".join(json.dumps(l) for l in lines) + "\n")
+    monkeypatch.setattr(sys, "stdin", stdin)
+    run_cli(
+        serve,
+        ["--run-dir", str(tmp_path / "run2"), "--ctc",
+         "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_lstm"),
+         "--nn-hidden", "16", "--nn-layers", "2"],
+        monkeypatch,
+    )
+    ev = _events(capsys)
+    assert ev[0] == {"session": "s", "event": "ready"}
+    assert any("partial" in e for e in ev)
+    finals = [e for e in ev if "final" in e]
+    assert len(finals) == 1 and isinstance(finals[0]["final"], list)
