@@ -123,6 +123,9 @@ def main() -> None:
     p.add_argument("--write-arpa", help="export the estimated LM (trigram if "
                                         "--trigram-rescore, else bigram) as "
                                         "an ARPA file")
+    p.add_argument("--ci", action="store_true",
+                   help="report a bootstrap 95%% confidence interval for "
+                        "the corpus WER (utterance resampling, 1000 reps)")
     p.add_argument("--lattice-out", metavar="FILE",
                    help="write the word lattices as a text archive "
                         "(mogasr.decoder.lattice.write_lattices; exact "
@@ -564,6 +567,11 @@ def main() -> None:
         wer, counts = corpus_wer(refs, hyps)
         rec.update(wer=wer, sub=counts.substitutions, dels=counts.deletions,
                    ins=counts.insertions)
+        if args.ci:
+            from mogasr.eval.wer import wer_bootstrap_ci
+
+            _w, lo, hi = wer_bootstrap_ci(refs, hyps)
+            rec.update(wer_ci95=[round(lo, 4), round(hi, 4)])
     elif any(refs) and args.mode == "phone":
         # phone error rate: expand reference words to phones (no silences)
         phone_refs = [

@@ -133,3 +133,32 @@ def corpus_wer(
 
 def per_utt_wer(refs, hyps) -> List[float]:
     return [edit_counts(list(r), list(h)).wer for r, h in zip(refs, hyps)]
+
+
+def wer_bootstrap_ci(
+    refs: Sequence[Sequence[str]],
+    hyps: Sequence[Sequence[str]],
+    n_boot: int = 1000,
+    confidence: float = 0.95,
+    seed: int = 0,
+) -> Tuple[float, float, float]:
+    """Bootstrap confidence interval for corpus WER (Bisani & Ney 2004):
+    resample UTTERANCES with replacement, recompute the ratio of summed
+    errors to summed reference words per replicate, take the percentile
+    interval. Returns (wer, lo, hi). Per-utterance counts are computed once;
+    replicates are vectorized sums, so n_boot=1000 costs ~nothing beyond
+    the scoring pass itself."""
+    assert len(refs) == len(hyps), (len(refs), len(hyps))
+    per_utt = _batch_edit_counts_native(refs, hyps)
+    if per_utt is None:
+        per_utt = [edit_counts(list(r), list(h)) for r, h in zip(refs, hyps)]
+    errs = np.asarray([c.errors for c in per_utt], np.float64)
+    words = np.asarray([max(c.ref_words, 0) for c in per_utt], np.float64)
+    wer = float(errs.sum() / max(words.sum(), 1.0))
+    rng = np.random.default_rng(seed)
+    n = len(per_utt)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    boot = errs[idx].sum(axis=1) / np.maximum(words[idx].sum(axis=1), 1.0)
+    alpha = (1.0 - confidence) / 2.0
+    lo, hi = np.quantile(boot, [alpha, 1.0 - alpha])
+    return wer, float(lo), float(hi)

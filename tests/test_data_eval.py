@@ -93,3 +93,29 @@ def test_corpus_wer():
     assert counts.ref_words == 5
     assert counts.deletions == 1
     np.testing.assert_allclose(wer, 0.2)
+
+
+def test_wer_bootstrap_ci_properties():
+    import numpy as np
+
+    from mogasr.eval.wer import corpus_wer, wer_bootstrap_ci
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(20)]
+    refs, hyps = [], []
+    for _ in range(60):
+        r = [words[int(rng.integers(0, 20))] for _ in range(6)]
+        h = list(r)
+        if rng.random() < 0.5:
+            h[int(rng.integers(0, 6))] = "xx"  # one substitution half the time
+        refs.append(r)
+        hyps.append(h)
+    wer, _counts = corpus_wer(refs, hyps)
+    w2, lo, hi = wer_bootstrap_ci(refs, hyps, n_boot=500, seed=1)
+    assert abs(w2 - wer) < 1e-12
+    assert lo <= wer <= hi
+    assert 0.0 < hi - lo < 0.2  # a real, non-degenerate interval
+    # deterministic given the seed
+    assert wer_bootstrap_ci(refs, hyps, n_boot=500, seed=1) == (w2, lo, hi)
+    # perfect hypotheses -> degenerate zero interval
+    assert wer_bootstrap_ci(refs, refs, n_boot=50) == (0.0, 0.0, 0.0)
