@@ -123,6 +123,9 @@ def main() -> None:
     p.add_argument("--write-arpa", help="export the estimated LM (trigram if "
                                         "--trigram-rescore, else bigram) as "
                                         "an ARPA file")
+    p.add_argument("--errors-out", metavar="FILE",
+                   help="write an sclite-style error report: per-utterance "
+                        "REF/HYP alignments + top confusion pairs")
     p.add_argument("--ci", action="store_true",
                    help="report a bootstrap 95%% confidence interval for "
                         "the corpus WER (utterance resampling, 1000 reps)")
@@ -572,6 +575,11 @@ def main() -> None:
 
             _w, lo, hi = wer_bootstrap_ci(refs, hyps)
             rec.update(wer_ci95=[round(lo, 4), round(hi, 4)])
+        if args.errors_out:
+            from mogasr.eval.wer import error_report
+
+            with open(args.errors_out, "w") as f:
+                f.write(error_report(refs, hyps, ids))
     elif any(refs) and args.mode == "phone":
         # phone error rate: expand reference words to phones (no silences)
         phone_refs = [

@@ -119,3 +119,40 @@ def test_wer_bootstrap_ci_properties():
     assert wer_bootstrap_ci(refs, hyps, n_boot=500, seed=1) == (w2, lo, hi)
     # perfect hypotheses -> degenerate zero interval
     assert wer_bootstrap_ci(refs, refs, n_boot=50) == (0.0, 0.0, 0.0)
+
+
+def test_align_words_and_error_report():
+    from mogasr.eval.wer import align_words, edit_counts, error_report
+
+    ref = ["the", "cat", "sat", "down"]
+    hyp = ["the", "bat", "sat", "here", "down"]
+    ali = align_words(ref, hyp)
+    ops = [o for o, _r, _h in ali]
+    c = edit_counts(ref, hyp)
+    # op counts agree with the counting DP
+    assert ops.count("sub") == c.substitutions
+    assert ops.count("del") == c.deletions
+    assert ops.count("ins") == c.insertions
+    # reading the ref/hyp sides back reconstructs the originals
+    assert [r for _o, r, _h in ali if r is not None] == ref
+    assert [h for _o, _r, h in ali if h is not None] == hyp
+
+    rep = error_report([ref], [hyp], ids=["u1"])
+    assert "id: u1" in rep and "REF:" in rep and "HYP:" in rep
+    assert "CAT -> BAT".lower() in rep.lower()
+    assert "TOTAL wer" in rep
+
+
+def test_error_report_cli(tmp_path, monkeypatch):
+    from cli import decode
+    from tests.test_cli import run_cli
+
+    out = str(tmp_path / "errs.txt")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--errors-out", out],
+        monkeypatch,
+    )
+    rep = open(out).read()
+    assert rep.count("REF:") == 3 and "TOTAL wer" in rep
