@@ -404,6 +404,24 @@ def test_transcribe_cli_ctc(tmp_path, monkeypatch):
             assert 0.0 <= c <= 1.0
 
 
+def test_train_rnnt_mwer_cli(tmp_path, monkeypatch):
+    """train_nn --objective rnnt --mwer-steps: the transducer MWER
+    fine-tune phase runs and logs its criterion."""
+    from cli import train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt", "--mwer-steps", "2"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "mwer_done"]
+    assert done and done[0]["steps"] == 2
+    assert np.isfinite(done[0]["expected_risk_last"])
+
+
 def test_transcribe_cli_aed(tmp_path, monkeypatch):
     """Long-audio transcription with the AED family: VAD segments ->
     per-segment attention beam decode, segment timestamps (no word times)."""
