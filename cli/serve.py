@@ -82,6 +82,15 @@ def main() -> None:
                         "prefix beam; one phrase per line)")
     p.add_argument("--bias-weight", type=float, default=2.0)
     p.add_argument("--bias-beam", type=int, default=8)
+    p.add_argument("--aed", action="store_true",
+                   help="serve a chunked streaming AED (train_nn --objective "
+                        "aed --aed-chunk): CTC-greedy partials per chunk, "
+                        "exact attention-beam final (requires --nn-ckpt; "
+                        "phone output, or words with --bpe)")
+    p.add_argument("--aed-chunk", type=int, default=8)
+    p.add_argument("--aed-left-chunks", type=int, default=1)
+    p.add_argument("--aed-beam", type=int, default=4)
+    p.add_argument("--aed-ctc-weight", type=float, default=0.3)
     p.add_argument("--synthetic-demo-session", action="store_true",
                    help="self-test: synthesize one utterance and drive a "
                         "session through the protocol instead of stdin")
@@ -97,7 +106,84 @@ def main() -> None:
         word_insertion_penalty=args.insertion_penalty,
     )
     logger = make_logger(args)
-    if args.ctc:
+    if args.aed and args.ctc:
+        raise SystemExit("--aed and --ctc are different serving models")
+    if args.aed:
+        import jax
+
+        from mogasr.am import aed as A
+        from mogasr.am.ctc import CtcStreamDecoder
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--aed requires --nn-ckpt")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            n_units = bpe.n_units
+        else:
+            bpe = None
+            n_units = lex.n_phones
+        tcfg = TrainConfig(nn_hidden=args.nn_hidden, nn_layers=args.nn_layers)
+        aed_model = A.build_aed_model(
+            n_units, tcfg, chunk_frames=args.aed_chunk,
+            left_chunks=args.aed_left_chunks,
+        )
+        template = {
+            "params": A.init_aed_train_state(
+                aed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+            ).params,
+        }
+        aed_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        aed_step = A.make_aed_stream_step(aed_model, aed_params)
+        raw_per = 4 * args.aed_chunk
+
+        def to_text(units):
+            return bpe.decode(units) if bpe else [lex.phones[u] for u in units]
+
+        def make_session():
+            s = _Session(
+                StreamingFrontend(fcfg),
+                CtcStreamDecoder(blank_id=n_units, mode="greedy"),
+            )
+            s.enc_state = A.aed_stream_init(aed_model, 1, fcfg.feat_dim)
+            s.buf = np.zeros((0, fcfg.feat_dim), np.float32)
+            s.all_feats = []
+            return s
+
+        def feed(s, feats):
+            s.all_feats.append(feats)
+            s.buf = np.concatenate([s.buf, feats], axis=0)
+            while s.buf.shape[0] >= raw_per:
+                _e, ctc_logits, s.enc_state = aed_step(
+                    jnp.asarray(s.buf[None, :raw_per]), s.enc_state
+                )
+                s.decoder.step(np.asarray(
+                    jax.nn.log_softmax(ctc_logits[0], axis=-1)
+                ))
+                s.buf = s.buf[raw_per:]
+
+        def partial_words(s):
+            return to_text(s.decoder.partial())
+
+        def final_words(s):
+            # exact attention finalization over the full utterance (the
+            # chunk-masked offline encoder equals the streamed prefix)
+            fa = (np.concatenate(s.all_feats, axis=0)
+                  if s.all_feats else s.buf)
+            if fa.shape[0] == 0:
+                return []
+            seqs = A.aed_decode_batch(
+                aed_model, aed_params, jnp.asarray(fa[None]),
+                jnp.asarray([fa.shape[0]], np.int32),
+                beam=args.aed_beam,
+                max_tokens=max(8, 2 + fa.shape[0] // 4),
+                ctc_weight=args.aed_ctc_weight,
+            )
+            return to_text(seqs[0])
+    elif args.ctc:
         import jax
 
         from mogasr.am.ctc import CtcStreamDecoder

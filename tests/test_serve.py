@@ -122,3 +122,41 @@ def test_serve_ctc_bpe_session(tmp_path, monkeypatch, capsys):
     assert any("partial" in e for e in ev)
     finals = [e for e in ev if "final" in e]
     assert len(finals) == 1 and isinstance(finals[0]["final"], list)
+
+
+def test_serve_aed_session(tmp_path, monkeypatch, capsys):
+    """--aed serving: chunked streaming Conformer sessions — CTC-greedy
+    partials per chunk, exact attention-beam final."""
+    from cli import serve, train_nn
+    from mogasr.data.synthetic import make_corpus
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "32", "--layers", "1", "--steps", "6",
+         "--objective", "aed", "--aed-chunk", "4"],
+        monkeypatch,
+    )
+    capsys.readouterr()
+    utt = make_corpus(1, words_per_utt=(2, 2), seed=5)[0]
+    chunk = 4000
+    lines = [{"type": "start", "session": "s"}]
+    for i in range(0, len(utt.wave), chunk):
+        lines.append({"type": "audio", "session": "s",
+                      "pcm": utt.wave[i : i + chunk].tolist()})
+    lines += [{"type": "end", "session": "s"}, {"type": "shutdown"}]
+    stdin = io.StringIO("\n".join(json.dumps(l) for l in lines) + "\n")
+    monkeypatch.setattr(sys, "stdin", stdin)
+    run_cli(
+        serve,
+        ["--run-dir", str(tmp_path / "run2"), "--aed",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--nn-hidden", "32", "--nn-layers", "1", "--aed-chunk", "4",
+         "--aed-beam", "2"],
+        monkeypatch,
+    )
+    ev = _events(capsys)
+    assert ev[0] == {"session": "s", "event": "ready"}
+    assert any("partial" in e for e in ev)
+    finals = [e for e in ev if "final" in e]
+    assert len(finals) == 1 and isinstance(finals[0]["final"], list)
