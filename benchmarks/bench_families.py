@@ -156,11 +156,22 @@ def main() -> None:
         feats, nf = fe(w, ns)
         return aed_decode(feats, nf)
 
+    # ctc_conformer: same CTC decode path with the MXU-friendly ConformerAm
+    # encoder (attention+conv GEMMs at T/4) instead of the scan-bound LSTM
+    conf_model = build_model("conformer", lex.n_phones + 1, tcfg)
+    conf_params = conf_model.init(
+        jax.random.key(4), jnp.zeros((2, 8, fcfg.feat_dim)), jnp.asarray([8, 8]))
+
+    def run_ctc_conformer(w, ns, fe):
+        feats, nf = fe(w, ns)
+        return conf_model.apply(conf_params, feats, nf), nf
+
     families = [
         ("gmm", run_gmm, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
         ("ctc", run_ctc, "collapse"),
+        ("ctc_conformer", run_ctc_conformer, "collapse"),
         ("rnnt", run_rnnt, None),
         ("aed", run_aed, None),
     ]
@@ -187,6 +198,52 @@ def main() -> None:
         })
         print(f"  {name}: {rows[-1]['utts_per_sec']} utt/s "
               f"rtf {rows[-1]['rtf']}  [{time.time()-t_start:.0f}s]", flush=True)
+
+    # aed_stream: the chunk-incremental streaming path — the metric that
+    # matters here is PER-CHUNK STEP LATENCY (64 concurrent streams, one
+    # dispatch per 320 ms audio chunk), not batch utt/s: the stream steps
+    # are serialized by their carried state, so wall time = n_chunks x
+    # (dispatch + step). Also reported as realtime_streams_per_chip =
+    # concurrent streams sustainable at real time.
+    from mogasr.am.aed import (
+        aed_stream_init, build_aed_model as _bam, make_aed_stream_step,
+    )
+
+    saed_model = _bam(lex.n_phones, tcfg, chunk_frames=8)
+    saed_params = init_aed_train_state(
+        saed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(4)).params
+    saed_step = make_aed_stream_step(saed_model, saed_params)
+    w, ns, fe = prepared[0]
+    feats, _nf = fe(w, ns)
+    B, T = feats.shape[0], feats.shape[1]
+    raw_per = 4 * 8
+    n_chunks = T // raw_per
+    feats = jax.block_until_ready(feats[:, : n_chunks * raw_per])
+
+    def run_stream():
+        st = aed_stream_init(saed_model, batch=B, n_feats=fcfg.feat_dim)
+        outs = []
+        for c in range(n_chunks):
+            e, l, st = saed_step(feats[:, c * raw_per : (c + 1) * raw_per], st)
+            outs.append(l)
+        jax.block_until_ready(outs)
+
+    run_stream()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        run_stream()
+    dt = (time.perf_counter() - t0) / args.reps
+    chunk_audio_s = raw_per * fcfg.frame_shift / fcfg.sample_rate
+    rows.append({
+        "family": "aed_stream",
+        "concurrent_streams": B,
+        "chunk_audio_ms": round(1000 * chunk_audio_s, 1),
+        "chunk_step_ms": round(1000 * dt / n_chunks, 2),
+        "realtime_streams_per_chip": round(B * chunk_audio_s * n_chunks / dt, 1),
+    })
+    print(f"  aed_stream: {rows[-1]['chunk_step_ms']} ms/chunk-step, "
+          f"{rows[-1]['realtime_streams_per_chip']} realtime streams "
+          f"[{time.time()-t_start:.0f}s]", flush=True)
 
     out = {
         "n_utts": args.n_utts,
