@@ -1,0 +1,205 @@
+"""Serving throughput: naive per-session dispatch vs the batched engine.
+
+Measures how many REALTIME AUDIO STREAMS one chip sustains in streaming
+recognition (the serving metric that matters for deployment):
+
+- naive: cli/serve.py per-session mode — every audio chunk costs its own
+  synchronized batch-1 dispatch chain through the tunnel (~27-30 ms,
+  docs/TPU_NOTES.md), so the ceiling is ~1/dispatch_latency streams no
+  matter how small the model.
+- engine: mogasr.serving.engine.BatchedSessionEngine — ONE dispatch chain
+  per tick advances every live session together.
+
+Methodology (docs/TPU_NOTES.md): multi-second epochs, full session
+lifecycle included (start, ragged ticks, end, drain, finalize), median of
+epochs. Decode decisions are irrelevant to speed, so the engine runs the
+trained headline GMM (1168x16x39) with sliding CMVN (streaming-compatible;
+the bundle's offline per-utterance CMVN is acausal).
+
+    python benchmarks/bench_serve.py --capacity 64 --ticks 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BUNDLE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "headline")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results_serve.json")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--capacity", type=int, default=64)
+    p.add_argument("--tick-frames", type=int, default=24)
+    p.add_argument("--utt-seconds", type=float, default=12.0,
+                   help="audio per session per epoch")
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--naive-chunks", type=int, default=40,
+                   help="0.24 s chunks for the per-session reference")
+    p.add_argument("--partial-every", type=int, default=8,
+                   help="emit a partial for every live session every K ticks "
+                        "(host backtrace cost is part of serving)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke runs; numbers invalid)")
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mogasr import pipeline as pipe
+    from mogasr.config import DecodeConfig
+    from mogasr.data import synthetic as syn
+    from mogasr.decoder.online import OnlineDecoder
+    from mogasr.frontend.streaming import StreamingFrontend
+    from mogasr.hmm import graph as gr
+    from mogasr.serving.engine import BatchedSessionEngine
+
+    if os.path.exists(os.path.join(BUNDLE_DIR, "system.json")):
+        from mogasr.hmm import triphone as tri
+        from mogasr.utils.bundle import load_system
+
+        gmm, topo, fcfg0, tied, meta = load_system(BUNDLE_DIR)
+        graph = tri.word_loop_graph_cd(tied, insertion_penalty=2.0)
+        word_lex = {w: list(topo.lexicon.prons[w]) for w in topo.lexicon.words}
+    else:  # hermetic fallback: random GMM at headline scale
+        from cli.score import load_or_random_gmm
+        from mogasr.config import FrontendConfig, TopologyConfig
+        from mogasr.hmm.lexicon import synthetic_lexicon
+        from mogasr.hmm.topology import build_topology
+
+        fcfg0 = FrontendConfig()
+        lex = synthetic_lexicon()
+        topo = build_topology(lex, TopologyConfig())
+        ns = argparse.Namespace(gmm_ckpt=None, num_states=topo.n_pdfs,
+                                num_components=8)
+        gmm = load_or_random_gmm(ns, fcfg0.feat_dim)
+        graph = pipe.word_decode_graph(
+            lex, topo, DecodeConfig(word_insertion_penalty=2.0))
+        word_lex = None
+
+    fcfg = dataclasses.replace(fcfg0, cmvn="sliding", cmvn_window=600)
+    dcfg = DecodeConfig(acoustic_scale=1.0, word_insertion_penalty=2.0)
+    S, K, D = gmm.means.shape
+
+    def score_fn(feats):
+        return pipe.score_batch(feats, gmm)
+
+    sr = fcfg.sample_rate
+    hop = fcfg.frame_shift
+    tick_samples = args.tick_frames * hop
+    # per-session audio: synthetic speech, one distinct wave per slot
+    n_tick = int(args.utt_seconds * sr) // tick_samples
+    rng = np.random.default_rng(7)
+    waves = []
+    for b in range(args.capacity):
+        w = np.concatenate([
+            u.wave for u in syn.make_corpus(
+                4, words_per_utt=(4, 7), seed=100 + b)
+        ])
+        reps = int(np.ceil(n_tick * tick_samples / len(w)))
+        waves.append(np.tile(w, reps)[: n_tick * tick_samples]
+                     .astype(np.float32))
+
+    # ---------------- engine epochs ----------------
+    def run_epoch(eng) -> int:
+        sids = [f"s{e}" for e in range(args.capacity)]
+        for sid in sids:
+            assert eng.start(sid)
+        for t in range(n_tick):
+            for b, sid in enumerate(sids):
+                eng.feed(sid, waves[b][t * tick_samples:(t + 1) * tick_samples])
+            eng.tick()
+            if args.partial_every and (t + 1) % args.partial_every == 0:
+                deltas = np.asarray(eng.delta)
+                for sid in sids:
+                    eng.partial(sid, delta_np=deltas)
+        for sid in sids:
+            eng.end(sid)
+        for sid in sids:
+            eng.run_to_drain(sid)
+        return eng.frames_decoded
+
+    eng = BatchedSessionEngine(graph, score_fn, fcfg, dcfg,
+                               capacity=args.capacity,
+                               tick_frames=args.tick_frames)
+    print(f"warmup (compiles: spectral [{args.capacity * args.tick_frames},"
+          f"{fcfg.frame_length}], score [{args.capacity},{args.tick_frames},"
+          f"{D}] on {S}x{K}, viterbi J={eng.J}) ...", flush=True)
+    t0 = time.perf_counter()
+    run_epoch(eng)
+    print(f"  warmup epoch: {time.perf_counter() - t0:.1f} s", flush=True)
+
+    epoch_rates = []
+    for e in range(args.epochs):
+        base = eng.frames_decoded
+        t0 = time.perf_counter()
+        total = run_epoch(eng)
+        dt = time.perf_counter() - t0
+        frames = total - base
+        epoch_rates.append(frames / dt)
+        print(f"  epoch {e}: {frames} frames / {dt:.2f} s = "
+              f"{frames / dt:.0f} frames/s", flush=True)
+    eng_fps = statistics.median(epoch_rates)
+    frames_per_rt_stream = sr / hop  # 100 frames per second of audio
+    eng_streams = eng_fps / frames_per_rt_stream
+
+    # ---------------- naive per-session reference ----------------
+    graphs1 = {k: jnp.asarray(v) for k, v in gr.batch_graphs([graph]).items()}
+
+    def naive_chunk_loop(n_chunks: int) -> float:
+        fe = StreamingFrontend(fcfg)
+        dec = OnlineDecoder(graphs1, acoustic_scale=dcfg.acoustic_scale)
+        w = waves[0]
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            feats = fe.process(w[i * tick_samples:(i + 1) * tick_samples])
+            if feats.size:
+                dec.process(
+                    pipe.score_batch(jnp.asarray(feats[None]), gmm),
+                    np.asarray([feats.shape[0]]),
+                )
+                np.asarray(dec.delta)   # serve emits a partial per chunk
+        return time.perf_counter() - t0
+
+    naive_chunk_loop(4)  # warmup
+    dt = naive_chunk_loop(args.naive_chunks)
+    naive_streams = (args.naive_chunks * tick_samples / sr) / dt
+
+    row = {
+        "metric": "serving_realtime_streams_per_chip",
+        "engine_streams_realtime": round(eng_streams, 1),
+        "naive_streams_realtime": round(naive_streams, 2),
+        "speedup": round(eng_streams / naive_streams, 1),
+        "engine_frames_per_sec": round(eng_fps, 1),
+        "epoch_frames_per_sec": [round(r, 1) for r in epoch_rates],
+        "capacity": args.capacity,
+        "tick_frames": args.tick_frames,
+        "partial_every": args.partial_every,
+        "utt_seconds": args.utt_seconds,
+        "gmm": f"{S}x{K}x{D}",
+        "backend": jax.default_backend(),
+        "note": "streams = frames/s / 100; lifecycle (start/end/drain/"
+                "finalize) and periodic partial backtraces included; "
+                "sliding CMVN (streaming-compatible)",
+    }
+    with open(OUT, "w") as f:
+        json.dump(row, f, indent=1)
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

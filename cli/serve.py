@@ -26,6 +26,7 @@ Responses (one JSON object per line on stdout):
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import sys
 
@@ -50,6 +51,122 @@ class _Session:
         self.samples = 0
 
 
+def _read_batches(stream):
+    """Yield batches of input lines: one blocking readline, then greedily
+    drain whatever is already buffered (select() on real files; test
+    StringIO streams just go line-at-a-time). Batching lets the engine
+    advance MANY sessions per tick instead of ticking per event."""
+    import select
+
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        lines = [line]
+        try:
+            fd = stream.fileno()
+            while select.select([fd], [], [], 0)[0]:
+                more = stream.readline()
+                if not more:
+                    break
+                lines.append(more)
+        except (OSError, ValueError, AttributeError, io.UnsupportedOperation):
+            pass
+        yield lines
+
+
+def _run_engine_loop(args, eng, fcfg, logger, batches=None):
+    """Batched-engine server: apply a batch of events, ONE tick for all
+    sessions, emit partials for sessions that got audio, drain endings."""
+    import numpy as np
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
+    if batches is None:
+        if args.synthetic_demo_session:
+            from mogasr.data.synthetic import make_corpus
+
+            utt = make_corpus(1, words_per_utt=(2, 3), seed=7)[0]
+            chunk = fcfg.sample_rate // 4
+            evs = [{"type": "start", "session": "demo"}]
+            evs += [
+                {"type": "audio", "session": "demo",
+                 "pcm": utt.wave[i : i + chunk].tolist()}
+                for i in range(0, len(utt.wave), chunk)
+            ]
+            evs.append({"type": "end", "session": "demo"})
+            batches = ([json.dumps(e)] for e in evs)
+        else:
+            batches = _read_batches(sys.stdin)
+
+    for lines in batches:
+        fed = []
+        ending = []
+        shutdown = False
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError as e:
+                emit({"error": f"bad json: {e}"})
+                continue
+            typ = ev.get("type")
+            if typ == "shutdown":
+                shutdown = True
+                break
+            sid = ev.get("session")
+            if sid is None:
+                emit({"error": "missing session id"})
+            elif typ == "start":
+                if eng.has(sid):
+                    emit({"session": sid, "error": "session exists"})
+                elif not eng.start(sid):
+                    emit({"session": sid, "error": "too many sessions"})
+                else:
+                    emit({"session": sid, "event": "ready"})
+            elif typ == "audio":
+                if not eng.has(sid):
+                    emit({"session": sid, "error": "no such session"})
+                else:
+                    eng.feed(sid, np.asarray(ev.get("pcm", []), np.float32))
+                    fed.append(sid)
+            elif typ == "end":
+                if not eng.has(sid):
+                    emit({"session": sid, "error": "no such session"})
+                else:
+                    eng.end(sid)
+                    ending.append(sid)
+            else:
+                emit({"session": sid, "error": f"unknown type {typ!r}"})
+        eng.tick()
+        if fed:
+            deltas = np.asarray(eng.delta)
+            for sid in dict.fromkeys(fed):          # de-dup, keep order
+                if eng.has(sid):                    # not ended in same batch
+                    emit({
+                        "session": sid,
+                        "partial": eng.partial(sid, delta_np=deltas),
+                        "t_audio_s": round(eng.audio_seconds(sid), 2),
+                    })
+        while ending:
+            for sid in list(ending):
+                if eng.drained(sid):
+                    audio_s = eng.audio_seconds(sid)
+                    words, _ = eng.finalize(sid)
+                    emit({"session": sid, "final": words,
+                          "audio_s": round(audio_s, 2)})
+                    logger.log({"stage": "serve_final", "session": sid,
+                                "audio_s": round(audio_s, 2), "words": words})
+                    ending.remove(sid)
+            if ending:
+                eng.tick()
+        if shutdown:
+            return
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -69,6 +186,15 @@ def main() -> None:
     p.add_argument("--cmvn-window", type=int, default=600)
     p.add_argument("--max-sessions", type=int, default=64,
                    help="reject starts beyond this many live sessions")
+    p.add_argument("--engine", action="store_true",
+                   help="batched session engine (GMM family): ONE device "
+                        "dispatch chain per tick advances ALL live sessions "
+                        "instead of per-session batch-1 dispatches — the "
+                        "TPU-native serving mode (mogasr.serving.engine)")
+    p.add_argument("--engine-capacity", type=int, default=16,
+                   help="engine slot count (= max concurrent sessions)")
+    p.add_argument("--tick-frames", type=int, default=24,
+                   help="frames advanced per session per engine tick")
     p.add_argument("--ctc", action="store_true",
                    help="serve a BPE-CTC neural model instead of the GMM: "
                         "stateful LSTM chunks -> streaming prefix/greedy "
@@ -108,6 +234,8 @@ def main() -> None:
     logger = make_logger(args)
     if args.aed and args.ctc:
         raise SystemExit("--aed and --ctc are different serving models")
+    if args.engine and (args.aed or args.ctc):
+        raise SystemExit("--engine currently serves the GMM family only")
     if args.aed:
         import jax
 
@@ -244,6 +372,17 @@ def main() -> None:
 
         def final_words(s):
             return bpe.decode(s.decoder.finalize())
+    elif args.engine:
+        from mogasr.serving.engine import BatchedSessionEngine
+
+        gmm = load_or_random_gmm(args, fcfg.feat_dim)
+        graph = word_decode_graph(lex, topo, dcfg)
+        eng = BatchedSessionEngine(
+            graph, lambda feats: score_batch(feats, gmm), fcfg, dcfg,
+            capacity=args.engine_capacity, tick_frames=args.tick_frames,
+        )
+        _run_engine_loop(args, eng, fcfg, logger)
+        return
     else:
         gmm = load_or_random_gmm(args, fcfg.feat_dim)
         graph = word_decode_graph(lex, topo, dcfg)

@@ -98,13 +98,21 @@ class StreamingFrontend:
     def _lag(self) -> int:
         return self.cfg.delta_order * self.cfg.delta_window
 
-    def _consume_frames(self) -> None:
-        """Turn buffered samples into base feature frames."""
+    def _frame_pending(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Host half of frame extraction: framing + pre-emphasis (+ energy).
+
+        Returns (frames [t, frame_length] float32, energy [t] float32 or
+        None) and advances the sample buffer — WITHOUT running the spectral
+        kernel. Used by the batched session engine
+        (mogasr.serving.engine), which runs ONE kernel dispatch for many
+        sessions' frames; `_consume_frames` below is the single-session
+        path that applies the kernel immediately.
+        """
         cfg = self.cfg
         L, H = cfg.frame_length, cfg.frame_shift
         n = len(self._buf)
         if n < L:
-            return
+            return np.zeros((0, L), np.float32), None
         t = (n - L) // H + 1
         idx = np.arange(t)[:, None] * H + np.arange(L)[None, :]
         raw = self._buf[idx]
@@ -129,7 +137,29 @@ class StreamingFrontend:
             energy = np.log(
                 np.maximum((raw32 * raw32).sum(-1), cfg.log_floor)
             ).astype(np.float32)
+        # drop consumed samples; keep from start of next frame, minus one
+        # sample of pre-emphasis history
+        next_start = t * H
+        self._prev_sample = float(self._buf[next_start - 1])
+        self._buf = self._buf[next_start:]
+        self._first = False
+        return frames.astype(np.float32), energy
 
+    def _absorb_base(self, out: np.ndarray) -> None:
+        """Append spectral-kernel output rows (base features) to the rolling
+        buffer. `out` is the kernel applied to `_frame_pending` frames, with
+        the energy column already substituted when cfg.use_energy."""
+        if out.shape[0] == 0:
+            return
+        self._base_buf = np.concatenate([self._base_buf, out])
+        self._t_avail += out.shape[0]
+
+    def _consume_frames(self) -> None:
+        """Turn buffered samples into base feature frames (single-session
+        path: framing on host, spectral kernel applied per block)."""
+        frames, energy = self._frame_pending()
+        t = frames.shape[0]
+        L = self.cfg.frame_length
         for i in range(0, t, self.chunk_frames):
             block = frames[i : i + self.chunk_frames]
             nb = block.shape[0]
@@ -139,14 +169,7 @@ class StreamingFrontend:
             if energy is not None:
                 out = out.copy()
                 out[:, 0] = energy[i : i + nb]
-            self._base_buf = np.concatenate([self._base_buf, out])
-            self._t_avail += nb
-        # drop consumed samples; keep from start of next frame, minus one
-        # sample of pre-emphasis history
-        next_start = t * H
-        self._prev_sample = float(self._buf[next_start - 1])
-        self._buf = self._buf[next_start:]
-        self._first = False
+            self._absorb_base(out)
 
     def _deltas_ready(self, t_ready: int, final: bool) -> np.ndarray:
         """Final features for frames [emitted, t_ready) with full context.
@@ -209,8 +232,7 @@ class StreamingFrontend:
             else allf[:0]
         return norm.astype(np.float32)
 
-    def process(self, samples: np.ndarray) -> np.ndarray:
-        """Feed a chunk of audio; returns newly-final [n, feat_dim] features."""
+    def _buffer_samples(self, samples: np.ndarray) -> None:
         samples = np.asarray(samples, np.float64)
         if self.cfg.dither != 0.0 and len(samples):
             # same deterministic position-keyed stream as offline/oracle
@@ -219,8 +241,40 @@ class StreamingFrontend:
             )
         self._n_in += len(samples)
         self._buf = np.concatenate([self._buf, samples])
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        """Feed a chunk of audio; returns newly-final [n, feat_dim] features."""
+        self._buffer_samples(samples)
         self._consume_frames()
         return self._deltas_ready(max(self._t_avail - self._lag, 0), final=False)
+
+    # ---- batched-engine path (mogasr.serving.engine) -------------------
+    # The engine runs ONE spectral-kernel dispatch for MANY sessions, so the
+    # per-session object only does the host half (framing / deltas / CMVN):
+    #   frames = fe.accept_samples(pcm)     # host framing; queue `frames`
+    #   ...engine batches frames of all sessions through the kernel...
+    #   feats = fe.absorb(base_rows)        # kernel rows back -> final feats
+    # Values are identical to process()/finalize() (tested).
+
+    def accept_samples(
+        self, samples: np.ndarray
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Host framing only: returns (pre-emphasized frames [t, frame_len],
+        energy [t] or None) for the shared batched spectral kernel."""
+        self._buffer_samples(samples)
+        return self._frame_pending()
+
+    def absorb(self, base_rows: np.ndarray) -> np.ndarray:
+        """Accept spectral-kernel output rows (energy column already
+        substituted by the caller when cfg.use_energy); returns newly-final
+        [n, feat_dim] features."""
+        self._absorb_base(np.asarray(base_rows, np.float32))
+        return self._deltas_ready(max(self._t_avail - self._lag, 0), final=False)
+
+    def finalize_absorbed(self) -> np.ndarray:
+        """Engine finalize: every accept_samples() frame must have been
+        absorb()ed; flushes the delta-lag tail with edge replication."""
+        return self._deltas_ready(self._t_avail, final=True)
 
     def finalize(self) -> np.ndarray:
         """Flush remaining frames with end-of-utterance edge replication."""

@@ -160,3 +160,91 @@ def test_serve_aed_session(tmp_path, monkeypatch, capsys):
     assert any("partial" in e for e in ev)
     finals = [e for e in ev if "final" in e]
     assert len(finals) == 1 and isinstance(finals[0]["final"], list)
+
+
+def test_serve_engine_demo_session(tmp_path, monkeypatch, capsys):
+    """--engine demo: the batched session engine speaks the same protocol."""
+    from cli import serve
+
+    run_cli(
+        serve,
+        ["--synthetic-demo-session", "--engine", "--engine-capacity", "4",
+         "--run-dir", str(tmp_path / "run")],
+        monkeypatch,
+    )
+    ev = _events(capsys)
+    assert ev[0] == {"session": "demo", "event": "ready"}
+    partials = [e for e in ev if "partial" in e]
+    finals = [e for e in ev if "final" in e]
+    assert len(partials) >= 3 and len(finals) == 1
+    ts = [e["t_audio_s"] for e in partials]
+    assert ts == sorted(ts)
+
+
+def test_serve_engine_interleaved_matches_per_session(tmp_path, monkeypatch,
+                                                      capsys):
+    """Engine mode vs per-session mode on identical interleaved event
+    streams: SAME finals (the engine batches dispatches, not semantics),
+    and protocol errors still fire."""
+    from cli import serve
+    from mogasr.data.synthetic import make_corpus
+
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=9)
+    chunk = 4000
+    lines = [
+        {"type": "start", "session": "a"},
+        {"type": "start", "session": "a"},          # duplicate -> error
+        {"type": "start", "session": "b"},
+        {"type": "audio", "session": "ghost", "pcm": [0.0] * 10},  # error
+    ]
+    ca = [utts[0].wave[i : i + chunk] for i in range(0, len(utts[0].wave), chunk)]
+    cb = [utts[1].wave[i : i + chunk] for i in range(0, len(utts[1].wave), chunk)]
+    for i in range(max(len(ca), len(cb))):
+        if i < len(ca):
+            lines.append({"type": "audio", "session": "a",
+                          "pcm": ca[i].tolist()})
+        if i < len(cb):
+            lines.append({"type": "audio", "session": "b",
+                          "pcm": cb[i].tolist()})
+    lines += [
+        {"type": "end", "session": "a"},
+        {"type": "end", "session": "b"},
+        {"type": "shutdown"},
+    ]
+    text = "\n".join(json.dumps(l) for l in lines) + "\n"
+
+    finals = {}
+    for mode, argv in [
+        ("plain", ["--run-dir", str(tmp_path / "r1")]),
+        ("engine", ["--run-dir", str(tmp_path / "r2"),
+                    "--engine", "--engine-capacity", "4"]),
+    ]:
+        monkeypatch.setattr(sys, "stdin", io.StringIO(text))
+        run_cli(serve, argv, monkeypatch)
+        ev = _events(capsys)
+        finals[mode] = {e["session"]: e["final"] for e in ev if "final" in e}
+        errors = [e for e in ev if "error" in e]
+        assert any(e.get("session") == "a" and "exists" in e["error"]
+                   for e in errors), mode
+        assert any(e.get("session") == "ghost" for e in errors), mode
+        for sid in ("a", "b"):
+            ts = [e["t_audio_s"] for e in ev if e.get("session") == sid
+                  and "partial" in e]
+            assert ts == sorted(ts) and len(ts) >= 2, mode
+    assert set(finals["plain"]) == {"a", "b"}
+    assert finals["engine"] == finals["plain"]
+
+
+def test_serve_engine_rejects_neural_families(tmp_path, monkeypatch):
+    from cli import serve
+
+    for extra in (["--ctc"], ["--aed"]):
+        monkeypatch.setattr(sys, "argv",
+                            ["prog", "--engine", *extra,
+                             "--run-dir", str(tmp_path / "run")])
+        try:
+            serve.main()
+        except SystemExit as e:
+            assert "engine" in str(e)
+        else:
+            raise AssertionError("expected SystemExit")
