@@ -51,6 +51,8 @@ def main() -> None:
                         "(host backtrace cost is part of serving)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs; numbers invalid)")
+    p.add_argument("--skip-ctc", action="store_true",
+                   help="skip the neural-CTC engine row")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -124,9 +126,7 @@ def main() -> None:
                 eng.feed(sid, waves[b][t * tick_samples:(t + 1) * tick_samples])
             eng.tick()
             if args.partial_every and (t + 1) % args.partial_every == 0:
-                deltas = np.asarray(eng.delta)
-                for sid in sids:
-                    eng.partial(sid, delta_np=deltas)
+                eng.partials(sids)
         for sid in sids:
             eng.end(sid)
         for sid in sids:
@@ -179,8 +179,49 @@ def main() -> None:
     dt = naive_chunk_loop(args.naive_chunks)
     naive_streams = (args.naive_chunks * tick_samples / sr) / dt
 
+    # ---------------- neural CTC engine (production-size LSTM) ----------
+    ctc_row = None
+    if not args.skip_ctc:
+        from mogasr.am.ctc import CtcStreamDecoder
+        from mogasr.am.neural import LstmAmStream, lstm_stream_init
+        from mogasr.serving.engine import BatchedCtcEngine
+
+        V = 301   # ~300 BPE units + blank; decode speed is weight-independent
+        stream = LstmAmStream(n_pdfs=V, hidden=512, layers=2)
+        params = stream.init(
+            jax.random.key(0), jnp.zeros((1, 4, fcfg.feat_dim)),
+            lstm_stream_init(stream, 1, fcfg.feat_dim),
+        )
+
+        def make_ctc_engine():
+            return BatchedCtcEngine(
+                stream, params,
+                lambda: CtcStreamDecoder(blank_id=V - 1, mode="greedy"),
+                lstm_stream_init(stream, args.capacity, fcfg.feat_dim),
+                fcfg, capacity=args.capacity, tick_frames=args.tick_frames,
+            )
+
+        ceng = make_ctc_engine()
+        print("warmup ctc engine ...", flush=True)
+        run_epoch(ceng)
+        rates = []
+        for e in range(args.epochs):
+            base = ceng.frames_decoded
+            t0 = time.perf_counter()
+            total = run_epoch(ceng)
+            dt = time.perf_counter() - t0
+            rates.append((total - base) / dt)
+            print(f"  ctc epoch {e}: {rates[-1]:.0f} frames/s", flush=True)
+        ctc_fps = statistics.median(rates)
+        ctc_row = {
+            "streams_realtime": round(ctc_fps / (sr / hop), 1),
+            "frames_per_sec": round(ctc_fps, 1),
+            "model": f"lstm h=512 L=2 V={V} greedy",
+        }
+
     row = {
         "metric": "serving_realtime_streams_per_chip",
+        "ctc_engine": ctc_row,
         "engine_streams_realtime": round(eng_streams, 1),
         "naive_streams_realtime": round(naive_streams, 2),
         "speedup": round(eng_streams / naive_streams, 1),

@@ -75,10 +75,14 @@ def _read_batches(stream):
         yield lines
 
 
-def _run_engine_loop(args, eng, fcfg, logger, batches=None):
+def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
     """Batched-engine server: apply a batch of events, ONE tick for all
-    sessions, emit partials for sessions that got audio, drain endings."""
+    sessions, emit partials for sessions that got audio, drain endings.
+    to_text maps an engine hypothesis (words or unit ids) to output words."""
     import numpy as np
+
+    if to_text is None:
+        to_text = lambda toks: toks
 
     def emit(obj):
         print(json.dumps(obj), flush=True)
@@ -143,19 +147,21 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None):
                 emit({"session": sid, "error": f"unknown type {typ!r}"})
         eng.tick()
         if fed:
-            deltas = np.asarray(eng.delta)
-            for sid in dict.fromkeys(fed):          # de-dup, keep order
-                if eng.has(sid):                    # not ended in same batch
-                    emit({
-                        "session": sid,
-                        "partial": eng.partial(sid, delta_np=deltas),
-                        "t_audio_s": round(eng.audio_seconds(sid), 2),
-                    })
+            # de-dup, keep order; skip any ended in the same batch
+            sids = [s for s in dict.fromkeys(fed) if eng.has(s)]
+            parts = eng.partials(sids)
+            for sid in sids:
+                emit({
+                    "session": sid,
+                    "partial": to_text(parts[sid]),
+                    "t_audio_s": round(eng.audio_seconds(sid), 2),
+                })
         while ending:
             for sid in list(ending):
                 if eng.drained(sid):
                     audio_s = eng.audio_seconds(sid)
                     words, _ = eng.finalize(sid)
+                    words = to_text(words)
                     emit({"session": sid, "final": words,
                           "audio_s": round(audio_s, 2)})
                     logger.log({"stage": "serve_final", "session": sid,
@@ -234,8 +240,9 @@ def main() -> None:
     logger = make_logger(args)
     if args.aed and args.ctc:
         raise SystemExit("--aed and --ctc are different serving models")
-    if args.engine and (args.aed or args.ctc):
-        raise SystemExit("--engine currently serves the GMM family only")
+    if args.engine and args.aed:
+        raise SystemExit("--engine serves the GMM and CTC families "
+                         "(streaming AED keeps per-session encoder caches)")
     if args.aed:
         import jax
 
@@ -357,6 +364,19 @@ def main() -> None:
                     ext_score=biaser.score,
                 )
             return CtcStreamDecoder(blank_id=V - 1, mode="greedy")
+
+        if args.engine:
+            from mogasr.serving.engine import BatchedCtcEngine
+
+            eng = BatchedCtcEngine(
+                stream_model, nn_params, new_decoder,
+                lstm_stream_init(nn_model, args.engine_capacity,
+                                 fcfg.feat_dim),
+                fcfg, capacity=args.engine_capacity,
+                tick_frames=args.tick_frames,
+            )
+            _run_engine_loop(args, eng, fcfg, logger, to_text=bpe.decode)
+            return
 
         def make_session():
             s = _Session(StreamingFrontend(fcfg), new_decoder())

@@ -83,12 +83,27 @@ class LstmAmStream(nn.Module):
     layers: int = 2
 
     @nn.compact
-    def __call__(self, feats: jax.Array, carries):
+    def __call__(self, feats: jax.Array, carries, n_valid=None):
+        """n_valid [B] (optional): per-stream valid frame counts — returned
+        carries are the state AT each stream's n_valid (frames beyond it do
+        not advance the carry; n_valid == 0 returns the carry UNCHANGED),
+        so ragged slot-batched serving (mogasr.serving.engine) stays exactly
+        chunking-invariant."""
         x = feats
         new_carries = []
         for l in range(self.layers):
             rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden))
-            carry, x = rnn(x, initial_carry=carries[l], return_carry=True)
+            carry, x = rnn(x, initial_carry=carries[l], return_carry=True,
+                           seq_lengths=n_valid)
+            if n_valid is not None:
+                # flax's seq_lengths path does NOT preserve the initial
+                # carry for rows with length 0 (verified) — restore them so
+                # idle slots are true no-ops
+                live = n_valid > 0
+                carry = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(live[:, None], new, old),
+                    carry, carries[l],
+                )
             new_carries.append(carry)
         return nn.Dense(self.n_pdfs)(x), new_carries
 

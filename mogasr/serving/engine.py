@@ -1,4 +1,4 @@
-"""Batched streaming session engine: ONE device dispatch chain per tick for
+"""Batched streaming session engines: ONE device dispatch chain per tick for
 ALL live sessions.
 
 BASELINE.json configs[4] is the streaming/serving shape. The naive server
@@ -9,9 +9,8 @@ streams REGARDLESS of available compute. TPU-native serving amortizes the
 dispatch: sessions live in slots of fixed ``[B, ...]`` device state and one
 ``tick()`` advances every live session together:
 
-    tick:  [B,F,L] spectral GEMMs  ->  [B,F,S] acoustic scores
-           ->  [B,F,J] Viterbi chunk scan
-           (async dispatches, ~one host round-trip per tick)
+    tick:  [B,F,L] spectral GEMMs  ->  [B,F,·] acoustic stage
+           ->  decode stage        (async dispatches, ~one host sync/tick)
 
 The decode dispatch consumes features finalized by the PREVIOUS tick's
 spectral dispatch, so the two device stages of a tick overlap and the host
@@ -19,13 +18,20 @@ blocks roughly once per tick instead of once per stage (the host must see
 base features between the stages to run the exact delta/CMVN lag
 bookkeeping of StreamingFrontend).
 
-Exactness: a session's features, partials, and final words are identical to
-a dedicated ``StreamingFrontend`` + ``OnlineDecoder`` pair (tested in
-tests/test_serving_engine.py) — batching changes WHEN work is dispatched,
-never what is computed. Ragged arrival is handled with per-slot valid-frame
-counts (masked inside the shared Viterbi scan) and per-slot backpointer
-histories: under ragged feeding a slot's frames are NOT contiguous rows of
-a global history, so each slot keeps its own.
+Two families share the slot scaffolding (`_BaseSlotEngine`):
+
+- ``BatchedSessionEngine``  — GMM/hybrid + shared-graph Viterbi (exact,
+  word-loop decoding; per-slot backpointer histories);
+- ``BatchedCtcEngine``      — stateful LSTM + CTC streaming decode (masked
+  LSTM carries: frames beyond a slot's valid count do not advance state).
+
+Exactness: a session's features, partials, and final results are identical
+to a dedicated per-session pipeline (tests/test_serving_engine.py) —
+batching changes WHEN work is dispatched, never what is computed. Ragged
+arrival is handled with per-slot valid-frame counts (masked inside the
+shared device scan) and per-slot host state: under ragged feeding a slot's
+frames are NOT contiguous rows of any global history, so each slot keeps
+its own.
 """
 
 from __future__ import annotations
@@ -43,14 +49,6 @@ from mogasr.frontend.streaming import StreamingFrontend, _chunk_kernel
 from mogasr.hmm import graph as gr
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _reset_slots(delta: jax.Array, started: jax.Array, mask: jax.Array):
-    """Clear decoder state for freed slots (applied before the next scan)."""
-    delta = jnp.where(mask[:, None], NEG_INF, delta)
-    started = started & ~mask
-    return delta, started
-
-
 class _Slot:
     """Host-side per-session state. Device state lives in the engine's
     shared [B, ...] arrays at this slot's row."""
@@ -60,63 +58,35 @@ class _Slot:
         self.pend_frames = np.zeros((0, frame_len), np.float32)
         self.pend_energy: Optional[np.ndarray] = None
         self.feat_q = np.zeros((0, feat_dim), np.float32)
-        self.bp_hist: List[np.ndarray] = []     # each [k, J] uint8
-        self.exit_hist: List[np.ndarray] = []   # each [k] int32
         self.n_frames = 0
         self.samples = 0
         self.finishing = False   # end() called: flush tail when frames drain
         self.flushed = False     # finalize_absorbed() has run
 
 
-class BatchedSessionEngine:
-    """Fixed-capacity slot-batched streaming recognizer (GMM/hybrid family).
-
-    graph:    ONE shared decode loop graph (e.g. pipeline.word_decode_graph)
-    score_fn: stateless scorer [B, F, D] -> [B, F, S] (e.g. a closure over
-              pipeline.score_batch and a GmmSet, or a jitted MLP apply)
-    fcfg:     front-end config (streaming-compatible: snip_edges, and cmvn in
-              {none, global, sliding})
-    """
+class _BaseSlotEngine:
+    """Slot/session lifecycle + the batched spectral stage, shared by the
+    decode families. Subclasses implement the decode stage hooks."""
 
     def __init__(
         self,
-        graph,
-        score_fn: Callable[[jax.Array], jax.Array],
         fcfg: FrontendConfig,
-        dcfg: Optional[DecodeConfig] = None,
         capacity: int = 16,
         tick_frames: int = 24,
-        beam: float = 0.0,
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
     ):
-        dcfg = dcfg or DecodeConfig()
-        self.graph = graph
-        self.score_fn = score_fn
         self.fcfg = fcfg
-        self.acoustic_scale = float(dcfg.acoustic_scale)
-        self.beam = float(beam)
         self.capacity = int(capacity)
         self.tick_frames = int(tick_frames)
         self.cmvn_mean = cmvn_mean
         self.cmvn_istd = cmvn_istd
-
-        B = self.capacity
-        self.graphs = {
-            k: jnp.asarray(v) for k, v in gr.batch_graphs([graph] * B).items()
-            if k != "labels"
-        }
-        self.J = int(self.graphs["emit_id"].shape[1])
-        self.delta = jnp.full((B, self.J), NEG_INF)
-        self.started = jnp.zeros((B,), bool)
         # batched spectral kernel: [B*F, frame_len] through the same fused
         # GEMM chain as the single-session streamer (one compile)
-        self._spec = _chunk_kernel(fcfg, B * self.tick_frames)
-
-        self.slots: List[Optional[_Slot]] = [None] * B
+        self._spec = _chunk_kernel(fcfg, self.capacity * self.tick_frames)
+        self.slots: List[Optional[_Slot]] = [None] * self.capacity
         self._sid_to_slot: Dict[object, int] = {}
-        self._reset_pending = np.zeros(B, bool)
-        # decode stage inputs staged from the previous tick (see tick())
+        self._reset_pending = np.zeros(self.capacity, bool)
         self.ticks = 0
         self.frames_decoded = 0
 
@@ -147,6 +117,7 @@ class BatchedSessionEngine:
         )
         self.slots[b] = _Slot(fe, self.fcfg.frame_length, self.fcfg.feat_dim)
         self._sid_to_slot[sid] = b
+        self._init_slot(b)
         return True
 
     def feed(self, sid, pcm: np.ndarray) -> None:
@@ -178,12 +149,50 @@ class BatchedSessionEngine:
         s = self.slots[self._sid_to_slot[sid]]
         return s.flushed and len(s.feat_q) == 0
 
+    def _release(self, sid) -> _Slot:
+        b = self._sid_to_slot.pop(sid)
+        s = self.slots[b]
+        self.slots[b] = None
+        self._reset_pending[b] = True
+        return s
+
+    def run_to_drain(self, sid):
+        """Convenience: tick until sid's frames drain, then finalize."""
+        while not self.drained(sid):
+            self.tick()
+        return self.finalize(sid)
+
+    def partials(self, sids) -> Dict[object, list]:
+        """Best-so-far hypotheses for many sessions (overridden where one
+        shared device pull can serve them all)."""
+        return {sid: self.partial(sid) for sid in sids}
+
+    # ---- family hooks ----------------------------------------------------
+
+    def _init_slot(self, b: int) -> None:
+        """Per-slot decode state for a new session (host side)."""
+
+    def _apply_resets(self, mask: np.ndarray) -> None:
+        """Clear device decode state for freed slots (before the next scan)."""
+        raise NotImplementedError
+
+    def _dispatch_decode(self, feats: np.ndarray, n_valid: np.ndarray):
+        """Issue the decode-stage device work; return an opaque handle."""
+        raise NotImplementedError
+
+    def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
+        """Pull decode-stage results; update per-slot host state."""
+        raise NotImplementedError
+
+    def finalize(self, sid):
+        raise NotImplementedError
+
     # ---- the batched tick ----------------------------------------------
 
     def tick(self) -> None:
-        """Advance every live session: one spectral dispatch over all slots'
-        pending frames, one score+decode dispatch over all slots' finalized
-        features. Dispatches are issued before any host pull so the device
+        """Advance every live session: one decode dispatch over all slots'
+        finalized features, one spectral dispatch over all slots' pending
+        frames. Dispatches are issued before any host pull so the device
         pipelines them; the host blocks ~once."""
         B, F = self.capacity, self.tick_frames
         L, D = self.fcfg.frame_length, self.fcfg.feat_dim
@@ -198,22 +207,14 @@ class BatchedSessionEngine:
             n = min(len(s.feat_q), F)
             feats[b, :n] = s.feat_q[:n]
             n_valid[b] = n
-        decode_live = bool(n_valid.any())
         if self._reset_pending.any():
-            self.delta, self.started = _reset_slots(
-                self.delta, self.started, jnp.asarray(self._reset_pending)
-            )
+            self._apply_resets(self._reset_pending.copy())
             self._reset_pending[:] = False
-        if decode_live:
-            scores = self.score_fn(jnp.asarray(feats))
-            self.delta, self.started, bps, exit_args = _chunk_step(
-                self.delta, self.started, scores, jnp.asarray(n_valid),
-                self.graphs, self.acoustic_scale, self.beam,
-            )
+        handle = (self._dispatch_decode(feats, n_valid)
+                  if n_valid.any() else None)
 
         # --- spectral stage over pending (pre-emphasized) frames
         nfr = np.zeros(B, np.int32)
-        spec_live = False
         fr = None
         for b, s in enumerate(self.slots):
             if s is None or len(s.pend_frames) == 0:
@@ -223,26 +224,22 @@ class BatchedSessionEngine:
             n = min(len(s.pend_frames), F)
             fr[b, :n] = s.pend_frames[:n]
             nfr[b] = n
-            spec_live = True
-        if spec_live:
+        if fr is not None:
             base = np.asarray(
                 self._spec(jnp.asarray(fr.reshape(B * F, L)))
             ).reshape(B, F, -1)
 
         # --- host pulls + bookkeeping (device now runs both stages)
-        if decode_live:
-            bps_np = np.asarray(bps)          # [F, B, J] — the tick's sync
-            exits_np = np.asarray(exit_args)  # [F, B]
+        if handle is not None:
+            self._absorb_decode(handle, n_valid)
             for b, s in enumerate(self.slots):
                 n = int(n_valid[b])
                 if n == 0:
                     continue
-                s.bp_hist.append(bps_np[:n, b].copy())
-                s.exit_hist.append(exits_np[:n, b].copy())
                 s.n_frames += n
                 s.feat_q = s.feat_q[n:]
                 self.frames_decoded += n
-        if spec_live:
+        if fr is not None:
             for b, s in enumerate(self.slots):
                 n = int(nfr[b])
                 if n == 0:
@@ -263,20 +260,96 @@ class BatchedSessionEngine:
                     s.flushed = True
         self.ticks += 1
 
-    # ---- results ----------------------------------------------------------
 
-    def _slot_backtrace(self, s: _Slot, j_last: int):
-        n = s.n_frames
+# ---------------------------------------------------------------------------
+# GMM / hybrid family: shared-graph exact Viterbi
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _reset_viterbi(delta: jax.Array, started: jax.Array, mask: jax.Array):
+    delta = jnp.where(mask[:, None], NEG_INF, delta)
+    started = started & ~mask
+    return delta, started
+
+
+class BatchedSessionEngine(_BaseSlotEngine):
+    """Slot-batched streaming recognizer, GMM/hybrid family.
+
+    graph:    ONE shared decode loop graph (e.g. pipeline.word_decode_graph)
+    score_fn: stateless scorer [B, F, D] -> [B, F, S] (e.g. a closure over
+              pipeline.score_batch and a GmmSet, or a jitted MLP apply)
+    fcfg:     front-end config (streaming-compatible: snip_edges, and cmvn
+              in {none, global, sliding})
+    """
+
+    def __init__(
+        self,
+        graph,
+        score_fn: Callable[[jax.Array], jax.Array],
+        fcfg: FrontendConfig,
+        dcfg: Optional[DecodeConfig] = None,
+        capacity: int = 16,
+        tick_frames: int = 24,
+        beam: float = 0.0,
+        cmvn_mean: Optional[np.ndarray] = None,
+        cmvn_istd: Optional[np.ndarray] = None,
+    ):
+        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
+        dcfg = dcfg or DecodeConfig()
+        self.graph = graph
+        self.score_fn = score_fn
+        self.acoustic_scale = float(dcfg.acoustic_scale)
+        self.beam = float(beam)
+        B = self.capacity
+        self.graphs = {
+            k: jnp.asarray(v) for k, v in gr.batch_graphs([graph] * B).items()
+        }
+        self.J = int(self.graphs["emit_id"].shape[1])
+        self.delta = jnp.full((B, self.J), NEG_INF)
+        self.started = jnp.zeros((B,), bool)
+        # per-slot backpointer histories, indexed by slot row
+        self._bp_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
+        self._exit_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
+
+    # -- hooks --
+
+    def _init_slot(self, b: int) -> None:
+        self._bp_hist[b] = []
+        self._exit_hist[b] = []
+
+    def _apply_resets(self, mask: np.ndarray) -> None:
+        self.delta, self.started = _reset_viterbi(
+            self.delta, self.started, jnp.asarray(mask)
+        )
+
+    def _dispatch_decode(self, feats: np.ndarray, n_valid: np.ndarray):
+        scores = self.score_fn(jnp.asarray(feats))
+        self.delta, self.started, bps, exit_args = _chunk_step(
+            self.delta, self.started, scores, jnp.asarray(n_valid),
+            self.graphs, self.acoustic_scale, self.beam,
+        )
+        return bps, exit_args
+
+    def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
+        bps, exit_args = handle
+        bps_np = np.asarray(bps)          # [F, B, J] — the tick's sync
+        exits_np = np.asarray(exit_args)  # [F, B]
+        for b in range(self.capacity):
+            n = int(n_valid[b])
+            if n == 0:
+                continue
+            self._bp_hist[b].append(bps_np[:n, b].copy())
+            self._exit_hist[b].append(exits_np[:n, b].copy())
+
+    # -- results --
+
+    def _slot_backtrace(self, b: int, n: int, j_last: int):
         path = np.full(n, -1, np.int64)
         entered = np.zeros(n, bool)
         if n == 0:
             return path, entered
-        bps = np.concatenate(s.bp_hist) if s.bp_hist else np.zeros(
-            (0, self.J), np.uint8
-        )
-        exits = np.concatenate(s.exit_hist) if s.exit_hist else np.zeros(
-            0, np.int32
-        )
+        bps = np.concatenate(self._bp_hist[b])
+        exits = np.concatenate(self._exit_hist[b])
         j = int(j_last)
         for t in range(n - 1, 0, -1):
             path[t] = j
@@ -315,8 +388,16 @@ class BatchedSessionEngine:
             return []
         row = (delta_np[b] if delta_np is not None
                else np.asarray(self.delta[b]))
-        path, entered = self._slot_backtrace(s, int(row.argmax()))
+        path, entered = self._slot_backtrace(b, s.n_frames, int(row.argmax()))
         return self._words_of(path, entered)
+
+    def partials(self, sids) -> Dict[object, list]:
+        """Partials for many sessions with ONE [B, J] delta pull."""
+        sids = list(sids)
+        if not sids:
+            return {}
+        deltas = np.asarray(self.delta)
+        return {sid: self.partial(sid, delta_np=deltas) for sid in sids}
 
     def finalize(self, sid) -> Tuple[List[str], float]:
         """Exact final result (applies final_logp); frees the slot.
@@ -330,15 +411,97 @@ class BatchedSessionEngine:
         else:
             final = (np.asarray(self.delta[b])
                      + np.asarray(self.graphs["final_logp"][b]))
-            path, entered = self._slot_backtrace(s, int(final.argmax()))
+            path, entered = self._slot_backtrace(
+                b, s.n_frames, int(final.argmax()))
             words = self._words_of(path, entered)
-        self.slots[b] = None
-        del self._sid_to_slot[sid]
-        self._reset_pending[b] = True
+        self._release(sid)
         return words, audio_s
 
-    def run_to_drain(self, sid) -> Tuple[List[str], float]:
-        """Convenience: tick until sid's frames drain, then finalize."""
-        while not self.drained(sid):
-            self.tick()
-        return self.finalize(sid)
+
+# ---------------------------------------------------------------------------
+# Neural CTC family: stateful LSTM + streaming CTC decode
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _reset_carries(carries, mask: jax.Array):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.where(
+            mask.reshape((-1,) + (1,) * (x.ndim - 1)), 0.0, x
+        ),
+        carries,
+    )
+
+
+class BatchedCtcEngine(_BaseSlotEngine):
+    """Slot-batched streaming recognizer, neural CTC family (cli/serve.py
+    --ctc): stateful LSTM chunks scored for ALL sessions in one dispatch
+    (ragged slots via masked carries — LstmAmStream(n_valid)), then per-slot
+    host CTC streaming decode (greedy or prefix beam, optional biasing).
+
+    stream_model: am.neural.LstmAmStream (parameters of the OFFLINE LstmAm)
+    make_decoder: () -> am.ctc.CtcStreamDecoder (greedy/beam/biased)
+    init_carries: [B]-batched zero carries (am.neural.lstm_stream_init)
+    """
+
+    def __init__(
+        self,
+        stream_model,
+        params,
+        make_decoder: Callable[[], object],
+        init_carries,
+        fcfg: FrontendConfig,
+        capacity: int = 16,
+        tick_frames: int = 24,
+        cmvn_mean: Optional[np.ndarray] = None,
+        cmvn_istd: Optional[np.ndarray] = None,
+    ):
+        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
+        self.make_decoder = make_decoder
+        self.carries = init_carries
+        self._decoders: List[Optional[object]] = [None] * self.capacity
+
+        @jax.jit
+        def _step(carries, feats, n_valid):
+            logits, new_carries = stream_model.apply(
+                params, feats, carries, n_valid
+            )
+            return jax.nn.log_softmax(logits, axis=-1), new_carries
+
+        self._step = _step
+
+    # -- hooks --
+
+    def _init_slot(self, b: int) -> None:
+        self._decoders[b] = self.make_decoder()
+
+    def _apply_resets(self, mask: np.ndarray) -> None:
+        self.carries = _reset_carries(self.carries, jnp.asarray(mask))
+
+    def _dispatch_decode(self, feats: np.ndarray, n_valid: np.ndarray):
+        logp, self.carries = self._step(
+            self.carries, jnp.asarray(feats), jnp.asarray(n_valid)
+        )
+        return logp
+
+    def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
+        logp = np.asarray(handle)   # [B, F, V] — the tick's sync
+        for b in range(self.capacity):
+            n = int(n_valid[b])
+            if n:
+                self._decoders[b].step(logp[b, :n])
+
+    # -- results --
+
+    def partial(self, sid) -> List[int]:
+        """Best-so-far unit ids (host-only; no device pull)."""
+        return list(self._decoders[self._sid_to_slot[sid]].partial())
+
+    def finalize(self, sid) -> Tuple[List[int], float]:
+        b = self._sid_to_slot[sid]
+        s = self.slots[b]
+        assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+        audio_s = s.samples / self.fcfg.sample_rate
+        units = list(self._decoders[b].finalize())
+        self._decoders[b] = None
+        self._release(sid)
+        return units, audio_s

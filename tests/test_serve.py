@@ -235,16 +235,64 @@ def test_serve_engine_interleaved_matches_per_session(tmp_path, monkeypatch,
     assert finals["engine"] == finals["plain"]
 
 
-def test_serve_engine_rejects_neural_families(tmp_path, monkeypatch):
+def test_serve_engine_rejects_aed(tmp_path, monkeypatch):
     from cli import serve
 
-    for extra in (["--ctc"], ["--aed"]):
-        monkeypatch.setattr(sys, "argv",
-                            ["prog", "--engine", *extra,
-                             "--run-dir", str(tmp_path / "run")])
-        try:
-            serve.main()
-        except SystemExit as e:
-            assert "engine" in str(e)
-        else:
-            raise AssertionError("expected SystemExit")
+    monkeypatch.setattr(sys, "argv",
+                        ["prog", "--engine", "--aed",
+                         "--run-dir", str(tmp_path / "run")])
+    try:
+        serve.main()
+    except SystemExit as e:
+        assert "engine" in str(e)
+    else:
+        raise AssertionError("expected SystemExit")
+
+
+def test_serve_engine_ctc_matches_per_session(tmp_path, monkeypatch, capsys):
+    """--engine --ctc: the batched CTC engine speaks the protocol and its
+    finals equal the per-session --ctc server on the same event stream."""
+    from cli import serve, train_nn
+    from mogasr.data.synthetic import make_corpus
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "ctc", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    capsys.readouterr()  # drop training output
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=3)
+    chunk = 4000
+    lines = [{"type": "start", "session": "a"},
+             {"type": "start", "session": "b"}]
+    ca = [utts[0].wave[i : i + chunk]
+          for i in range(0, len(utts[0].wave), chunk)]
+    cb = [utts[1].wave[i : i + chunk]
+          for i in range(0, len(utts[1].wave), chunk)]
+    for i in range(max(len(ca), len(cb))):
+        if i < len(ca):
+            lines.append({"type": "audio", "session": "a",
+                          "pcm": ca[i].tolist()})
+        if i < len(cb):
+            lines.append({"type": "audio", "session": "b",
+                          "pcm": cb[i].tolist()})
+    lines += [{"type": "end", "session": "a"},
+              {"type": "end", "session": "b"}, {"type": "shutdown"}]
+    text = "\n".join(json.dumps(l) for l in lines) + "\n"
+
+    common = ["--ctc", "--bpe", str(tmp_path / "run" / "bpe.json"),
+              "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_lstm"),
+              "--nn-hidden", "16", "--nn-layers", "2"]
+    finals = {}
+    for mode, extra in [("plain", []),
+                        ("engine", ["--engine", "--engine-capacity", "4"])]:
+        monkeypatch.setattr(sys, "stdin", io.StringIO(text))
+        run_cli(serve, ["--run-dir", str(tmp_path / f"r_{mode}")] + common
+                + extra, monkeypatch)
+        ev = _events(capsys)
+        finals[mode] = {e["session"]: e["final"] for e in ev if "final" in e}
+        assert any("partial" in e for e in ev), mode
+    assert set(finals["plain"]) == {"a", "b"}
+    assert finals["engine"] == finals["plain"]

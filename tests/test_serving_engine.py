@@ -144,3 +144,183 @@ def test_engine_rejects_duplicate_and_overflow(setup):
     assert eng.start("a") and eng.start("b")
     assert not eng.start("a")      # duplicate
     assert not eng.start("c")      # full
+
+
+def test_ctc_engine_matches_dedicated_sessions():
+    """Neural CTC family: 3 sessions through a capacity-2 BatchedCtcEngine
+    (slot reuse resets LSTM carries), ragged ticks — finals equal the
+    dedicated per-session stateful-LSTM + CtcStreamDecoder pipeline."""
+    import jax
+
+    from mogasr.am.ctc import CtcStreamDecoder
+    from mogasr.am.neural import LstmAmStream, lstm_stream_init
+    from mogasr.serving.engine import BatchedCtcEngine
+
+    fcfg = FrontendConfig(cmvn="sliding", cmvn_window=300)
+    V = 12   # 11 units + blank
+    stream = LstmAmStream(n_pdfs=V, hidden=16, layers=2)
+    c1 = lstm_stream_init(stream, 1, fcfg.feat_dim)
+    params = stream.init(
+        jax.random.key(0), jnp.zeros((1, 4, fcfg.feat_dim)), c1
+    )
+    utts = make_corpus(3, words_per_utt=(2, 3), seed=5)
+
+    def dedicated(wave, chunk=3100):
+        fe = StreamingFrontend(fcfg)
+        dec = CtcStreamDecoder(blank_id=V - 1, mode="greedy")
+        carries = lstm_stream_init(stream, 1, fcfg.feat_dim)
+        feats_list = [fe.process(wave[i : i + chunk])
+                      for i in range(0, len(wave), chunk)]
+        feats_list.append(fe.finalize())
+        for feats in feats_list:
+            if feats.size:
+                logits, carries = stream.apply(
+                    params, jnp.asarray(feats[None]), carries
+                )
+                dec.step(np.asarray(jax.nn.log_softmax(logits[0], axis=-1)))
+        return list(dec.finalize())
+
+    want = {u.utt_id: dedicated(u.wave) for u in utts}
+
+    eng = BatchedCtcEngine(
+        stream, params, lambda: CtcStreamDecoder(blank_id=V - 1, mode="greedy"),
+        lstm_stream_init(stream, 2, fcfg.feat_dim), fcfg,
+        capacity=2, tick_frames=16,
+    )
+    rng = np.random.default_rng(11)
+    pending = list(utts)
+    cursors, ended, got = {}, set(), {}
+    while len(got) < len(utts):
+        while pending and eng.n_live < eng.capacity:
+            u = pending.pop(0)
+            assert eng.start(u.utt_id)
+            cursors[u.utt_id] = 0
+        for u in utts:
+            sid = u.utt_id
+            if sid not in cursors or sid in ended or sid in got:
+                continue
+            off = cursors[sid]
+            if off >= len(u.wave):
+                eng.end(sid)
+                ended.add(sid)
+                continue
+            n = int(rng.integers(800, 4500))
+            eng.feed(sid, u.wave[off : off + n])
+            cursors[sid] = off + n
+        eng.tick()
+        for sid in list(ended):
+            if eng.drained(sid):
+                units, audio_s = eng.finalize(sid)
+                got[sid] = units
+                ended.discard(sid)
+    assert got == want
+    # partial() is host-only and well-formed
+    eng2 = BatchedCtcEngine(
+        stream, params, lambda: CtcStreamDecoder(blank_id=V - 1, mode="greedy"),
+        lstm_stream_init(stream, 2, fcfg.feat_dim), fcfg,
+        capacity=2, tick_frames=16,
+    )
+    assert eng2.start("s")
+    eng2.feed("s", utts[0].wave[:8000])
+    eng2.tick()
+    eng2.tick()
+    assert isinstance(eng2.partial("s"), list)
+
+
+def test_ctc_engine_idle_slots_preserve_carries():
+    """Regression: a live slot that decodes NOTHING in a tick (n_valid=0)
+    must keep its LSTM carry bit-for-bit (flax's seq_lengths=0 path corrupts
+    it without the explicit restore in LstmAmStream). Strict one-session-
+    per-batch interleaving guarantees idle decode rows."""
+    import jax
+
+    from mogasr.am.ctc import CtcStreamDecoder
+    from mogasr.am.neural import LstmAmStream, lstm_stream_init
+    from mogasr.serving.engine import BatchedCtcEngine
+
+    fcfg = FrontendConfig(cmvn="sliding", cmvn_window=300)
+    V = 12
+    stream = LstmAmStream(n_pdfs=V, hidden=16, layers=1)
+    params = stream.init(
+        jax.random.key(2), jnp.zeros((1, 4, fcfg.feat_dim)),
+        lstm_stream_init(stream, 1, fcfg.feat_dim),
+    )
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=13)
+
+    def dedicated(wave, chunk=4000):
+        fe = StreamingFrontend(fcfg)
+        dec = CtcStreamDecoder(blank_id=V - 1, mode="greedy")
+        carries = lstm_stream_init(stream, 1, fcfg.feat_dim)
+        chunks = [wave[i : i + chunk] for i in range(0, len(wave), chunk)]
+        for c in chunks:
+            feats = fe.process(c)
+            if feats.size:
+                logits, carries = stream.apply(
+                    params, jnp.asarray(feats[None]), carries)
+                dec.step(np.asarray(jax.nn.log_softmax(logits[0], axis=-1)))
+        feats = fe.finalize()
+        if feats.size:
+            logits, carries = stream.apply(
+                params, jnp.asarray(feats[None]), carries)
+            dec.step(np.asarray(jax.nn.log_softmax(logits[0], axis=-1)))
+        return list(dec.finalize())
+
+    want = {u.utt_id: dedicated(u.wave) for u in utts}
+
+    eng = BatchedCtcEngine(
+        stream, params, lambda: CtcStreamDecoder(blank_id=V - 1, mode="greedy"),
+        lstm_stream_init(stream, 4, fcfg.feat_dim), fcfg,
+        capacity=4, tick_frames=24,
+    )
+    chunk = 4000
+    for u in utts:
+        assert eng.start(u.utt_id)
+        eng.tick()
+    # STRICT interleave: one session's chunk per tick -> the other is idle
+    cs = {u.utt_id: [u.wave[i : i + chunk]
+                     for i in range(0, len(u.wave), chunk)] for u in utts}
+    i = 0
+    while any(cs.values()):
+        for u in utts:
+            if cs[u.utt_id]:
+                eng.feed(u.utt_id, cs[u.utt_id].pop(0))
+                eng.tick()
+                eng.tick()   # extra idle tick for every other session
+    got = {}
+    for u in utts:
+        eng.end(u.utt_id)
+        eng.tick()
+    for u in utts:
+        units, _ = eng.run_to_drain(u.utt_id)
+        got[u.utt_id] = units
+    assert got == want
+
+
+def test_lstm_stream_n_valid_zero_is_noop():
+    """LstmAmStream(n_valid=0) returns the carry UNCHANGED for that row."""
+    import jax
+
+    from mogasr.am.neural import LstmAmStream
+
+    D = 7
+    stream = LstmAmStream(n_pdfs=5, hidden=8, layers=2)
+    rng = np.random.default_rng(0)
+    carries = [
+        (jnp.asarray(rng.standard_normal((2, 8)), jnp.float32),
+         jnp.asarray(rng.standard_normal((2, 8)), jnp.float32))
+        for _ in range(2)
+    ]
+    x = jnp.asarray(rng.standard_normal((2, 4, D)), jnp.float32)
+    params = stream.init(jax.random.key(0), x, carries)
+    _logits, new_carries = stream.apply(
+        params, x, carries, jnp.asarray([0, 4]))
+    for l in range(2):
+        for part in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(new_carries[l][part][0]),
+                np.asarray(carries[l][part][0]),
+            )
+            assert not np.array_equal(
+                np.asarray(new_carries[l][part][1]),
+                np.asarray(carries[l][part][1]),
+            )
