@@ -53,6 +53,8 @@ def main() -> None:
                    help="force the CPU backend (smoke runs; numbers invalid)")
     p.add_argument("--skip-ctc", action="store_true",
                    help="skip the neural-CTC engine row")
+    p.add_argument("--skip-rnnt", action="store_true",
+                   help="skip the RNN-T engine row")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -219,9 +221,48 @@ def main() -> None:
             "model": f"lstm h=512 L=2 V={V} greedy",
         }
 
+    # ---------------- RNN-T engine (production-size transducer) ---------
+    rnnt_row = None
+    if not args.skip_rnnt:
+        from mogasr.am.rnnt import build_rnnt_model, init_rnnt_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.serving.engine import BatchedRnntEngine
+
+        V_RNNT = 300  # ~300 BPE units; greedy speed is weight-independent
+        tcfg = TrainConfig(nn_arch="lstm", nn_hidden=512, nn_layers=3)
+        rnnt_model = build_rnnt_model(V_RNNT, tcfg)
+        rnnt_params = init_rnnt_train_state(
+            rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(1)
+        ).params
+
+        def make_rnnt_engine():
+            return BatchedRnntEngine(
+                rnnt_model, rnnt_params, fcfg,
+                capacity=args.capacity, tick_frames=args.tick_frames,
+            )
+
+        reng = make_rnnt_engine()
+        print("warmup rnnt engine ...", flush=True)
+        run_epoch(reng)
+        rates = []
+        for e in range(args.epochs):
+            base = reng.frames_decoded
+            t0 = time.perf_counter()
+            total = run_epoch(reng)
+            dt = time.perf_counter() - t0
+            rates.append((total - base) / dt)
+            print(f"  rnnt epoch {e}: {rates[-1]:.0f} frames/s", flush=True)
+        rnnt_fps = statistics.median(rates)
+        rnnt_row = {
+            "streams_realtime": round(rnnt_fps / (sr / hop), 1),
+            "frames_per_sec": round(rnnt_fps, 1),
+            "model": f"lstm-enc h=512 L=2 V={V_RNNT} device-greedy",
+        }
+
     row = {
         "metric": "serving_realtime_streams_per_chip",
         "ctc_engine": ctc_row,
+        "rnnt_engine": rnnt_row,
         "engine_streams_realtime": round(eng_streams, 1),
         "naive_streams_realtime": round(naive_streams, 2),
         "speedup": round(eng_streams / naive_streams, 1),

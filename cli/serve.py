@@ -214,6 +214,21 @@ def main() -> None:
                         "prefix beam; one phrase per line)")
     p.add_argument("--bias-weight", type=float, default=2.0)
     p.add_argument("--bias-beam", type=int, default=8)
+    p.add_argument("--rnnt", action="store_true",
+                   help="serve a streaming RNN-T (train_nn --objective rnnt): "
+                        "stateful LSTM encoder chunks -> on-device greedy "
+                        "(requires --nn-ckpt; phone output, or words with "
+                        "--bpe)")
+    p.add_argument("--rnnt-pred", default="stateless",
+                   choices=["stateless", "lstm"],
+                   help="prediction-network architecture the checkpoint was "
+                        "trained with")
+    p.add_argument("--rnnt-plain", action="store_true",
+                   help="checkpoint trained WITHOUT the auxiliary CTC head")
+    p.add_argument("--max-symbols", type=int, default=400,
+                   help="with --rnnt (per-session mode): hypothesis-buffer "
+                        "cap per session; the --engine mode harvests every "
+                        "tick and has no session-length cap")
     p.add_argument("--aed", action="store_true",
                    help="serve a chunked streaming AED (train_nn --objective "
                         "aed --aed-chunk): CTC-greedy partials per chunk, "
@@ -238,10 +253,10 @@ def main() -> None:
         word_insertion_penalty=args.insertion_penalty,
     )
     logger = make_logger(args)
-    if args.aed and args.ctc:
-        raise SystemExit("--aed and --ctc are different serving models")
+    if sum((args.aed, args.ctc, args.rnnt)) > 1:
+        raise SystemExit("--aed/--ctc/--rnnt are different serving models")
     if args.engine and args.aed:
-        raise SystemExit("--engine serves the GMM and CTC families "
+        raise SystemExit("--engine serves the GMM, CTC and RNN-T families "
                          "(streaming AED keeps per-session encoder caches)")
     if args.aed:
         import jax
@@ -392,6 +407,81 @@ def main() -> None:
 
         def final_words(s):
             return bpe.decode(s.decoder.finalize())
+    elif args.rnnt:
+        import jax
+
+        from mogasr.am.rnnt import (
+            RnntDeviceStream,
+            build_rnnt_model,
+            init_rnnt_train_state,
+            make_rnnt_stream_shared,
+        )
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--rnnt requires --nn-ckpt (train_nn "
+                             "--objective rnnt)")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            n_units = bpe.n_units
+        else:
+            bpe = None
+            n_units = lex.n_phones
+        tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        rnnt_model = build_rnnt_model(
+            n_units, tcfg,
+            pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+        )
+        template = {
+            "params": init_rnnt_train_state(
+                rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+            ).params,
+        }
+        rnnt_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+
+        def to_text(units):
+            return bpe.decode(units) if bpe else [lex.phones[u] for u in units]
+
+        if args.engine:
+            from mogasr.serving.engine import BatchedRnntEngine
+
+            eng = BatchedRnntEngine(
+                rnnt_model, rnnt_params, fcfg,
+                capacity=args.engine_capacity,
+                tick_frames=args.tick_frames,
+            )
+            _run_engine_loop(args, eng, fcfg, logger, to_text=to_text)
+            return
+
+        # per-session mode: every session gets its own batch-1 stream, all
+        # sharing ONE set of jitted fns (no per-session recompiles)
+        shared = make_rnnt_stream_shared(
+            rnnt_model, rnnt_params, fcfg.feat_dim, u_cap=args.max_symbols
+        )
+
+        def make_session():
+            s = _Session(StreamingFrontend(fcfg), None)
+            s.stream = RnntDeviceStream(
+                rnnt_model, rnnt_params, 1, fcfg.feat_dim,
+                u_cap=args.max_symbols, shared=shared,
+            )
+            s.part = []
+            return s
+
+        def feed(s, feats):
+            s.part = s.stream.consume(
+                jnp.asarray(feats[None]), np.asarray([feats.shape[0]])
+            )
+
+        def partial_words(s):
+            return to_text(s.part[0]) if s.part else []
+
+        def final_words(s):
+            return to_text(s.part[0]) if s.part else []
     elif args.engine:
         from mogasr.serving.engine import BatchedSessionEngine
 

@@ -549,6 +549,27 @@ def _device_greedy_chunk_fn(model: RnntModel, u_cap: int, max_symbols_per_frame:
     return init_state, consume
 
 
+def make_rnnt_stream_shared(
+    model: RnntModel,
+    params,
+    feat_dim: int,
+    u_cap: int = 200,
+    max_symbols_per_frame: int = 4,
+):
+    """Jitted fns shared by MANY RnntDeviceStream instances.
+
+    A serving process creates one stream per session; without sharing, each
+    construction builds fresh jit closures and recompiles. Build this once
+    and pass it as ``RnntDeviceStream(..., shared=...)`` — every session
+    then reuses the same compiled encoder step and greedy scan.
+    """
+    enc_step, _ = make_rnnt_stream_encoder(model, params, 1, feat_dim)
+    init_state, consume = _device_greedy_chunk_fn(
+        model, int(u_cap), int(max_symbols_per_frame)
+    )
+    return enc_step, init_state, consume
+
+
 class RnntDeviceStream:
     """Online RNN-T: stateful encoder chunks -> chunk-resumable device greedy.
 
@@ -557,14 +578,19 @@ class RnntDeviceStream:
     """
 
     def __init__(self, model: RnntModel, params, batch: int, feat_dim: int,
-                 u_cap: int = 200, max_symbols_per_frame: int = 4):
+                 u_cap: int = 200, max_symbols_per_frame: int = 4,
+                 shared=None):
         self.params = params
-        self.enc_step, self.enc_carries = make_rnnt_stream_encoder(
-            model, params, batch, feat_dim
-        )
-        init_state, self.consume_fn = _device_greedy_chunk_fn(
-            model, int(u_cap), int(max_symbols_per_frame)
-        )
+        if shared is None:
+            self.enc_step, self.enc_carries = make_rnnt_stream_encoder(
+                model, params, batch, feat_dim
+            )
+            init_state, self.consume_fn = _device_greedy_chunk_fn(
+                model, int(u_cap), int(max_symbols_per_frame)
+            )
+        else:
+            self.enc_step, init_state, self.consume_fn = shared
+            self.enc_carries = _rnnt_stream_carries(model, batch, feat_dim)
         self.state = init_state(params, batch)
 
     def consume(self, feats_chunk: jax.Array, n_valid) -> List[List[int]]:
@@ -647,14 +673,13 @@ def make_rnnt_stream_encoder(model: RnntModel, params, batch: int, feat_dim: int
     param tree), so chunked outputs equal the offline encoder exactly and
     streaming greedy == offline greedy for any chunking (tested).
     """
-    from mogasr.am.neural import LstmAm, LstmAmStream, lstm_stream_init
+    from mogasr.am.neural import LstmAmStream
 
     assert model.encoder_arch == "lstm", "streaming needs the lstm encoder"
     layers = model.enc_layers
     stream = LstmAmStream(n_pdfs=model.enc_hidden, hidden=model.enc_hidden, layers=layers)
     enc_params = {"params": params["params"]["encoder"]}
-    offline = LstmAm(n_pdfs=model.enc_hidden, hidden=model.enc_hidden, layers=layers)
-    carries = lstm_stream_init(offline, batch, feat_dim)
+    carries = _rnnt_stream_carries(model, batch, feat_dim)
 
     @jax.jit
     def step(carries, feats):
@@ -662,6 +687,16 @@ def make_rnnt_stream_encoder(model: RnntModel, params, batch: int, feat_dim: int
         return new_carries, enc
 
     return step, carries
+
+
+def _rnnt_stream_carries(model: RnntModel, batch: int, feat_dim: int):
+    """Fresh zero encoder carries for one stream (shape matches the
+    streaming-encoder step returned by make_rnnt_stream_encoder)."""
+    from mogasr.am.neural import LstmAm, lstm_stream_init
+
+    offline = LstmAm(n_pdfs=model.enc_hidden, hidden=model.enc_hidden,
+                     layers=model.enc_layers)
+    return lstm_stream_init(offline, batch, feat_dim)
 
 
 def rnnt_beam_decode(

@@ -23,7 +23,13 @@ Two families share the slot scaffolding (`_BaseSlotEngine`):
 - ``BatchedSessionEngine``  — GMM/hybrid + shared-graph Viterbi (exact,
   word-loop decoding; per-slot backpointer histories);
 - ``BatchedCtcEngine``      — stateful LSTM + CTC streaming decode (masked
-  LSTM carries: frames beyond a slot's valid count do not advance state).
+  LSTM carries: frames beyond a slot's valid count do not advance state);
+- ``BatchedRnntEngine``     — stateful LSTM encoder + the chunk-resumable
+  on-device RNN-T greedy scan (am.rnnt._device_greedy_chunk_fn) carrying
+  every session's prediction-network state in shared ``[B, ...]`` rows;
+  the device hypothesis buffer is harvested to host EVERY tick, so its
+  static size only covers one tick's worst case and sessions can run
+  unboundedly long.
 
 Exactness: a session's features, partials, and final results are identical
 to a dedicated per-session pipeline (tests/test_serving_engine.py) —
@@ -503,5 +509,140 @@ class BatchedCtcEngine(_BaseSlotEngine):
         audio_s = s.samples / self.fcfg.sample_rate
         units = list(self._decoders[b].finalize())
         self._decoders[b] = None
+        self._release(sid)
+        return units, audio_s
+
+
+# ---------------------------------------------------------------------------
+# RNN-T family: stateful LSTM encoder + on-device chunk-resumable greedy
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _reset_rows(state, state0, mask: jax.Array):
+    """Restore freed slots' rows of a [B, ...] pytree to pristine values."""
+    return jax.tree_util.tree_map(
+        lambda cur, init: jnp.where(
+            mask.reshape((-1,) + (1,) * (cur.ndim - 1)), init, cur
+        ),
+        state, state0,
+    )
+
+
+@jax.jit
+def _clear_hyp(state):
+    """Empty the per-tick hypothesis buffer (symbols already harvested)."""
+    carry, pred, hyp, lens = state
+    return carry, pred, jnp.full_like(hyp, -1), jnp.zeros_like(lens)
+
+
+class BatchedRnntEngine(_BaseSlotEngine):
+    """Slot-batched streaming recognizer, RNN-T family (cli/serve.py --rnnt).
+
+    One tick = ONE stateful-LSTM encoder dispatch over all slots (masked
+    carries, as in the CTC family) + ONE chunk-resumable device greedy scan
+    (am.rnnt._device_greedy_chunk_fn) advancing every session's prediction
+    state together — frames at/after a slot's valid count are inert inside
+    the scan, so ragged arrival is exact.
+
+    Unlike the dedicated RnntDeviceStream (whose [B, u_cap] hypothesis
+    buffer caps a stream's TOTAL symbols), the engine harvests emitted
+    symbols to per-slot host lists every tick and clears the device buffer,
+    so its static size is exactly one tick's worst case
+    (tick_frames * max_symbols_per_frame) and sessions are unbounded.
+
+    model/params: am.rnnt.RnntModel (encoder_arch='lstm') + its checkpoint.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        fcfg: FrontendConfig,
+        capacity: int = 16,
+        tick_frames: int = 24,
+        max_symbols_per_frame: int = 4,
+        cmvn_mean: Optional[np.ndarray] = None,
+        cmvn_istd: Optional[np.ndarray] = None,
+    ):
+        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
+        from mogasr.am.neural import LstmAm, LstmAmStream, lstm_stream_init
+        from mogasr.am.rnnt import _device_greedy_chunk_fn
+
+        assert model.encoder_arch == "lstm", "streaming needs the lstm encoder"
+        B = self.capacity
+        self.params = params
+        # chunked stateful encoder reusing the OFFLINE encoder params
+        # (same construction as am.rnnt.make_rnnt_stream_encoder, plus the
+        # n_valid mask so idle/ragged slots do not advance their carries)
+        enc_stream = LstmAmStream(
+            n_pdfs=model.enc_hidden, hidden=model.enc_hidden,
+            layers=model.enc_layers,
+        )
+        enc_params = {"params": params["params"]["encoder"]}
+        offline = LstmAm(n_pdfs=model.enc_hidden, hidden=model.enc_hidden,
+                         layers=model.enc_layers)
+        self.enc_carries = lstm_stream_init(offline, B, fcfg.feat_dim)
+
+        @jax.jit
+        def _enc_step(carries, feats, n_valid):
+            enc, new_carries = enc_stream.apply(
+                enc_params, feats, carries, n_valid
+            )
+            return new_carries, enc
+
+        self._enc_step = _enc_step
+        u_cap = self.tick_frames * int(max_symbols_per_frame)
+        init_state, self._consume = _device_greedy_chunk_fn(
+            model, u_cap, int(max_symbols_per_frame)
+        )
+        self.dec_state = init_state(params, B)
+        # pristine rows (SOS-stepped carry/pred, empty buffer) for slot reset
+        self._dec_state0 = jax.tree_util.tree_map(jnp.copy, self.dec_state)
+        self._enc_carries0 = jax.tree_util.tree_map(jnp.copy, self.enc_carries)
+        self._units: List[List[int]] = [[] for _ in range(B)]
+
+    # -- hooks --
+
+    def _init_slot(self, b: int) -> None:
+        self._units[b] = []
+
+    def _apply_resets(self, mask: np.ndarray) -> None:
+        m = jnp.asarray(mask)
+        self.enc_carries = _reset_rows(self.enc_carries, self._enc_carries0, m)
+        self.dec_state = _reset_rows(self.dec_state, self._dec_state0, m)
+
+    def _dispatch_decode(self, feats: np.ndarray, n_valid: np.ndarray):
+        nv = jnp.asarray(n_valid)
+        self.enc_carries, enc = self._enc_step(
+            self.enc_carries, jnp.asarray(feats), nv
+        )
+        self.dec_state = self._consume(self.params, self.dec_state, enc, nv)
+        _carry, _pred, hyp, lens = self.dec_state
+        # the harvest handle holds the tick's buffer; next tick starts empty
+        self.dec_state = _clear_hyp(self.dec_state)
+        return hyp, lens
+
+    def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
+        hyp, lens = handle
+        hyp_np = np.asarray(hyp)    # [B, u_cap] — the tick's sync
+        lens_np = np.asarray(lens)  # [B]
+        for b in range(self.capacity):
+            n = int(lens_np[b])
+            if n:
+                self._units[b].extend(hyp_np[b, :n].tolist())
+
+    # -- results --
+
+    def partial(self, sid) -> List[int]:
+        """Best-so-far unit ids (host-only; no device pull)."""
+        return list(self._units[self._sid_to_slot[sid]])
+
+    def finalize(self, sid) -> Tuple[List[int], float]:
+        b = self._sid_to_slot[sid]
+        s = self.slots[b]
+        assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+        audio_s = s.samples / self.fcfg.sample_rate
+        units = list(self._units[b])
+        self._units[b] = []
         self._release(sid)
         return units, audio_s

@@ -324,3 +324,124 @@ def test_lstm_stream_n_valid_zero_is_noop():
                 np.asarray(new_carries[l][part][1]),
                 np.asarray(carries[l][part][1]),
             )
+
+
+def _tiny_rnnt(seed=0, emit_bias=True):
+    """Random-init tiny RNN-T; emit_bias tilts the joint away from blank so
+    greedy decode actually emits symbols (equality tests stay non-vacuous
+    and the engine's per-tick harvest path is exercised)."""
+    import jax
+
+    from mogasr.am.rnnt import build_rnnt_model, init_rnnt_train_state
+    from mogasr.config import TrainConfig
+
+    fcfg = FrontendConfig(cmvn="sliding", cmvn_window=300)
+    tcfg = TrainConfig(nn_arch="lstm", nn_hidden=16, nn_layers=2)
+    model = build_rnnt_model(5, tcfg)
+    params = init_rnnt_train_state(
+        model, tcfg, fcfg.feat_dim, 4, jax.random.key(seed)
+    ).params
+    if emit_bias:
+        bias = np.array(params["params"]["joint"]["out"]["bias"])
+        bias[model.n_labels] = -1.5   # blank down
+        bias[0] = 0.8
+        bias[2] = 0.7
+        params["params"]["joint"]["out"]["bias"] = jnp.asarray(bias)
+    return fcfg, model, params
+
+
+def test_rnnt_engine_matches_dedicated_streams():
+    """RNN-T family: 3 sessions through a capacity-2 BatchedRnntEngine
+    (slot reuse resets encoder carries AND prediction state), ragged ticks —
+    finals equal the dedicated per-session RnntDeviceStream pipeline, and
+    symbols survive the per-tick hypothesis harvest."""
+    from mogasr.am.rnnt import RnntDeviceStream
+    from mogasr.serving.engine import BatchedRnntEngine
+
+    fcfg, model, params = _tiny_rnnt()
+    utts = make_corpus(3, words_per_utt=(2, 3), seed=5)
+
+    def dedicated(wave, chunk=3100):
+        fe = StreamingFrontend(fcfg)
+        stream = RnntDeviceStream(model, params, 1, fcfg.feat_dim, u_cap=4000)
+        feats_list = [fe.process(wave[i : i + chunk])
+                      for i in range(0, len(wave), chunk)]
+        feats_list.append(fe.finalize())
+        part = []
+        for feats in feats_list:
+            if feats.size:
+                part = stream.consume(
+                    jnp.asarray(feats[None]), np.asarray([feats.shape[0]])
+                )
+        return part[0] if part else []
+
+    want = {u.utt_id: dedicated(u.wave) for u in utts}
+    assert any(want.values()), "emit bias should produce symbols"
+
+    eng = BatchedRnntEngine(model, params, fcfg, capacity=2, tick_frames=16)
+    rng = np.random.default_rng(11)
+    pending = list(utts)
+    cursors, ended, got, partial_seen = {}, set(), {}, False
+    while len(got) < len(utts):
+        while pending and eng.n_live < eng.capacity:
+            u = pending.pop(0)
+            assert eng.start(u.utt_id)
+            cursors[u.utt_id] = 0
+        for u in utts:
+            sid = u.utt_id
+            if sid not in cursors or sid in ended or sid in got:
+                continue
+            off = cursors[sid]
+            if off >= len(u.wave):
+                eng.end(sid)
+                ended.add(sid)
+                continue
+            n = int(rng.integers(800, 4500))
+            eng.feed(sid, u.wave[off : off + n])
+            cursors[sid] = off + n
+        eng.tick()
+        for sid in list(cursors):
+            if eng.has(sid) and sid not in got:
+                partial_seen = partial_seen or bool(eng.partial(sid))
+        for sid in list(ended):
+            if eng.drained(sid):
+                units, _audio_s = eng.finalize(sid)
+                got[sid] = units
+                ended.discard(sid)
+    assert got == want
+    assert partial_seen
+
+
+def test_rnnt_engine_idle_slots_keep_state():
+    """A live slot that decodes nothing in a tick keeps its encoder carries
+    and prediction state: feeding session A while B is idle, then B, equals
+    feeding B alone."""
+    from mogasr.serving.engine import BatchedRnntEngine
+
+    fcfg, model, params = _tiny_rnnt()
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=9)
+
+    def run_solo(u):
+        eng = BatchedRnntEngine(model, params, fcfg, capacity=2,
+                                tick_frames=16)
+        assert eng.start(u.utt_id)
+        eng.feed(u.utt_id, u.wave)
+        eng.end(u.utt_id)
+        return eng.run_to_drain(u.utt_id)[0]
+
+    want_b = run_solo(utts[1])
+
+    eng = BatchedRnntEngine(model, params, fcfg, capacity=2, tick_frames=16)
+    a, b = utts[0].utt_id, utts[1].utt_id
+    assert eng.start(a) and eng.start(b)
+    # A streams for a while; B sits idle (n_valid == 0 every tick)
+    eng.feed(a, utts[0].wave[:16000])
+    for _ in range(6):
+        eng.tick()
+    # now B streams its whole utterance
+    eng.feed(b, utts[1].wave)
+    eng.end(b)
+    while not eng.drained(b):
+        eng.tick()
+    got_b, _ = eng.finalize(b)
+    assert got_b == want_b
