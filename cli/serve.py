@@ -75,10 +75,24 @@ def _read_batches(stream):
         yield lines
 
 
+def _make_endpointer(args, fcfg):
+    """Fresh per-session endpoint detector, or None when --endpoint is off."""
+    if not getattr(args, "endpoint", False):
+        return None
+    from mogasr.frontend.endpoint import EndpointConfig, StreamingEndpointer
+
+    return StreamingEndpointer(fcfg, EndpointConfig(
+        rule1_trailing_sil_s=args.endpoint_trailing_sil,
+        rule3_max_utt_s=args.endpoint_max_utt,
+    ))
+
+
 def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
     """Batched-engine server: apply a batch of events, ONE tick for all
     sessions, emit partials for sessions that got audio, drain endings.
-    to_text maps an engine hypothesis (words or unit ids) to output words."""
+    to_text maps an engine hypothesis (words or unit ids) to output words.
+    With --endpoint, a causal per-session detector ends the session itself
+    (the final event then carries the firing rule)."""
     import numpy as np
 
     if to_text is None:
@@ -86,6 +100,9 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
 
     def emit(obj):
         print(json.dumps(obj), flush=True)
+
+    endpointers: dict = {}   # sid -> StreamingEndpointer
+    ep_rule: dict = {}       # sid -> rule name once fired
 
     if batches is None:
         if args.synthetic_demo_session:
@@ -130,16 +147,33 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
                 elif not eng.start(sid):
                     emit({"session": sid, "error": "too many sessions"})
                 else:
+                    ep = _make_endpointer(args, fcfg)
+                    if ep is not None:
+                        endpointers[sid] = ep
                     emit({"session": sid, "event": "ready"})
             elif typ == "audio":
                 if not eng.has(sid):
                     emit({"session": sid, "error": "no such session"})
+                elif sid in ep_rule:
+                    emit({"session": sid, "error": "endpointed"})
                 else:
-                    eng.feed(sid, np.asarray(ev.get("pcm", []), np.float32))
+                    pcm = np.asarray(ev.get("pcm", []), np.float32)
+                    eng.feed(sid, pcm)
                     fed.append(sid)
+                    ep = endpointers.get(sid)
+                    if ep is not None:
+                        ep.feed(pcm)
+                        if ep.endpointed:
+                            ep_rule[sid] = ep.rule
+                            eng.end(sid)
+                            ending.append(sid)
+                            emit({"session": sid, "event": "endpoint",
+                                  "rule": ep.rule})
             elif typ == "end":
                 if not eng.has(sid):
                     emit({"session": sid, "error": "no such session"})
+                elif sid in ep_rule:
+                    emit({"session": sid, "error": "endpointed"})
                 else:
                     eng.end(sid)
                     ending.append(sid)
@@ -162,8 +196,13 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
                     audio_s = eng.audio_seconds(sid)
                     words, _ = eng.finalize(sid)
                     words = to_text(words)
-                    emit({"session": sid, "final": words,
-                          "audio_s": round(audio_s, 2)})
+                    final_ev = {"session": sid, "final": words,
+                                "audio_s": round(audio_s, 2)}
+                    rule = ep_rule.pop(sid, None)
+                    endpointers.pop(sid, None)
+                    if rule is not None:
+                        final_ev["endpoint"] = rule
+                    emit(final_ev)
                     logger.log({"stage": "serve_final", "session": sid,
                                 "audio_s": round(audio_s, 2), "words": words})
                     ending.remove(sid)
@@ -238,6 +277,16 @@ def main() -> None:
     p.add_argument("--aed-left-chunks", type=int, default=1)
     p.add_argument("--aed-beam", type=int, default=4)
     p.add_argument("--aed-ctc-weight", type=float, default=0.3)
+    p.add_argument("--endpoint", action="store_true",
+                   help="server-side endpointing (frontend/endpoint.py): a "
+                        "causal per-session detector ends the utterance "
+                        "itself — the server emits an 'endpoint' event and "
+                        "the final (with the firing rule) without waiting "
+                        "for a client 'end'")
+    p.add_argument("--endpoint-trailing-sil", type=float, default=0.5,
+                   help="rule-1 trailing silence (seconds)")
+    p.add_argument("--endpoint-max-utt", type=float, default=20.0,
+                   help="rule-3 hard utterance cap (seconds)")
     p.add_argument("--synthetic-demo-session", action="store_true",
                    help="self-test: synthesize one utterance and drive a "
                         "session through the protocol instead of stdin")
@@ -537,6 +586,20 @@ def main() -> None:
     def emit(obj):
         print(json.dumps(obj), flush=True)
 
+    def finish(sid, s, rule=None):
+        feats = s.frontend.finalize()
+        if feats.size:
+            feed(s, feats)
+        audio_s = s.samples / fcfg.sample_rate
+        final = final_words(s)
+        final_ev = {"session": sid, "final": final,
+                    "audio_s": round(audio_s, 2)}
+        if rule is not None:
+            final_ev["endpoint"] = rule
+        emit(final_ev)
+        logger.log({"stage": "serve_final", "session": sid,
+                    "audio_s": round(audio_s, 2), "words": final})
+
     def handle(ev) -> bool:
         """Process one event; returns False on shutdown."""
         typ = ev.get("type")
@@ -553,6 +616,7 @@ def main() -> None:
                 emit({"session": sid, "error": "too many sessions"})
             else:
                 sessions[sid] = make_session()
+                sessions[sid].ep = _make_endpointer(args, fcfg)
                 emit({"session": sid, "event": "ready"})
         elif typ == "audio":
             s = sessions.get(sid)
@@ -564,6 +628,14 @@ def main() -> None:
             feats = s.frontend.process(pcm)
             if feats.size:
                 feed(s, feats)
+            if s.ep is not None:
+                s.ep.feed(pcm)
+                if s.ep.endpointed:
+                    emit({"session": sid, "event": "endpoint",
+                          "rule": s.ep.rule})
+                    finish(sid, s, rule=s.ep.rule)
+                    del sessions[sid]
+                    return True
             emit({
                 "session": sid,
                 "partial": partial_words(s),
@@ -574,15 +646,7 @@ def main() -> None:
             if s is None:
                 emit({"session": sid, "error": "no such session"})
                 return True
-            feats = s.frontend.finalize()
-            if feats.size:
-                feed(s, feats)
-            audio_s = s.samples / fcfg.sample_rate
-            final = final_words(s)
-            emit({"session": sid, "final": final,
-                  "audio_s": round(audio_s, 2)})
-            logger.log({"stage": "serve_final", "session": sid,
-                        "audio_s": round(audio_s, 2), "words": final})
+            finish(sid, s)
         else:
             emit({"session": sid, "error": f"unknown type {typ!r}"})
         return True

@@ -340,3 +340,53 @@ def test_serve_engine_rnnt_matches_per_session(tmp_path, monkeypatch, capsys):
         assert any("partial" in e for e in ev), mode
     assert set(finals["plain"]) == {"a", "b"}
     assert finals["engine"] == finals["plain"]
+
+
+def _endpoint_event_stream(seed=7):
+    """One session: speech then 1.5 s of silence, NO client 'end'."""
+    from mogasr.data.synthetic import make_corpus
+
+    utt = make_corpus(1, words_per_utt=(2, 3), seed=seed)[0]
+    wave = np.concatenate(
+        [utt.wave, np.zeros(int(1.5 * 16000), np.float32)])
+    chunk = 1600
+    lines = [{"type": "start", "session": "e"}]
+    lines += [{"type": "audio", "session": "e",
+               "pcm": wave[i : i + chunk].tolist()}
+              for i in range(0, len(wave), chunk)]
+    lines.append({"type": "shutdown"})
+    return "\n".join(json.dumps(l) for l in lines) + "\n"
+
+
+def test_serve_endpoint_per_session(tmp_path, monkeypatch, capsys):
+    """--endpoint: the server ends the utterance itself — endpoint event,
+    then a final carrying the firing rule; later audio gets an error."""
+    from cli import serve
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(_endpoint_event_stream()))
+    run_cli(serve, ["--run-dir", str(tmp_path / "run"), "--num-components",
+                    "1", "--endpoint"], monkeypatch)
+    ev = _events(capsys)
+    eps = [e for e in ev if e.get("event") == "endpoint"]
+    finals = [e for e in ev if "final" in e]
+    errors = [e for e in ev if "error" in e]
+    assert len(eps) == 1 and eps[0]["rule"] == "rule1_trailing_silence"
+    assert len(finals) == 1 and finals[0]["endpoint"] == "rule1_trailing_silence"
+    # the tail silence chunks arrive after the endpoint -> session is gone
+    assert errors and all(e["error"] == "no such session" for e in errors)
+
+
+def test_serve_endpoint_engine(tmp_path, monkeypatch, capsys):
+    """--engine --endpoint: same protocol through the batched engine (the
+    'endpointed' error guards the finalizing slot)."""
+    from cli import serve
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO(_endpoint_event_stream()))
+    run_cli(serve, ["--run-dir", str(tmp_path / "run"), "--num-components",
+                    "1", "--engine", "--engine-capacity", "4", "--endpoint"],
+            monkeypatch)
+    ev = _events(capsys)
+    eps = [e for e in ev if e.get("event") == "endpoint"]
+    finals = [e for e in ev if "final" in e]
+    assert len(eps) == 1 and eps[0]["rule"] == "rule1_trailing_silence"
+    assert len(finals) == 1 and finals[0]["endpoint"] == "rule1_trailing_silence"
