@@ -86,7 +86,13 @@ def main() -> None:
     p.add_argument("--bias-weight", type=float, default=2.0,
                    help="per-unit log-score boost of a live phrase match")
     p.add_argument("--bias-beam", type=int, default=8,
-                   help="prefix beam width used with --bias")
+                   help="prefix beam width used with --bias/--fusion-lm")
+    p.add_argument("--fusion-lm", metavar="FILE",
+                   help="with --ctc --bpe: unit-bigram shallow fusion in the "
+                        "prefix beam (train_lm --unit-ngram writes "
+                        "unit_lm.npz); composes with --bias")
+    p.add_argument("--fusion-weight", type=float, default=0.5,
+                   help="LM weight for --fusion-lm")
     p.add_argument("--bpe", metavar="FILE",
                    help="with --ctc/--aed: the checkpoint was trained on BPE "
                         "subword units (train_nn --bpe-merges; FILE is its "
@@ -448,23 +454,37 @@ def main() -> None:
             if args.ctc and args.bpe:
                 from mogasr.am.ctc import ctc_greedy_decode
 
-                if args.bias:
+                if args.bias or args.fusion_lm:
                     import numpy as _np
 
                     from mogasr.am.ctc import ctc_prefix_beam_decode
-                    from mogasr.decoder.biasing import (
-                        biaser_from_bpe, load_phrases,
-                    )
+                    from mogasr.lm.unit_ngram import compose_ext_scores
 
-                    biaser = biaser_from_bpe(
-                        bpe, load_phrases(args.bias), weight=args.bias_weight
-                    )
+                    exts = []
+                    if args.bias:
+                        from mogasr.decoder.biasing import (
+                            biaser_from_bpe, load_phrases,
+                        )
+
+                        exts.append(biaser_from_bpe(
+                            bpe, load_phrases(args.bias),
+                            weight=args.bias_weight,
+                        ).score)
+                    if args.fusion_lm:
+                        from mogasr.lm.unit_ngram import (
+                            fusion_score, load_unit_lm,
+                        )
+
+                        exts.append(fusion_score(
+                            load_unit_lm(args.fusion_lm), args.fusion_weight
+                        ))
+                    ext = compose_ext_scores(exts)
                     lp = _np.asarray(scorer(fb))
                     out = [
                         bpe.decode(ctc_prefix_beam_decode(
                             lp[b, : int(fb.n_frames[b])],
                             beam_size=args.bias_beam,
-                            ext_score=biaser.score,
+                            ext_score=ext,
                         )[0][1])
                         for b in range(fb.size)
                     ]

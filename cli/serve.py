@@ -253,6 +253,11 @@ def main() -> None:
                         "prefix beam; one phrase per line)")
     p.add_argument("--bias-weight", type=float, default=2.0)
     p.add_argument("--bias-beam", type=int, default=8)
+    p.add_argument("--fusion-lm", metavar="FILE",
+                   help="with --ctc: unit-bigram shallow fusion in the "
+                        "streaming prefix beam (train_lm --unit-ngram); "
+                        "composes with --bias")
+    p.add_argument("--fusion-weight", type=float, default=0.5)
     p.add_argument("--rnnt", action="store_true",
                    help="serve a streaming RNN-T (train_nn --objective rnnt): "
                         "stateful LSTM encoder chunks -> on-device greedy "
@@ -414,18 +419,32 @@ def main() -> None:
             logits, new_carries = stream_model.apply(nn_params, feats, carries)
             return jax.nn.log_softmax(logits, axis=-1), new_carries
 
-        if args.bias:
-            from mogasr.decoder.biasing import biaser_from_bpe, load_phrases
+        ext = None
+        if args.bias or args.fusion_lm:
+            from mogasr.lm.unit_ngram import compose_ext_scores
 
-            biaser = biaser_from_bpe(
-                bpe, load_phrases(args.bias), weight=args.bias_weight
-            )
+            exts = []
+            if args.bias:
+                from mogasr.decoder.biasing import (
+                    biaser_from_bpe, load_phrases,
+                )
+
+                exts.append(biaser_from_bpe(
+                    bpe, load_phrases(args.bias), weight=args.bias_weight
+                ).score)
+            if args.fusion_lm:
+                from mogasr.lm.unit_ngram import fusion_score, load_unit_lm
+
+                exts.append(fusion_score(
+                    load_unit_lm(args.fusion_lm), args.fusion_weight
+                ))
+            ext = compose_ext_scores(exts)
 
         def new_decoder():
-            if args.bias:
+            if ext is not None:
                 return CtcStreamDecoder(
                     blank_id=V - 1, mode="beam", beam_size=args.bias_beam,
-                    ext_score=biaser.score,
+                    ext_score=ext,
                 )
             return CtcStreamDecoder(blank_id=V - 1, mode="greedy")
 

@@ -99,6 +99,11 @@ def main() -> None:
                         "mogasr.decoder.biasing)")
     p.add_argument("--bias-weight", type=float, default=2.0)
     p.add_argument("--bias-beam", type=int, default=8)
+    p.add_argument("--fusion-lm", metavar="FILE",
+                   help="with --ctc --bpe: unit-bigram shallow fusion in the "
+                        "streaming prefix beam (train_lm --unit-ngram); "
+                        "composes with --bias")
+    p.add_argument("--fusion-weight", type=float, default=0.5)
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     args = p.parse_args()
@@ -324,15 +329,27 @@ def main() -> None:
             # no lexicon, no graph, no graph-decoder state
             from mogasr.am.ctc import CtcStreamDecoder
 
-            if args.bias:
-                from mogasr.decoder.biasing import biaser_from_bpe, load_phrases
+            if args.bias or args.fusion_lm:
+                from mogasr.lm.unit_ngram import compose_ext_scores
 
-                biaser = biaser_from_bpe(
-                    bpe, load_phrases(args.bias), weight=args.bias_weight
-                )
+                exts = []
+                if args.bias:
+                    from mogasr.decoder.biasing import (
+                        biaser_from_bpe, load_phrases,
+                    )
+
+                    exts.append(biaser_from_bpe(
+                        bpe, load_phrases(args.bias), weight=args.bias_weight
+                    ).score)
+                if args.fusion_lm:
+                    from mogasr.lm.unit_ngram import fusion_score, load_unit_lm
+
+                    exts.append(fusion_score(
+                        load_unit_lm(args.fusion_lm), args.fusion_weight
+                    ))
                 ctc_dec = CtcStreamDecoder(
                     blank_id=V - 1, mode="beam", beam_size=args.bias_beam,
-                    ext_score=biaser.score,
+                    ext_score=compose_ext_scores(exts),
                 )
             else:
                 ctc_dec = CtcStreamDecoder(blank_id=V - 1, mode="greedy")

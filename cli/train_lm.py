@@ -34,6 +34,12 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--heldout-frac", type=float, default=0.1,
                    help="fraction of transcripts held out for perplexity")
+    p.add_argument("--unit-ngram", action="store_true",
+                   help="instead of the neural word LM, estimate a KN "
+                        "bigram over BPE UNIT ids for CTC shallow fusion "
+                        "(decode/stream/serve --fusion-lm); requires --bpe")
+    p.add_argument("--bpe", metavar="FILE", help="bpe.json (with --unit-ngram)")
+    p.add_argument("--kn-discount", type=float, default=0.75)
     args = p.parse_args()
 
     corpus, _lex = load_corpus(args)
@@ -45,6 +51,32 @@ def main() -> None:
     transcripts = [[w.lower() for w in words] for _, _, words in corpus]
     n_held = max(1, int(len(transcripts) * args.heldout_frac))
     train, held = transcripts[:-n_held], transcripts[-n_held:]
+
+    if args.unit_ngram:
+        from mogasr.data.bpe import load_bpe
+        from mogasr.lm.unit_ngram import (
+            estimate_unit_bigram, save_unit_lm, unit_perplexity,
+        )
+
+        if not args.bpe:
+            raise SystemExit("--unit-ngram requires --bpe bpe.json")
+        bpe = load_bpe(args.bpe)
+        with Timer() as t:
+            lm = estimate_unit_bigram(
+                [bpe.encode(s) for s in train], bpe.n_units,
+                discount=args.kn_discount,
+            )
+        ppl = unit_perplexity(lm, [bpe.encode(s) for s in held])
+        out = os.path.join(os.path.abspath(args.run_dir), "unit_lm.npz")
+        save_unit_lm(out, lm)
+        logger.log({
+            "stage": "train_unit_lm_done", "wall_sec": t.seconds,
+            "heldout_unit_ppl": round(ppl, 3), "n_units": bpe.n_units,
+            "train_sents": len(train),
+        })
+        print(f"saved unit bigram LM to {out} "
+              f"(held-out unit ppl {ppl:.2f}, V={bpe.n_units})")
+        return
     vocab = NL.vocab_from_transcripts(train)
     # guard: held-out OOVs go to <unk> in the neural model but would KeyError
     # in the count-based baseline — restrict the baseline to in-vocab rows
