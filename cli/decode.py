@@ -213,13 +213,15 @@ def main() -> None:
         )
     if args.ctc and args.bpe and (
         args.mode == "phone" or args.consensus != "off" or args.nbest > 0
-        or args.bigram_lm or args.trigram_rescore
+        or args.bigram_lm or args.trigram_rescore or args.lattice_out
     ):
-        # The lexicon-free BPE branch is greedy word decoding only; silently
-        # ignoring these flags produced meaningless PER / skipped passes.
+        # The lexicon-free BPE branch decodes words via the prefix beam (or
+        # greedy collapse) — no lattice pass; silently ignoring these flags
+        # produced meaningless PER / skipped passes.
         raise SystemExit(
-            "--ctc --bpe is greedy word decoding: incompatible with --mode "
-            "phone, --consensus, --nbest, --bigram-lm, --trigram-rescore"
+            "--ctc --bpe decodes words via the prefix beam: incompatible "
+            "with --mode phone, --consensus, --nbest, --bigram-lm, "
+            "--trigram-rescore, --lattice-out"
         )
     if args.aed and args.bpe and args.mode != "word":
         raise SystemExit("--aed --bpe decodes words: use --mode word")
@@ -397,7 +399,9 @@ def main() -> None:
             [[w.lower() for w in s] for s in sentences],
             tokens=sorted(set(graph.labels)),
         )
-    elif args.bigram_lm or needs_lattice:
+    elif args.bigram_lm or (needs_lattice and not (args.ctc and args.bpe)):
+        # (--ctc --bpe --nnlm-rescore re-ranks the PREFIX-BEAM N-best:
+        # no lattice pass, so no count LM to estimate)
         if args.mode != "word":
             raise SystemExit("--bigram-lm requires --mode word")
         from mogasr.lm.ngram import (
@@ -454,7 +458,7 @@ def main() -> None:
             if args.ctc and args.bpe:
                 from mogasr.am.ctc import ctc_greedy_decode
 
-                if args.bias or args.fusion_lm:
+                if args.bias or args.fusion_lm or nnlm is not None:
                     import numpy as _np
 
                     from mogasr.am.ctc import ctc_prefix_beam_decode
@@ -479,15 +483,35 @@ def main() -> None:
                             load_unit_lm(args.fusion_lm), args.fusion_weight
                         ))
                     ext = compose_ext_scores(exts)
+                    beam_sz = max(
+                        args.bias_beam,
+                        args.nnlm_nbest if nnlm is not None else 0,
+                    )
                     lp = _np.asarray(scorer(fb))
-                    out = [
-                        bpe.decode(ctc_prefix_beam_decode(
+                    ranked = [
+                        ctc_prefix_beam_decode(
                             lp[b, : int(fb.n_frames[b])],
-                            beam_size=args.bias_beam,
-                            ext_score=ext,
-                        )[0][1])
+                            beam_size=beam_sz, ext_score=ext,
+                        )
                         for b in range(fb.size)
                     ]
+                    if nnlm is not None:
+                        # second pass: neural word LM over the prefix-beam
+                        # N-best (first-pass score = fused beam logp)
+                        from mogasr.lm.neural import rescore_nbest_nnlm
+
+                        nbest = [
+                            [(bpe.decode(seq), s)
+                             for s, seq in r[: args.nnlm_nbest]]
+                            for r in ranked
+                        ]
+                        rescored = rescore_nbest_nnlm(
+                            nnlm[0], nnlm[1], nnlm[2], nbest,
+                            weight=args.nnlm_weight,
+                        )
+                        out = [r[0][0] if r else [] for r in rescored]
+                    else:
+                        out = [bpe.decode(r[0][1]) for r in ranked]
                 else:
                     out = [
                         bpe.decode(seq)

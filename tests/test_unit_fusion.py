@@ -151,3 +151,39 @@ def test_unit_lm_cli_fusion(tmp_path, monkeypatch):
     assert len(recs) == 3
     for r in recs:
         assert isinstance(r["hyp"], list)
+
+
+def test_ctc_nbest_nnlm_rescore_cli(tmp_path, monkeypatch):
+    """decode --ctc --bpe --nnlm-rescore: neural word LM re-ranks the
+    prefix-beam N-best (the e2e analogue of the lattice rescoring pass)."""
+    from cli import decode, train_lm, train_nn
+    from tests.test_cli import run_cli
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "6", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "8",
+         "--objective", "ctc", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    run_cli(
+        train_lm,
+        ["--synthetic", "16", "--run-dir", str(tmp_path / "lm"),
+         "--hidden", "16", "--steps", "30"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "dec"),
+         "--am", "lstm", "--ctc", "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_lstm"),
+         "--nn-hidden", "16", "--nn-layers", "2", "--mode", "word",
+         "--nnlm-rescore", str(tmp_path / "lm" / "nnlm"),
+         "--nnlm-nbest", "4", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 3
+    for r in recs:
+        assert isinstance(r["hyp"], list)
