@@ -55,6 +55,17 @@ def main() -> None:
                    help="confusion-network consensus (MBR) decoding instead "
                         "of Viterbi 1-best: bigram lattice pass -> CN -> "
                         "argmax per slot")
+    p.add_argument("--ctc", action="store_true",
+                   help="evaluate a BPE-CTC neural AM (lexicon-free greedy "
+                        "word decoding) instead of the GMM system: requires "
+                        "--bpe and --nn-ckpt; same DP sharding + per-chunk "
+                        "resume")
+    p.add_argument("--bpe", metavar="FILE", help="bpe.json (with --ctc)")
+    p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
+    p.add_argument("--nn-arch", default="lstm",
+                   choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
+    p.add_argument("--nn-hidden", type=int, default=512)
+    p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--streaming", action="store_true",
                    help="extract features through the chunked streaming front "
                         "end (BASELINE config[4]) instead of the offline batch path")
@@ -65,6 +76,13 @@ def main() -> None:
     import jax
 
     from mogasr.dist import mesh as M
+
+    if args.ctc and (args.fmllr or args.mllr or args.vtln or args.consensus
+                     or args.bundle):
+        raise SystemExit("--ctc is lexicon-free greedy decoding: "
+                         "incompatible with GMM adaptation/consensus/bundle")
+    if args.ctc and not (args.bpe and args.nn_ckpt):
+        raise SystemExit("--ctc requires --bpe and --nn-ckpt")
 
     bundle = None
     if args.bundle:
@@ -97,15 +115,43 @@ def main() -> None:
         batches = featurize_streaming(corpus, fcfg, bcfg, chunk_samples=chunk)
     else:
         batches = featurize(corpus, fcfg, bcfg)
-    gmm = bundle[0] if bundle is not None else load_or_random_gmm(args, fcfg.feat_dim)
-    gmm = M.replicate(gmm, mesh)
-    if bundle is not None and bundle[3] is not None:
-        from mogasr.hmm.triphone import word_loop_graph_cd
+    ctc = None
+    if args.ctc:
+        from mogasr.am.train_nn import build_model, init_train_state
+        from mogasr.config import TrainConfig
+        from mogasr.data.bpe import load_bpe
+        from mogasr.utils.checkpoint import restore_checkpoint
 
-        graph = word_loop_graph_cd(
-            bundle[3], insertion_penalty=dcfg.word_insertion_penalty)
+        bpe = load_bpe(args.bpe)
+        tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        nn_model = build_model(args.nn_arch, bpe.n_units + 1, tcfg)
+        template = {
+            "params": init_train_state(
+                nn_model, tcfg, fcfg.feat_dim, jax.random.key(0)
+            ).params,
+        }
+        nn_params = M.replicate(
+            restore_checkpoint(args.nn_ckpt, template)["params"], mesh
+        )
+
+        @jax.jit
+        def _ctc_logits(params, feats, n_frames):
+            return nn_model.apply(params, feats, n_frames)
+
+        ctc = (bpe, nn_params, _ctc_logits)
+        gmm = graph = None
     else:
-        graph = word_decode_graph(lex, topo, dcfg)
+        gmm = (bundle[0] if bundle is not None
+               else load_or_random_gmm(args, fcfg.feat_dim))
+        gmm = M.replicate(gmm, mesh)
+        if bundle is not None and bundle[3] is not None:
+            from mogasr.hmm.triphone import word_loop_graph_cd
+
+            graph = word_loop_graph_cd(
+                bundle[3], insertion_penalty=dcfg.word_insertion_penalty)
+        else:
+            graph = word_decode_graph(lex, topo, dcfg)
 
     resume_path = os.path.join(args.run_dir, "eval_hyps.jsonl")
     done = set()
@@ -157,6 +203,26 @@ def main() -> None:
                     if all(u in done for u in fb.utt_ids):
                         continue
                     feats = jax.device_put(fb.feats, M.data_sharding(mesh))
+                    if ctc is not None:
+                        from mogasr.am.ctc import ctc_greedy_decode
+
+                        bpe, nn_params, logits_fn = ctc
+                        logits = logits_fn(
+                            nn_params, feats,
+                            jax.device_put(fb.n_frames,
+                                           M.data_sharding(mesh)),
+                        )
+                        out = [
+                            bpe.decode(seq)
+                            for seq in ctc_greedy_decode(logits, fb.n_frames)
+                        ]
+                        for b in range(fb.size):
+                            out_f.write(json.dumps({
+                                "utt_id": fb.utt_ids[b],
+                                "ref": fb.words[b], "hyp": out[b],
+                            }) + "\n")
+                        out_f.flush()
+                        continue
                     scores = score_batch(feats, gmm)
                     if args.consensus:
                         lats, _ = decode_batch_lattices(fb, scores, graph, cn_lm, dcfg)

@@ -939,3 +939,32 @@ def test_stream_cli_endpoint(tmp_path, monkeypatch, capsys):
     assert finals and finals[0].get("endpoint") == "rule1_trailing_silence"
     # the endpoint fires inside the 2 s silence pad, before the audio ends
     assert finals[0]["endpoint_t_s"] < 4.0
+
+
+def test_eval_cli_ctc(tmp_path, monkeypatch):
+    """eval --ctc: DP-sharded lexicon-free BPE-CTC sweep with per-chunk
+    resume (same protocol as the GMM sweep)."""
+    from cli import eval as eval_cli
+    from cli import train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "ctc", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    args = ["--synthetic", "4", "--run-dir", str(tmp_path / "ev"),
+            "--ctc", "--bpe", str(tmp_path / "run" / "bpe.json"),
+            "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_lstm"),
+            "--nn-hidden", "16", "--nn-layers", "2"]
+    run_cli(eval_cli, args, monkeypatch)
+    metrics = [json.loads(l) for l in open(tmp_path / "ev" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4 and "wer" in ev[0]
+    hyps1 = open(tmp_path / "ev" / "eval_hyps.jsonl").read()
+    # rerun resumes from the hypothesis file: idempotent
+    run_cli(eval_cli, args, monkeypatch)
+    metrics2 = [json.loads(l) for l in open(tmp_path / "ev" / "metrics.jsonl")]
+    assert [m for m in metrics2 if m.get("stage") == "eval"][-1]["utts"] == 4
+    assert open(tmp_path / "ev" / "eval_hyps.jsonl").read() == hyps1
