@@ -88,9 +88,10 @@ def main() -> None:
     p.add_argument("--bias-beam", type=int, default=8,
                    help="prefix beam width used with --bias/--fusion-lm")
     p.add_argument("--fusion-lm", metavar="FILE",
-                   help="with --ctc --bpe: unit-bigram shallow fusion in the "
-                        "prefix beam (train_lm --unit-ngram writes "
-                        "unit_lm.npz); composes with --bias")
+                   help="unit-bigram shallow fusion (train_lm --unit-ngram "
+                        "writes unit_lm.npz): with --ctc --bpe in the prefix "
+                        "beam (composes with --bias); with --aed --bpe as an "
+                        "on-device [V,V] row gather inside the beam scan")
     p.add_argument("--fusion-weight", type=float, default=0.5,
                    help="LM weight for --fusion-lm")
     p.add_argument("--bpe", metavar="FILE",
@@ -296,10 +297,22 @@ def main() -> None:
                 ).params,
             }
             ck = restore_checkpoint(args.nn_ckpt, template)
+            aed_fusion = None
+            if args.fusion_lm:
+                from mogasr.am.aed import aed_fusion_matrix
+                from mogasr.lm.unit_ngram import load_unit_lm
+
+                if not args.bpe:
+                    raise SystemExit("--aed --fusion-lm needs --bpe (the "
+                                     "unit LM is over the BPE inventory)")
+                aed_fusion = aed_fusion_matrix(
+                    model, load_unit_lm(args.fusion_lm), args.fusion_weight
+                )
             aed_dec = make_aed_decoder(
                 model, ck["params"], beam=args.aed_beam,
                 max_tokens=args.aed_max_tokens,
                 ctc_weight=args.aed_ctc_weight,
+                fusion=aed_fusion,
             )
 
             def scorer(fb, _d=aed_dec):

@@ -645,6 +645,27 @@ def make_aed_train_step(
 # --------------------------------------------------------------------------
 
 
+def aed_fusion_matrix(model: AedModel, unit_lm, weight: float) -> jax.Array:
+    """On-device shallow-fusion table for the AED beam: a [V, V] matrix
+    whose (prev_token, token) entry is the weighted unit-bigram log-prob.
+
+    Row sos carries the LM's sentence-initial distribution; sos/eos COLUMNS
+    are zero (ending a hypothesis costs no LM term, matching the CTC
+    fusion's telescoping semantics), and the eos row is zero (finished
+    beams' forced-eos steps are LM-free). Inside the beam scan this is one
+    row gather per step — the TPU-native form of shallow fusion (no host
+    callback, no per-hypothesis LM state)."""
+    V, sos = model.vocab, model.sos
+    nu = unit_lm.n_units
+    assert nu == model.n_units, (
+        f"unit LM vocabulary ({nu}) != AED units ({model.n_units})"
+    )
+    m = np.zeros((V, V), np.float32)
+    m[:nu, :nu] = weight * unit_lm.pair_logp
+    m[sos, :nu] = weight * unit_lm.init_logp
+    return jnp.asarray(m)
+
+
 def make_aed_decoder(
     model: AedModel,
     params,
@@ -653,6 +674,7 @@ def make_aed_decoder(
     ctc_weight: float = 0.0,
     length_penalty: float = 0.0,
     return_all: bool = False,
+    fusion: Optional[jax.Array] = None,
 ):
     """Jitted batched beam search: (feats, n_frames) -> (tokens [B, U_max],
     n_tokens [B], scores [B]).
@@ -697,6 +719,18 @@ def make_aed_decoder(
             logp = jax.nn.log_softmax(
                 logits[jnp.arange(B * K), u].reshape(B, K, V), axis=-1
             )
+            if fusion is not None:
+                # each beam's previous token (sos at u == 0) selects its
+                # LM row: one gather per step, telescoping to the weighted
+                # unit-bigram log-prob of the hypothesis
+                prev = jnp.where(
+                    u == 0,
+                    jnp.full((B, K), sos, jnp.int32),
+                    jax.lax.dynamic_index_in_dim(
+                        toks, jnp.maximum(u - 1, 0), axis=2, keepdims=False
+                    ),
+                )
+                logp = logp + fusion[prev]
             logp = logp.at[:, :, sos].set(NEG_INF)
             eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
             logp = jnp.where(fin[..., None], eos_only[None, None, :], logp)
@@ -758,12 +792,14 @@ def aed_decode_batch(
     max_tokens: int = 48,
     ctc_weight: float = 0.0,
     length_penalty: float = 0.0,
+    fusion: Optional[jax.Array] = None,
 ):
     """Convenience host wrapper: -> list of unit-id lists (valid rows only
     trimmed by the caller via batch.size)."""
     dec = make_aed_decoder(
         model, params, beam=beam, max_tokens=max_tokens,
         ctc_weight=ctc_weight, length_penalty=length_penalty,
+        fusion=fusion,
     )
     toks, n_toks, _ = jax.tree.map(np.asarray, dec(feats, n_frames))
     return [list(map(int, toks[b, : n_toks[b]])) for b in range(len(toks))]

@@ -187,3 +187,80 @@ def test_ctc_nbest_nnlm_rescore_cli(tmp_path, monkeypatch):
     assert len(recs) == 3
     for r in recs:
         assert isinstance(r["hyp"], list)
+
+
+def test_aed_fusion_matrix_semantics():
+    from mogasr.am.aed import aed_fusion_matrix, build_aed_model
+    from mogasr.config import TrainConfig
+
+    lm = estimate_unit_bigram(_train_seqs(), 4)
+    model = build_aed_model(4, TrainConfig(nn_hidden=16, nn_layers=1))
+    m = np.asarray(aed_fusion_matrix(model, lm, weight=0.5))
+    V, sos, eos = model.vocab, model.sos, model.eos
+    assert m.shape == (V, V)
+    np.testing.assert_allclose(m[:4, :4], 0.5 * lm.pair_logp, rtol=1e-6)
+    np.testing.assert_allclose(m[sos, :4], 0.5 * lm.init_logp, rtol=1e-6)
+    # ending a hypothesis and the post-finish forced-eos steps are LM-free
+    assert (m[:, eos] == 0).all() and (m[:, sos] == 0).all()
+    assert (m[eos] == 0).all()
+
+
+def test_aed_zero_fusion_is_exact_noop():
+    """fusion == zero matrix decodes bit-identically to fusion == None
+    (the gather wiring adds nothing but the LM term)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mogasr.am.aed import (
+        build_aed_model, init_aed_train_state, make_aed_decoder,
+    )
+    from mogasr.config import TrainConfig
+
+    tcfg = TrainConfig(nn_hidden=16, nn_layers=1)
+    model = build_aed_model(5, tcfg)
+    params = init_aed_train_state(model, tcfg, 13, 4, jax.random.key(0)).params
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 24, 13)), jnp.float32)
+    n = jnp.asarray([24, 17], jnp.int32)
+    plain = make_aed_decoder(model, params, beam=3, max_tokens=8)
+    fused = make_aed_decoder(
+        model, params, beam=3, max_tokens=8,
+        fusion=jnp.zeros((model.vocab, model.vocab), jnp.float32),
+    )
+    for a, b in zip(plain(feats, n), fused(feats, n)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aed_fusion_cli(tmp_path, monkeypatch):
+    """decode --aed --bpe --fusion-lm: on-device fused beam end-to-end."""
+    from cli import decode, train_lm, train_nn
+    from tests.test_cli import run_cli
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "aed", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    run_cli(
+        train_lm,
+        ["--synthetic", "16", "--run-dir", str(tmp_path / "lm"),
+         "--unit-ngram", "--bpe", str(tmp_path / "run" / "bpe.json")],
+        monkeypatch,
+    )
+    out = str(tmp_path / "hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "2", "--run-dir", str(tmp_path / "dec"),
+         "--aed", "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+         "--nn-hidden", "16", "--nn-layers", "2", "--mode", "word",
+         "--fusion-lm", str(tmp_path / "lm" / "unit_lm.npz"),
+         "--fusion-weight", "0.3", "--aed-beam", "3", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    for r in recs:
+        assert isinstance(r["hyp"], list)
