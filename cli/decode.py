@@ -101,6 +101,11 @@ def main() -> None:
     p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
                    help="prediction-network architecture of the RNN-T "
                         "checkpoint (must match training)")
+    p.add_argument("--rnnt-beam", type=int, default=0,
+                   help="with --rnnt: monotonic beam search width (0 = the "
+                        "single-dispatch device greedy). Supports "
+                        "--fusion-lm over PHONE units (train_lm "
+                        "--unit-ngram without --bpe)")
     p.add_argument("--rnnt-plain", action="store_true",
                    help="the RNN-T checkpoint was trained WITHOUT the "
                         "auxiliary CTC head (train_rnnt aux_ctc=False)")
@@ -340,8 +345,37 @@ def main() -> None:
             }
             ck = restore_checkpoint(args.nn_ckpt, template)
 
-            def scorer(fb, _m=model, _p=ck["params"]):
-                return rnnt_greedy_decode_device(_m, _p, fb.feats, fb.n_frames)
+            if args.rnnt_beam > 0:
+                from mogasr.am.rnnt import rnnt_beam_decode
+
+                rnnt_ext = None
+                if args.fusion_lm:
+                    from mogasr.lm.unit_ngram import (
+                        fusion_score, load_unit_lm,
+                    )
+
+                    ulm = load_unit_lm(args.fusion_lm)
+                    if ulm.n_units != lex.n_phones:
+                        raise SystemExit(
+                            "--rnnt --fusion-lm expects a PHONE-unit LM "
+                            f"(train_lm --unit-ngram without --bpe): LM has "
+                            f"{ulm.n_units} units, lexicon {lex.n_phones} "
+                            "phones")
+                    rnnt_ext = fusion_score(ulm, args.fusion_weight)
+
+                def scorer(fb, _m=model, _p=ck["params"]):
+                    return [
+                        rnnt_beam_decode(
+                            _m, _p, fb.feats[b : b + 1],
+                            fb.n_frames[b : b + 1],
+                            beam_size=args.rnnt_beam, ext_score=rnnt_ext,
+                        )[0][1]
+                        for b in range(fb.size)
+                    ]
+            else:
+                def scorer(fb, _m=model, _p=ck["params"]):
+                    return rnnt_greedy_decode_device(
+                        _m, _p, fb.feats, fb.n_frames)
         elif args.ctc:
             from mogasr.am.ctc import make_ctc_scorer
 

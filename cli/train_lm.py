@@ -36,13 +36,15 @@ def main() -> None:
                    help="fraction of transcripts held out for perplexity")
     p.add_argument("--unit-ngram", action="store_true",
                    help="instead of the neural word LM, estimate a KN "
-                        "bigram over BPE UNIT ids for CTC shallow fusion "
-                        "(decode/stream/serve --fusion-lm); requires --bpe")
+                        "bigram over UNIT ids for shallow fusion "
+                        "(decode/stream/serve --fusion-lm): BPE units with "
+                        "--bpe, else lexicon PHONE ids (decode --rnnt "
+                        "--rnnt-beam fusion)")
     p.add_argument("--bpe", metavar="FILE", help="bpe.json (with --unit-ngram)")
     p.add_argument("--kn-discount", type=float, default=0.75)
     args = p.parse_args()
 
-    corpus, _lex = load_corpus(args)
+    corpus, lex = load_corpus(args)
     logger = make_logger(args)
 
     from mogasr.lm import neural as NL
@@ -53,29 +55,37 @@ def main() -> None:
     train, held = transcripts[:-n_held], transcripts[-n_held:]
 
     if args.unit_ngram:
-        from mogasr.data.bpe import load_bpe
         from mogasr.lm.unit_ngram import (
             estimate_unit_bigram, save_unit_lm, unit_perplexity,
         )
 
-        if not args.bpe:
-            raise SystemExit("--unit-ngram requires --bpe bpe.json")
-        bpe = load_bpe(args.bpe)
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            encode, n_units, kind = bpe.encode, bpe.n_units, "bpe"
+        else:
+            # phone expansion needs lexicon-cased words, not the lowercased
+            # word-LM view
+            raw = [list(words) for _, _, words in corpus]
+            train, held = raw[:-n_held], raw[-n_held:]
+            encode = lambda s: lex.words_to_phone_ids(s, oov="sil")
+            n_units, kind = lex.n_phones, "phone"
         with Timer() as t:
             lm = estimate_unit_bigram(
-                [bpe.encode(s) for s in train], bpe.n_units,
+                [encode(s) for s in train], n_units,
                 discount=args.kn_discount,
             )
-        ppl = unit_perplexity(lm, [bpe.encode(s) for s in held])
+        ppl = unit_perplexity(lm, [encode(s) for s in held])
         out = os.path.join(os.path.abspath(args.run_dir), "unit_lm.npz")
         save_unit_lm(out, lm)
         logger.log({
             "stage": "train_unit_lm_done", "wall_sec": t.seconds,
-            "heldout_unit_ppl": round(ppl, 3), "n_units": bpe.n_units,
-            "train_sents": len(train),
+            "heldout_unit_ppl": round(ppl, 3), "n_units": n_units,
+            "units": kind, "train_sents": len(train),
         })
-        print(f"saved unit bigram LM to {out} "
-              f"(held-out unit ppl {ppl:.2f}, V={bpe.n_units})")
+        print(f"saved {kind}-unit bigram LM to {out} "
+              f"(held-out unit ppl {ppl:.2f}, V={n_units})")
         return
     vocab = NL.vocab_from_transcripts(train)
     # guard: held-out OOVs go to <unk> in the neural model but would KeyError

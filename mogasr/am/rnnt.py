@@ -707,6 +707,8 @@ def rnnt_beam_decode(
     beam_size: int = 4,
     max_symbols_per_frame: int = 4,
     u_cap: int = 200,
+    ext_score=None,
+    ext_weight: float = 1.0,
 ) -> List[Tuple[float, List[int]]]:
     """Monotonic (batch-synchronous) RNN-T beam search for ONE utterance.
 
@@ -715,6 +717,11 @@ def rnnt_beam_decode(
     (up to the per-frame cap); identical prefixes are merged by logaddexp.
     All hypotheses' joints evaluate in ONE batched call per expansion round,
     and histories live in a fixed [beam, u_cap] buffer (single compile).
+
+    ext_score(prefix, unit) adds a shallow-fusion term exactly once per
+    label extension (same hook/semantics as the CTC prefix beam: the sum
+    telescopes to the LM log-prob of the label sequence; alignment merges
+    of a prefix share one LM term, so logaddexp merging stays consistent).
 
     Returns [(logp, label_seq)] best-first for the FIRST utterance.
     """
@@ -762,6 +769,8 @@ def rnnt_beam_decode(
                     continue
                 for v in range(blank):
                     s = scores[i] + logp[i, v]
+                    if ext_score is not None:
+                        s += ext_weight * ext_score(p, v)
                     q = p + (v,)
                     new_A[q] = np.logaddexp(new_A[q], s) if q in new_A else s
             # prune the in-frame set against the best finished hypothesis

@@ -264,3 +264,77 @@ def test_aed_fusion_cli(tmp_path, monkeypatch):
     assert len(recs) == 2
     for r in recs:
         assert isinstance(r["hyp"], list)
+
+
+def test_rnnt_beam_ext_score_steers():
+    """ext_score in the RNN-T beam: a crushing penalty on the first unit the
+    plain beam emits removes it from the fused beam's hypothesis."""
+    import jax
+    import jax.numpy as jnp
+
+    from mogasr.am.rnnt import build_rnnt_model, init_rnnt_train_state, rnnt_beam_decode
+    from mogasr.config import TrainConfig
+
+    tcfg = TrainConfig(nn_arch="lstm", nn_hidden=16, nn_layers=2)
+    model = build_rnnt_model(5, tcfg)
+    params = init_rnnt_train_state(
+        model, tcfg, 13, 4, jax.random.key(0)
+    ).params
+    # tilt the joint away from blank so the beam emits symbols
+    bias = np.array(params["params"]["joint"]["out"]["bias"])
+    bias[model.n_labels] = -1.5
+    bias[0] = 0.8
+    bias[2] = 0.7
+    params["params"]["joint"]["out"]["bias"] = jnp.asarray(bias)
+
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((1, 20, 13)), jnp.float32)
+    n = jnp.asarray([20], np.int32)
+    plain = rnnt_beam_decode(model, params, feats, n, beam_size=4)[0][1]
+    assert plain, "emit bias should produce symbols"
+    banned = plain[0]
+    fused = rnnt_beam_decode(
+        model, params, feats, n, beam_size=4,
+        ext_score=lambda p, u: -1e9 if u == banned else 0.0,
+    )[0][1]
+    assert banned not in fused
+
+
+def test_rnnt_beam_fusion_cli(tmp_path, monkeypatch):
+    """decode --rnnt --rnnt-beam with a PHONE-unit fusion LM
+    (train_lm --unit-ngram without --bpe)."""
+    from cli import decode, train_lm, train_nn
+    from tests.test_cli import run_cli
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt"],
+        monkeypatch,
+    )
+    run_cli(
+        train_lm,
+        ["--synthetic", "16", "--run-dir", str(tmp_path / "lm"),
+         "--unit-ngram"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "lm" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "train_unit_lm_done"]
+    assert done and done[0]["units"] == "phone"
+
+    out = str(tmp_path / "hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "2", "--run-dir", str(tmp_path / "dec"),
+         "--am", "lstm", "--rnnt", "--rnnt-beam", "3",
+         "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--mode", "phone", "--nn-hidden", "16", "--nn-layers", "2",
+         "--fusion-lm", str(tmp_path / "lm" / "unit_lm.npz"),
+         "--fusion-weight", "0.3", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    for r in recs:
+        assert isinstance(r["hyp"], list)
