@@ -232,10 +232,11 @@ def main() -> None:
     p.add_argument("--max-sessions", type=int, default=64,
                    help="reject starts beyond this many live sessions")
     p.add_argument("--engine", action="store_true",
-                   help="batched session engine (GMM family): ONE device "
-                        "dispatch chain per tick advances ALL live sessions "
-                        "instead of per-session batch-1 dispatches — the "
-                        "TPU-native serving mode (mogasr.serving.engine)")
+                   help="batched session engine (GMM/hybrid, --ctc, --rnnt, "
+                        "and --aed families): ONE device dispatch chain per "
+                        "tick advances ALL live sessions instead of "
+                        "per-session batch-1 dispatches — the TPU-native "
+                        "serving mode (mogasr.serving.engine)")
     p.add_argument("--engine-capacity", type=int, default=16,
                    help="engine slot count (= max concurrent sessions)")
     p.add_argument("--tick-frames", type=int, default=24,
@@ -309,9 +310,6 @@ def main() -> None:
     logger = make_logger(args)
     if sum((args.aed, args.ctc, args.rnnt)) > 1:
         raise SystemExit("--aed/--ctc/--rnnt are different serving models")
-    if args.engine and args.aed:
-        raise SystemExit("--engine serves the GMM, CTC and RNN-T families "
-                         "(streaming AED keeps per-session encoder caches)")
     if args.aed:
         import jax
 
@@ -341,11 +339,23 @@ def main() -> None:
             ).params,
         }
         aed_params = restore_checkpoint(args.nn_ckpt, template)["params"]
-        aed_step = A.make_aed_stream_step(aed_model, aed_params)
-        raw_per = 4 * args.aed_chunk
 
         def to_text(units):
             return bpe.decode(units) if bpe else [lex.phones[u] for u in units]
+
+        if args.engine:
+            from mogasr.serving.engine import BatchedAedEngine
+
+            eng = BatchedAedEngine(
+                aed_model, aed_params, fcfg,
+                capacity=args.engine_capacity,
+                beam=args.aed_beam, ctc_weight=args.aed_ctc_weight,
+            )
+            _run_engine_loop(args, eng, fcfg, logger, to_text=to_text)
+            return
+
+        aed_step = A.make_aed_stream_step(aed_model, aed_params)
+        raw_per = 4 * args.aed_chunk
 
         def make_session():
             s = _Session(
@@ -374,16 +384,25 @@ def main() -> None:
 
         def final_words(s):
             # exact attention finalization over the full utterance (the
-            # chunk-masked offline encoder equals the streamed prefix)
+            # chunk-masked offline encoder equals the streamed prefix);
+            # length-bucketed padding + the shared token-cap convention keep
+            # jit variants bounded and match the batched engine's finals
+            from mogasr.serving.engine import aed_final_max_tokens
+
             fa = (np.concatenate(s.all_feats, axis=0)
                   if s.all_feats else s.buf)
-            if fa.shape[0] == 0:
+            T = fa.shape[0]
+            if T == 0:
                 return []
+            bucket = 256
+            Tb = -(-T // bucket) * bucket
+            padded = np.zeros((1, Tb, fa.shape[1]), np.float32)
+            padded[0, :T] = fa
             seqs = A.aed_decode_batch(
-                aed_model, aed_params, jnp.asarray(fa[None]),
-                jnp.asarray([fa.shape[0]], np.int32),
+                aed_model, aed_params, jnp.asarray(padded),
+                jnp.asarray([T], np.int32),
                 beam=args.aed_beam,
-                max_tokens=max(8, 2 + fa.shape[0] // 4),
+                max_tokens=aed_final_max_tokens(Tb),
                 ctc_weight=args.aed_ctc_weight,
             )
             return to_text(seqs[0])

@@ -175,6 +175,11 @@ class _BaseSlotEngine:
 
     # ---- family hooks ----------------------------------------------------
 
+    def _take(self, available: int) -> int:
+        """Frames to consume from a slot's feature queue this tick (the AED
+        family overrides this: chunks are atomic)."""
+        return min(available, self.tick_frames)
+
     def _init_slot(self, b: int) -> None:
         """Per-slot decode state for a new session (host side)."""
 
@@ -210,7 +215,7 @@ class _BaseSlotEngine:
         for b, s in enumerate(self.slots):
             if s is None or len(s.feat_q) == 0:
                 continue
-            n = min(len(s.feat_q), F)
+            n = self._take(len(s.feat_q))
             feats[b, :n] = s.feat_q[:n]
             n_valid[b] = n
         if self._reset_pending.any():
@@ -646,3 +651,163 @@ class BatchedRnntEngine(_BaseSlotEngine):
         self._units[b] = []
         self._release(sid)
         return units, audio_s
+
+
+# ---------------------------------------------------------------------------
+# Streaming AED family: chunk-masked Conformer chunks + exact attention final
+# ---------------------------------------------------------------------------
+
+class BatchedAedEngine(_BaseSlotEngine):
+    """Slot-batched streaming recognizer, chunked-AED family (cli/serve.py
+    --aed --engine).
+
+    The streaming AED consumes ATOMIC chunks of ``4 * chunk_frames`` feature
+    frames, so a tick advances each slot by exactly one chunk (or not at
+    all): ONE batched ``encode_stream_step`` dispatch carries every live
+    session's per-block caches in shared ``[B, ...]`` rows, with idle slots'
+    caches restored by a masked merge (garbage rows are computed and
+    discarded — the XLA-friendly alternative to ragged control flow).
+    CTC-greedy partials come from the chunk's CTC head via per-slot host
+    decoders (same as the per-session server); ``finalize`` runs the EXACT
+    chunk-masked attention beam over the session's full feature history
+    (identical encoder, so one checkpoint serves both stages).
+
+    Final-pass compile discipline: feature histories are padded up to
+    ``final_bucket`` frames (the chunk-masked encoder is padding-invariant
+    under n_frames masking) and ``max_tokens`` derives from the BUCKETED
+    length, so the number of distinct jit variants is bounded by the number
+    of buckets, not utterance lengths. The per-session serve path uses the
+    same convention, so engine finals equal per-session finals exactly.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        fcfg: FrontendConfig,
+        capacity: int = 8,
+        beam: int = 4,
+        ctc_weight: float = 0.3,
+        final_bucket: int = 256,
+        cmvn_mean: Optional[np.ndarray] = None,
+        cmvn_istd: Optional[np.ndarray] = None,
+    ):
+        from mogasr.am import aed as A
+
+        raw_per = 4 * model.chunk_frames
+        assert raw_per > 0, "streaming AED needs chunk_frames > 0"
+        super().__init__(fcfg, capacity, raw_per, cmvn_mean, cmvn_istd)
+        self.model = model
+        self.params = params
+        self.beam = int(beam)
+        self.ctc_weight = float(ctc_weight)
+        self.final_bucket = int(final_bucket)
+        B = self.capacity
+        self.enc_state = A.aed_stream_init(model, B, fcfg.feat_dim)
+        self._state0 = jax.tree_util.tree_map(jnp.copy, self.enc_state)
+        self._decoders: List[Optional[object]] = [None] * B
+        self._feats_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
+        self._final_decoders: Dict[int, object] = {}
+
+        @jax.jit
+        def _step(state, feats, live):
+            _enc, ctc_logits, new_state = model.apply(
+                params, feats, state, method=A.AedModel.encode_stream_step
+            )
+            merged = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    live.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                new_state, state,
+            )
+            return jax.nn.log_softmax(ctc_logits, axis=-1), merged
+
+        self._step = _step
+
+    # -- hooks --
+
+    def _take(self, available: int) -> int:
+        return self.tick_frames if available >= self.tick_frames else 0
+
+    def _init_slot(self, b: int) -> None:
+        from mogasr.am.ctc import CtcStreamDecoder
+
+        self._decoders[b] = CtcStreamDecoder(
+            blank_id=self.model.n_units, mode="greedy"
+        )
+        self._feats_hist[b] = []
+
+    def _apply_resets(self, mask: np.ndarray) -> None:
+        self.enc_state = _reset_rows(
+            self.enc_state, self._state0, jnp.asarray(mask)
+        )
+
+    def _dispatch_decode(self, feats: np.ndarray, n_valid: np.ndarray):
+        logp, self.enc_state = self._step(
+            self.enc_state, jnp.asarray(feats), jnp.asarray(n_valid > 0)
+        )
+        return logp, feats
+
+    def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
+        logp, feats = handle
+        logp_np = np.asarray(logp)   # [B, chunk_frames, V] — the tick's sync
+        for b in range(self.capacity):
+            if n_valid[b]:
+                self._feats_hist[b].append(feats[b, : n_valid[b]].copy())
+                self._decoders[b].step(logp_np[b])
+
+    # -- results --
+
+    def drained(self, sid) -> bool:
+        """The sub-chunk feature tail is consumed by the attention final,
+        not the streaming stage."""
+        s = self.slots[self._sid_to_slot[sid]]
+        return s.flushed and len(s.feat_q) < self.tick_frames
+
+    def partial(self, sid) -> List[int]:
+        """Best-so-far CTC-greedy unit ids (host-only; no device pull)."""
+        return list(self._decoders[self._sid_to_slot[sid]].partial())
+
+    def _final_decoder(self, t_bucket: int):
+        from mogasr.am import aed as A
+
+        dec = self._final_decoders.get(t_bucket)
+        if dec is None:
+            dec = A.make_aed_decoder(
+                self.model, self.params, beam=self.beam,
+                max_tokens=aed_final_max_tokens(t_bucket),
+                ctc_weight=self.ctc_weight,
+            )
+            self._final_decoders[t_bucket] = dec
+        return dec
+
+    def finalize(self, sid) -> Tuple[List[int], float]:
+        b = self._sid_to_slot[sid]
+        s = self.slots[b]
+        assert self.drained(sid), "finalize before drained()"
+        audio_s = s.samples / self.fcfg.sample_rate
+        parts = self._feats_hist[b] + ([s.feat_q] if len(s.feat_q) else [])
+        fa = (np.concatenate(parts, axis=0) if parts
+              else np.zeros((0, self.fcfg.feat_dim), np.float32))
+        T = fa.shape[0]
+        if T == 0:
+            units: List[int] = []
+        else:
+            Tb = -(-T // self.final_bucket) * self.final_bucket
+            padded = np.zeros((1, Tb, fa.shape[1]), np.float32)
+            padded[0, :T] = fa
+            toks, n_toks, _ = self._final_decoder(Tb)(
+                jnp.asarray(padded), jnp.asarray([T], np.int32)
+            )
+            toks, n_toks = np.asarray(toks), np.asarray(n_toks)
+            units = list(map(int, toks[0, : n_toks[0]]))
+        self._decoders[b] = None
+        self._feats_hist[b] = []
+        self._release(sid)
+        return units, audio_s
+
+
+def aed_final_max_tokens(t_frames: int) -> int:
+    """Shared finalization token cap (engine AND per-session serve use the
+    same convention so their finals are identical)."""
+    return max(8, 2 + t_frames // 4)

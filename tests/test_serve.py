@@ -235,18 +235,49 @@ def test_serve_engine_interleaved_matches_per_session(tmp_path, monkeypatch,
     assert finals["engine"] == finals["plain"]
 
 
-def test_serve_engine_rejects_aed(tmp_path, monkeypatch):
-    from cli import serve
+def test_serve_engine_aed_matches_per_session(tmp_path, monkeypatch, capsys):
+    """--engine --aed: the batched chunked-AED engine speaks the protocol
+    and its finals equal the per-session --aed server on the same events."""
+    from cli import serve, train_nn
+    from mogasr.data.synthetic import make_corpus
 
-    monkeypatch.setattr(sys, "argv",
-                        ["prog", "--engine", "--aed",
-                         "--run-dir", str(tmp_path / "run")])
-    try:
-        serve.main()
-    except SystemExit as e:
-        assert "engine" in str(e)
-    else:
-        raise AssertionError("expected SystemExit")
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--hidden", "16", "--layers", "1", "--steps", "6",
+         "--objective", "aed", "--aed-chunk", "2"],
+        monkeypatch,
+    )
+    capsys.readouterr()  # drop training output
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=3)
+    chunk = 4000
+    lines = [{"type": "start", "session": "a"},
+             {"type": "start", "session": "b"}]
+    ch = [[u.wave[i : i + chunk] for i in range(0, len(u.wave), chunk)]
+          for u in utts]
+    for i in range(max(len(c) for c in ch)):
+        for sid, c in zip("ab", ch):
+            if i < len(c):
+                lines.append({"type": "audio", "session": sid,
+                              "pcm": c[i].tolist()})
+    lines += [{"type": "end", "session": "a"},
+              {"type": "end", "session": "b"}, {"type": "shutdown"}]
+    text = "\n".join(json.dumps(l) for l in lines) + "\n"
+
+    common = ["--aed", "--aed-chunk", "2", "--aed-beam", "2",
+              "--nn-ckpt", str(tmp_path / "run" / "nn_aed_mlp"),
+              "--nn-hidden", "16", "--nn-layers", "1"]
+    finals = {}
+    for mode, extra in [("plain", []),
+                        ("engine", ["--engine", "--engine-capacity", "4"])]:
+        monkeypatch.setattr(sys, "stdin", io.StringIO(text))
+        run_cli(serve, ["--run-dir", str(tmp_path / f"r_{mode}")] + common
+                + extra, monkeypatch)
+        ev = _events(capsys)
+        finals[mode] = {e["session"]: e["final"] for e in ev if "final" in e}
+        assert any("partial" in e for e in ev), mode
+    assert set(finals["plain"]) == {"a", "b"}
+    assert finals["engine"] == finals["plain"]
 
 
 def test_serve_engine_ctc_matches_per_session(tmp_path, monkeypatch, capsys):

@@ -445,3 +445,94 @@ def test_rnnt_engine_idle_slots_keep_state():
         eng.tick()
     got_b, _ = eng.finalize(b)
     assert got_b == want_b
+
+
+def test_aed_engine_matches_dedicated_sessions():
+    """Chunked-AED family: 3 sessions through a capacity-2 BatchedAedEngine
+    (atomic 4*chunk_frames chunks, masked cache merges, slot reuse) — CTC
+    partials and exact attention finals equal the dedicated per-session
+    pipeline (StreamingFrontend + encode_stream_step + bucketed final)."""
+    import jax
+
+    from mogasr.am import aed as A
+    from mogasr.am.ctc import CtcStreamDecoder
+    from mogasr.config import TrainConfig
+    from mogasr.serving.engine import BatchedAedEngine, aed_final_max_tokens
+
+    fcfg = FrontendConfig(cmvn="sliding", cmvn_window=300)
+    tcfg = TrainConfig(nn_hidden=16, nn_layers=1)
+    model = A.build_aed_model(5, tcfg, chunk_frames=2, left_chunks=1)
+    params = A.init_aed_train_state(
+        model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+    ).params
+    raw_per = 4 * model.chunk_frames
+    utts = make_corpus(3, words_per_utt=(2, 2), seed=5)
+    step = A.make_aed_stream_step(model, params)
+
+    def dedicated(wave, chunk=3100):
+        fe = StreamingFrontend(fcfg)
+        dec = CtcStreamDecoder(blank_id=model.n_units, mode="greedy")
+        state = A.aed_stream_init(model, 1, fcfg.feat_dim)
+        buf = np.zeros((0, fcfg.feat_dim), np.float32)
+        all_feats = []
+        feats_list = [fe.process(wave[i : i + chunk])
+                      for i in range(0, len(wave), chunk)]
+        feats_list.append(fe.finalize())
+        for feats in feats_list:
+            if not feats.size:
+                continue
+            all_feats.append(feats)
+            buf = np.concatenate([buf, feats], axis=0)
+            while buf.shape[0] >= raw_per:
+                _e, ctc_logits, state = step(
+                    jnp.asarray(buf[None, :raw_per]), state
+                )
+                dec.step(np.asarray(
+                    jax.nn.log_softmax(ctc_logits[0], axis=-1)))
+                buf = buf[raw_per:]
+        fa = np.concatenate(all_feats, axis=0)
+        T = fa.shape[0]
+        Tb = -(-T // 256) * 256
+        padded = np.zeros((1, Tb, fa.shape[1]), np.float32)
+        padded[0, :T] = fa
+        seqs = A.aed_decode_batch(
+            model, params, jnp.asarray(padded),
+            jnp.asarray([T], np.int32), beam=3,
+            max_tokens=aed_final_max_tokens(Tb), ctc_weight=0.3,
+        )
+        return list(dec.partial()), seqs[0]
+
+    want = {u.utt_id: dedicated(u.wave) for u in utts}
+
+    eng = BatchedAedEngine(model, params, fcfg, capacity=2, beam=3,
+                           ctc_weight=0.3)
+    rng = np.random.default_rng(11)
+    pending = list(utts)
+    cursors, ended, got, got_part = {}, set(), {}, {}
+    while len(got) < len(utts):
+        while pending and eng.n_live < eng.capacity:
+            u = pending.pop(0)
+            assert eng.start(u.utt_id)
+            cursors[u.utt_id] = 0
+        for u in utts:
+            sid = u.utt_id
+            if sid not in cursors or sid in ended or sid in got:
+                continue
+            off = cursors[sid]
+            if off >= len(u.wave):
+                eng.end(sid)
+                ended.add(sid)
+                continue
+            n = int(rng.integers(800, 4500))
+            eng.feed(sid, u.wave[off : off + n])
+            cursors[sid] = off + n
+        eng.tick()
+        for sid in list(ended):
+            if eng.drained(sid):
+                got_part[sid] = eng.partial(sid)
+                units, _audio_s = eng.finalize(sid)
+                got[sid] = units
+                ended.discard(sid)
+    for sid, (p_want, f_want) in want.items():
+        assert got_part[sid] == p_want, sid
+        assert got[sid] == f_want, sid
