@@ -55,6 +55,10 @@ def main() -> None:
                    help="skip the neural-CTC engine row")
     p.add_argument("--skip-rnnt", action="store_true",
                    help="skip the RNN-T engine row")
+    p.add_argument("--skip-aed", action="store_true",
+                   help="skip the chunked-AED engine row")
+    p.add_argument("--aed-chunk", type=int, default=8,
+                   help="AED chunk_frames (tick = 4*chunk feature frames)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -259,10 +263,52 @@ def main() -> None:
             "model": f"lstm-enc h=512 L=2 V={V_RNNT} device-greedy",
         }
 
+    # ---------------- chunked-AED engine (production-size Conformer) ----
+    aed_row = None
+    if not args.skip_aed:
+        from mogasr.am import aed as A
+        from mogasr.config import TrainConfig
+        from mogasr.serving.engine import BatchedAedEngine
+
+        V_AED = 300
+        aed_tcfg = TrainConfig(nn_hidden=256, nn_layers=4)
+        aed_model = A.build_aed_model(
+            V_AED, aed_tcfg, chunk_frames=args.aed_chunk, left_chunks=1
+        )
+        aed_params = A.init_aed_train_state(
+            aed_model, aed_tcfg, fcfg.feat_dim, 4, jax.random.key(2)
+        ).params
+
+        def make_aed_engine():
+            return BatchedAedEngine(
+                aed_model, aed_params, fcfg, capacity=args.capacity,
+                beam=4, ctc_weight=0.3,
+            )
+
+        aeng = make_aed_engine()
+        print("warmup aed engine ...", flush=True)
+        run_epoch(aeng)
+        rates = []
+        for e in range(args.epochs):
+            base = aeng.frames_decoded
+            t0 = time.perf_counter()
+            total = run_epoch(aeng)
+            dt = time.perf_counter() - t0
+            rates.append((total - base) / dt)
+            print(f"  aed epoch {e}: {rates[-1]:.0f} frames/s", flush=True)
+        aed_fps = statistics.median(rates)
+        aed_row = {
+            "streams_realtime": round(aed_fps / (sr / hop), 1),
+            "frames_per_sec": round(aed_fps, 1),
+            "model": (f"conformer d=256 L={aed_tcfg.nn_layers} V={V_AED} "
+                      f"chunk={args.aed_chunk} (finals incl.)"),
+        }
+
     row = {
         "metric": "serving_realtime_streams_per_chip",
         "ctc_engine": ctc_row,
         "rnnt_engine": rnnt_row,
+        "aed_engine": aed_row,
         "engine_streams_realtime": round(eng_streams, 1),
         "naive_streams_realtime": round(naive_streams, 2),
         "speedup": round(eng_streams / naive_streams, 1),

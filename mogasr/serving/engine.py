@@ -29,7 +29,10 @@ Two families share the slot scaffolding (`_BaseSlotEngine`):
   every session's prediction-network state in shared ``[B, ...]`` rows;
   the device hypothesis buffer is harvested to host EVERY tick, so its
   static size only covers one tick's worst case and sessions can run
-  unboundedly long.
+  unboundedly long;
+- ``BatchedAedEngine``      — chunked streaming Conformer: atomic
+  4*chunk_frames chunks per slot per tick (masked cache merges), CTC-greedy
+  partials, exact chunk-masked attention finals (length-bucketed compiles).
 
 Exactness: a session's features, partials, and final results are identical
 to a dedicated per-session pipeline (tests/test_serving_engine.py) —
