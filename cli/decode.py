@@ -47,9 +47,9 @@ def main() -> None:
                         "best-path phone decode (phone mode)")
     p.add_argument("--rnnt", action="store_true",
                    help="the NN checkpoint is an RNN-transducer (train_nn "
-                        "--objective rnnt): frame-synchronous greedy phone "
-                        "decode (--mode phone only; --am lstm/blstm picks "
-                        "the encoder)")
+                        "--objective rnnt): frame-synchronous greedy decode "
+                        "over phones (--mode phone) or BPE words (--bpe; "
+                        "--am lstm/blstm picks the encoder)")
     p.add_argument("--aed", action="store_true",
                    help="the NN checkpoint is an attention encoder-decoder "
                         "(train_nn --objective aed): on-device beam search "
@@ -95,7 +95,7 @@ def main() -> None:
     p.add_argument("--fusion-weight", type=float, default=0.5,
                    help="LM weight for --fusion-lm")
     p.add_argument("--bpe", metavar="FILE",
-                   help="with --ctc/--aed: the checkpoint was trained on BPE "
+                   help="with --ctc/--aed/--rnnt: the checkpoint was trained on BPE "
                         "subword units (train_nn --bpe-merges; FILE is its "
                         "bpe.json) — lexicon-free word decoding")
     p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
@@ -104,8 +104,8 @@ def main() -> None:
     p.add_argument("--rnnt-beam", type=int, default=0,
                    help="with --rnnt: monotonic beam search width (0 = the "
                         "single-dispatch device greedy). Supports "
-                        "--fusion-lm over PHONE units (train_lm "
-                        "--unit-ngram without --bpe)")
+                        "--fusion-lm over the model's units (phones, or "
+                        "BPE with --bpe)")
     p.add_argument("--rnnt-plain", action="store_true",
                    help="the RNN-T checkpoint was trained WITHOUT the "
                         "auxiliary CTC head (train_rnnt aux_ctc=False)")
@@ -330,10 +330,24 @@ def main() -> None:
                 build_rnnt_model, init_rnnt_train_state, rnnt_greedy_decode_device,
             )
 
-            if args.am not in ("lstm", "blstm") or args.mode != "phone":
-                raise SystemExit("--rnnt needs --am lstm/blstm and --mode phone")
+            if args.am not in ("lstm", "blstm"):
+                raise SystemExit("--rnnt needs --am lstm/blstm")
+            if args.bpe:
+                from mogasr.data.bpe import load_bpe
+
+                if args.mode != "word":
+                    raise SystemExit("--rnnt --bpe decodes words: use "
+                                     "--mode word")
+                bpe = load_bpe(args.bpe)
+                n_rnnt_units = bpe.n_units
+            else:
+                if args.mode != "phone":
+                    raise SystemExit("--rnnt without --bpe decodes phones: "
+                                     "use --mode phone")
+                bpe = None
+                n_rnnt_units = lex.n_phones
             model = build_rnnt_model(
-                lex.n_phones, tcfg,
+                n_rnnt_units, tcfg,
                 encoder_arch=args.am,
                 pred_arch=args.rnnt_pred,
                 aux_ctc=not args.rnnt_plain,
@@ -355,12 +369,12 @@ def main() -> None:
                     )
 
                     ulm = load_unit_lm(args.fusion_lm)
-                    if ulm.n_units != lex.n_phones:
+                    if ulm.n_units != n_rnnt_units:
                         raise SystemExit(
-                            "--rnnt --fusion-lm expects a PHONE-unit LM "
-                            f"(train_lm --unit-ngram without --bpe): LM has "
-                            f"{ulm.n_units} units, lexicon {lex.n_phones} "
-                            "phones")
+                            "--rnnt --fusion-lm unit mismatch: LM has "
+                            f"{ulm.n_units} units, model decodes "
+                            f"{n_rnnt_units} (train_lm --unit-ngram with "
+                            "the matching --bpe, or without it for phones)")
                     rnnt_ext = fusion_score(ulm, args.fusion_weight)
 
                 def scorer(fb, _m=model, _p=ck["params"]):
@@ -496,7 +510,10 @@ def main() -> None:
                     hyps.append([w.lower() for w in out[b]])
                 continue
             if args.rnnt:
-                out = [[lex.phones[u] for u in seq] for seq in scorer(fb)]
+                out = (
+                    [bpe.decode(seq) for seq in scorer(fb)] if bpe is not None
+                    else [[lex.phones[u] for u in seq] for seq in scorer(fb)]
+                )
                 for b in range(fb.size):
                     ids.append(fb.utt_ids[b])
                     refs.append([w.lower() for w in fb.words[b]])

@@ -62,8 +62,9 @@ def main() -> None:
                         "through the OnlineDecoder on the CTC graph")
     p.add_argument("--rnnt", action="store_true",
                    help="online RNN-transducer: stateful LSTM encoder chunks "
-                        "+ chunk-resumable on-device greedy (phone partials; "
-                        "train_nn --objective rnnt ckpt via --nn-ckpt)")
+                        "+ chunk-resumable on-device greedy (phone partials, "
+                        "or open-vocabulary words with --bpe; train_nn "
+                        "--objective rnnt ckpt via --nn-ckpt)")
     p.add_argument("--rnnt-pred", default="stateless", choices=["stateless", "lstm"],
                    help="RNN-T prediction-net architecture — must match the "
                         "checkpoint (mirrors cli/decode.py)")
@@ -89,10 +90,10 @@ def main() -> None:
                         "recording labels past the cap)")
     p.add_argument("--nn-ckpt", help="CTC/RNN-T checkpoint dir (with --ctc/--rnnt)")
     p.add_argument("--bpe", metavar="FILE",
-                   help="with --ctc: the checkpoint uses BPE subword units "
-                        "(train_nn --bpe-merges; FILE is its bpe.json) — "
-                        "streaming OPEN-VOCABULARY word partials via greedy "
-                        "collapse, no lexicon or graph")
+                   help="with --ctc/--rnnt: the checkpoint uses BPE subword "
+                        "units (train_nn --bpe-merges; FILE is its bpe.json) "
+                        "— streaming OPEN-VOCABULARY word partials, no "
+                        "lexicon or graph")
     p.add_argument("--bias", metavar="FILE",
                    help="with --ctc --bpe: contextual phrase biasing during "
                         "the streaming prefix beam (one phrase per line; "
@@ -237,10 +238,20 @@ def main() -> None:
 
         if not args.nn_ckpt:
             raise SystemExit("--rnnt requires --nn-ckpt (train_nn --objective rnnt)")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            rnnt_bpe = load_bpe(args.bpe)
+            n_rnnt_units = rnnt_bpe.n_units
+            to_text = rnnt_bpe.decode
+        else:
+            rnnt_bpe = None
+            n_rnnt_units = lex.n_phones
+            to_text = lambda units: [lex.phones[u] for u in units]
         tcfg = TrainConfig(nn_arch="lstm", nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
         model = build_rnnt_model(
-            lex.n_phones, tcfg,
+            n_rnnt_units, tcfg,
             pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
         )
         template = {
@@ -266,7 +277,7 @@ def main() -> None:
                     )
                 print(json.dumps({
                     "t_audio_s": round(consumed / fcfg.sample_rate, 2),
-                    "partial": [lex.phones[u] for u in part[0]] if part else [],
+                    "partial": to_text(part[0]) if part else [],
                 }), flush=True)
             feats = sf.finalize()
             if feats.size:
@@ -274,7 +285,7 @@ def main() -> None:
                     jnp.asarray(feats[None]), np.asarray([feats.shape[0]])
                 )
         audio_s = len(wave) / fcfg.sample_rate
-        final = [lex.phones[u] for u in part[0]] if part else []
+        final = to_text(part[0]) if part else []
         print(json.dumps({"final": final, "rtf": round(t.seconds / audio_s, 4)}))
         logger.log({
             "stage": "stream_rnnt", "audio_s": round(audio_s, 2),

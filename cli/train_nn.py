@@ -113,9 +113,11 @@ def main() -> None:
             lr=args.lr, num_nn_steps=args.steps,
         )
         with Timer() as t:
-            if args.objective in ("ctc", "aed") and args.bpe_merges > 0:
+            if args.bpe_merges > 0:
                 from mogasr.data.bpe import save_bpe, train_bpe
-                from mogasr.pipeline import train_aed_bpe, train_ctc_bpe
+                from mogasr.pipeline import (
+                    train_aed_bpe, train_ctc_bpe, train_rnnt_bpe,
+                )
 
                 transcripts = [fb.words[b] for fb in batches for b in range(fb.size)]
                 bpe = train_bpe(transcripts, n_merges=args.bpe_merges)
@@ -126,6 +128,14 @@ def main() -> None:
                         chunk_frames=args.aed_chunk,
                         left_chunks=args.aed_left_chunks,
                         spec_augment=args.spec_augment,
+                    )
+                elif args.objective == "rnnt":
+                    if args.arch not in ("lstm", "blstm"):
+                        raise SystemExit("--objective rnnt needs --arch "
+                                         "lstm/blstm")
+                    model, params = train_rnnt_bpe(
+                        batches, bpe, tcfg, encoder_arch=args.arch,
+                        logger=logger,
                     )
                 else:
                     model, params = train_ctc_bpe(
@@ -154,7 +164,7 @@ def main() -> None:
             from mogasr.am.ctc import ctc_labels_from_words
             from mogasr.pipeline import finetune_aed_mwer, finetune_rnnt_mwer
 
-            if args.objective == "aed" and args.bpe_merges > 0:
+            if args.bpe_merges > 0:
                 encode_fn = bpe.encode
             else:
                 encode_fn = lambda words: ctc_labels_from_words(  # noqa: E731

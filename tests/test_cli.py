@@ -968,3 +968,48 @@ def test_eval_cli_ctc(tmp_path, monkeypatch):
     metrics2 = [json.loads(l) for l in open(tmp_path / "ev" / "metrics.jsonl")]
     assert [m for m in metrics2 if m.get("stage") == "eval"][-1]["utts"] == 4
     assert open(tmp_path / "ev" / "eval_hyps.jsonl").read() == hyps1
+
+
+def test_rnnt_bpe_train_decode_stream_cli(tmp_path, monkeypatch, capsys):
+    """Open-vocabulary BPE-RNNT through the CLIs: train_nn --objective rnnt
+    --bpe-merges -> decode --rnnt --bpe (word WER) -> stream --rnnt --bpe
+    (word partials)."""
+    from cli import decode, stream, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    capsys.readouterr()
+    out = str(tmp_path / "hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "2", "--run-dir", str(tmp_path / "dec"),
+         "--am", "lstm", "--rnnt", "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--mode", "word", "--nn-hidden", "16", "--nn-layers", "2",
+         "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2 and all(isinstance(r["hyp"], list) for r in recs)
+    capsys.readouterr()
+    run_cli(
+        stream,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--rnnt",
+         "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--nn-hidden", "16", "--nn-layers", "2"],
+        monkeypatch,
+    )
+    events = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert sum("partial" in e for e in events) >= 3
+    finals = [e for e in events if "final" in e]
+    assert len(finals) == 1 and isinstance(finals[0]["final"], list)
