@@ -69,6 +69,23 @@ def main() -> None:
                         "(N merges learned from the transcripts) instead of "
                         "phones — lexicon-free word recognition; writes "
                         "bpe.json next to the checkpoint")
+    p.add_argument("--distill-from", metavar="CKPT_DIR",
+                   help="with --objective ctc: knowledge distillation — "
+                        "train THIS (student) model to match the frame "
+                        "posteriors of a trained CTC teacher checkpoint "
+                        "(train_nn --objective ctc; the teacher's unit "
+                        "inventory is reused: bpe.json next to the ckpt if "
+                        "present, else lexicon phones). The student ckpt is "
+                        "a drop-in CTC model for decode/stream/serve")
+    p.add_argument("--distill-teacher-arch", default="conformer",
+                   choices=["mlp", "lstm", "blstm", "tdnn", "conformer"],
+                   help="teacher architecture — must match the checkpoint")
+    p.add_argument("--distill-teacher-hidden", type=int, default=512)
+    p.add_argument("--distill-teacher-layers", type=int, default=3)
+    p.add_argument("--distill-alpha", type=float, default=0.5,
+                   help="soft-target weight: alpha*KL + (1-alpha)*CTC")
+    p.add_argument("--distill-temp", type=float, default=2.0,
+                   help="distillation softmax temperature")
     p.add_argument("--ivector-dim", type=int, default=0, metavar="R",
                    help="CE path: train an i-vector extractor (UBM + "
                         "total variability) on the training features and "
@@ -112,8 +129,52 @@ def main() -> None:
             nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
             lr=args.lr, num_nn_steps=args.steps,
         )
+        if args.distill_from and args.objective != "ctc":
+            raise SystemExit("--distill-from supports --objective ctc")
+        if args.distill_from and args.bpe_merges > 0:
+            raise SystemExit("--distill-from reuses the TEACHER's unit "
+                             "inventory (its bpe.json): drop --bpe-merges")
         with Timer() as t:
-            if args.bpe_merges > 0:
+            if args.distill_from:
+                from mogasr.am.ctc import (
+                    ctc_labels_from_words, init_ctc_train_state,
+                )
+                from mogasr.pipeline import distill_ctc_units
+                from mogasr.utils.checkpoint import restore_checkpoint
+
+                teacher_dir = os.path.abspath(args.distill_from)
+                bpe_path = os.path.join(os.path.dirname(teacher_dir),
+                                        "bpe.json")
+                if os.path.exists(bpe_path):
+                    from mogasr.data.bpe import load_bpe, save_bpe
+
+                    bpe = load_bpe(bpe_path)
+                    encode_fn, n_units = bpe.encode, bpe.n_units
+                    # student run dir gets the same inventory for decode
+                    save_bpe(bpe, os.path.join(
+                        os.path.abspath(args.run_dir), "bpe.json"))
+                else:
+                    encode_fn = lambda words: ctc_labels_from_words(  # noqa: E731
+                        lex, words, include_sil=False)
+                    n_units = lex.n_phones
+                t_tcfg = TrainConfig(
+                    nn_arch=args.distill_teacher_arch,
+                    nn_hidden=args.distill_teacher_hidden,
+                    nn_layers=args.distill_teacher_layers,
+                )
+                teacher_model = build_model(
+                    args.distill_teacher_arch, n_units + 1, t_tcfg)
+                template = {"params": init_ctc_train_state(
+                    teacher_model, t_tcfg, fcfg.feat_dim, jax.random.key(0)
+                ).params}
+                t_ck = restore_checkpoint(teacher_dir, template)
+                model, params = distill_ctc_units(
+                    batches, teacher_model, t_ck["params"], encode_fn,
+                    n_units, tcfg, student_arch=args.arch,
+                    alpha=args.distill_alpha, temperature=args.distill_temp,
+                    spec_augment=args.spec_augment, logger=logger,
+                )
+            elif args.bpe_merges > 0:
                 from mogasr.data.bpe import save_bpe, train_bpe
                 from mogasr.pipeline import (
                     train_aed_bpe, train_ctc_bpe, train_rnnt_bpe,

@@ -628,6 +628,25 @@ def train_ctc_units(
         model, tcfg, batches[0].feats.shape[-1], jax.random.key(tcfg.seed)
     )
     step_fn = C.make_ctc_train_step(model, tcfg, spec_augment=spec_augment)
+    labeled = _pack_ctc_targets(batches, encode_fn)
+
+    total = steps if steps is not None else tcfg.num_nn_steps
+    i, m = 0, {"loss": jnp.asarray(0.0)}
+    while i < total:
+        for fb, labels, n_labels in labeled:
+            state, m = step_fn(state, fb.feats, fb.n_frames, labels, n_labels)
+            i += 1
+            if logger is not None and i % 50 == 0:
+                logger.log({"stage": "train_ctc", "step": i, "loss": float(m["loss"])})
+            if i >= total:
+                break
+    return model, state.params
+
+
+def _pack_ctc_targets(batches: Sequence[FeatBatch], encode_fn):
+    """[(fb, labels [rows,L], n_labels [rows])] with one shared pad length
+    (single compile) and zero-length rows for batch padding."""
+    from mogasr.am import ctc as C
 
     seqs_all = [
         [encode_fn(fb.words[b]) for b in range(fb.size)]
@@ -640,6 +659,45 @@ def train_ctc_units(
         seqs = seqs + [[] for _ in range(rows - fb.size)]
         labels, n_labels = C.pack_label_batch(seqs, pad_to=l_max)
         labeled.append((fb, jnp.asarray(labels), jnp.asarray(n_labels)))
+    return labeled
+
+
+def distill_ctc_units(
+    batches: Sequence[FeatBatch],
+    teacher_model,
+    teacher_params,
+    encode_fn,               # words -> unit-id sequence (teacher's inventory)
+    n_units: int,            # vocabulary WITHOUT blank (blank = n_units)
+    tcfg: TrainConfig,
+    student_arch: str = "lstm",
+    alpha: float = 0.5,
+    temperature: float = 2.0,
+    steps: Optional[int] = None,
+    spec_augment: bool = False,
+    logger=None,
+):
+    """Distill a trained CTC teacher into a (typically smaller / streaming)
+    student over the SAME unit inventory (mogasr.am.distill).
+
+    The returned (model, params) is a drop-in CTC student: decode it with
+    the same greedy/prefix-beam/graph paths, stream it with LstmAmStream,
+    serve it with BatchedCtcEngine — the checkpoint layout matches a
+    from-scratch CTC model of the same architecture.
+    """
+    from mogasr.am import ctc as C
+    from mogasr.am.distill import make_distill_train_step
+    from mogasr.am.neural import build_model
+
+    V = n_units + 1
+    model = build_model(student_arch, V, tcfg)
+    state = C.init_ctc_train_state(
+        model, tcfg, batches[0].feats.shape[-1], jax.random.key(tcfg.seed)
+    )
+    step_fn = make_distill_train_step(
+        model, teacher_model, teacher_params, tcfg,
+        alpha=alpha, temperature=temperature, spec_augment=spec_augment,
+    )
+    labeled = _pack_ctc_targets(batches, encode_fn)
 
     total = steps if steps is not None else tcfg.num_nn_steps
     i, m = 0, {"loss": jnp.asarray(0.0)}
@@ -648,7 +706,11 @@ def train_ctc_units(
             state, m = step_fn(state, fb.feats, fb.n_frames, labels, n_labels)
             i += 1
             if logger is not None and i % 50 == 0:
-                logger.log({"stage": "train_ctc", "step": i, "loss": float(m["loss"])})
+                logger.log({
+                    "stage": "distill_ctc", "step": i,
+                    "loss": float(m["loss"]), "kl": float(m["kl"]),
+                    "ctc": float(m["ctc"]),
+                })
             if i >= total:
                 break
     return model, state.params
