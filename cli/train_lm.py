@@ -1,6 +1,7 @@
-"""Neural (LSTM) language-model training over corpus transcripts.
+"""Neural language-model training (LSTM or Transformer) over corpus
+transcripts.
 
-Trains mogasr.lm.neural.NeuralLm on the training-split transcripts, reports
+Trains a mogasr.lm.neural model on the training-split transcripts, reports
 held-out perplexity next to a Kneser-Ney bigram baseline on the same split,
 and saves the checkpoint + vocabulary for second-pass N-best rescoring
 (``cli/decode.py --nnlm-rescore``).
@@ -27,6 +28,12 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_corpus_args(p)
     add_run_args(p)
+    p.add_argument("--nnlm-arch", default="lstm",
+                   choices=["lstm", "transformer"],
+                   help="neural LM architecture: recurrent (unbounded "
+                        "context, O(U) scan) or causal Transformer "
+                        "(GEMM-parallel over positions — the TPU-friendly "
+                        "default for offline rescoring)")
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--layers", type=int, default=1)
     p.add_argument("--steps", type=int, default=500)
@@ -97,7 +104,8 @@ def main() -> None:
                       lr=args.lr, num_nn_steps=args.steps)
     with Timer() as t:
         model, params = NL.train_nnlm(
-            train, vocab, cfg, batch_size=args.batch_size, logger=logger,
+            train, vocab, cfg, batch_size=args.batch_size,
+            arch=args.nnlm_arch, logger=logger,
         )
     ppl = NL.nnlm_perplexity(model, params, vocab, held)
 
@@ -113,7 +121,8 @@ def main() -> None:
     ckpt = os.path.join(os.path.abspath(args.run_dir), "nnlm")
     NL.save_nnlm(ckpt, model, params, vocab)
     logger.log({
-        "stage": "train_nnlm_done", "steps": args.steps,
+        "stage": "train_nnlm_done", "arch": args.nnlm_arch,
+        "steps": args.steps,
         "wall_sec": t.seconds, "heldout_ppl": round(ppl, 3),
         "kn_bigram_ppl": round(kn_ppl, 3) if kn_ppl is not None else None,
         "vocab": vocab.n_tokens, "train_sents": len(train),

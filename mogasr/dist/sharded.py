@@ -189,6 +189,51 @@ def make_sharded_ctc_train_step(model, cfg: TrainConfig, mesh: Mesh):
     return train_step
 
 
+def make_sharded_distill_train_step(
+    student_model, teacher_model, teacher_params, cfg: TrainConfig,
+    mesh: Mesh, alpha: float = 0.5, temperature: float = 2.0,
+):
+    """Knowledge-distillation step (mogasr.am.distill), batch sharded /
+    params replicated: each chip runs the teacher forward on its utterance
+    shard (posteriors stay chip-local in HBM); the masked KL/CTC means and
+    the grad psum are the XLA-derived global reductions, so the step is
+    exactly the local objective."""
+    import optax
+
+    from mogasr.am.ctc import CtcTrainState
+    from mogasr.am.distill import distill_objective
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames, labels, n_labels):
+        def loss_fn(params):
+            loss, aux = distill_objective(
+                student_model, teacher_model, teacher_params, params,
+                feats, feats, n_frames, labels, n_labels,
+                alpha=alpha, temperature=temperature,
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return CtcTrainState(params, opt_state, state.step + 1), {
+            "loss": loss, "kl": aux["kl"], "ctc": aux["ctc"],
+        }
+
+    return train_step
+
+
 def make_sharded_rnnt_train_step(model, cfg: TrainConfig, mesh: Mesh):
     """RNN-T train step, batch sharded / params replicated."""
     import optax

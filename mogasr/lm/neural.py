@@ -1,4 +1,5 @@
-"""Neural (LSTM) language model: training, perplexity, batched N-best rescoring.
+"""Neural language models (LSTM + causal Transformer): training, perplexity,
+batched N-best rescoring.
 
 The count-based models in lm/ngram.py cover first-pass decoding and exact
 lattice rescoring (bounded context); this module adds the unbounded-context
@@ -99,7 +100,59 @@ class NeuralLm(nn.Module):
         return nn.Dense(self.n_tokens)(x)
 
 
-def build_nnlm(vocab: LmVocab, cfg: TrainConfig) -> NeuralLm:
+class TransformerLm(nn.Module):
+    """Causal Transformer LM: same (tokens_in [B,U], n_tokens [B]) -> logits
+    [B,U,V] contract as NeuralLm, so every scorer/trainer/rescoring path is
+    shared. More TPU-idiomatic than the LSTM: each layer is a handful of
+    batched GEMMs parallel over ALL positions (MXU-saturating) instead of a
+    U-step ``lax.scan`` whose per-token matmul is too small to fill the MXU.
+
+    Padding needs no extra mask: ``lm_batch`` pads strictly AFTER the valid
+    prefix, so the causal mask already hides every padded key from every
+    valid query (scores at padded QUERY positions are garbage but are
+    excluded from the loss/score by ``n_tokens`` like in the LSTM path)."""
+
+    n_tokens: int
+    embed: int = 64        # model width
+    hidden: int = 128      # FFN width
+    layers: int = 2
+    heads: int = 4
+    max_len: int = 512     # positional-embedding capacity
+
+    @nn.compact
+    def __call__(self, tokens_in: jax.Array, n_tokens: jax.Array) -> jax.Array:
+        B, U = tokens_in.shape
+        D, H = self.embed, self.heads
+        hd = D // H
+        x = nn.Embed(self.n_tokens, D)(tokens_in)
+        x = x + nn.Embed(self.max_len, D)(jnp.arange(U))[None]
+        causal = jnp.tril(jnp.ones((U, U), bool))
+        for _ in range(self.layers):
+            h = nn.LayerNorm()(x)
+            q = nn.Dense(D, use_bias=False)(h).reshape(B, U, H, hd)
+            k = nn.Dense(D, use_bias=False)(h).reshape(B, U, H, hd)
+            v = nn.Dense(D, use_bias=False)(h).reshape(B, U, H, hd)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+            logits = jnp.where(causal[None, None], logits, -1e30)
+            att = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits), v)
+            x = x + nn.Dense(D)(att.reshape(B, U, D))
+            h = nn.LayerNorm()(x)
+            x = x + nn.Dense(D)(nn.gelu(nn.Dense(self.hidden)(h)))
+        return nn.Dense(self.n_tokens)(nn.LayerNorm()(x))
+
+
+def build_nnlm(vocab: LmVocab, cfg: TrainConfig, arch: str = "lstm"):
+    """arch="lstm" (NeuralLm) or "transformer" (TransformerLm); both share
+    the (tokens_in, n_tokens) -> logits contract and all downstream code."""
+    if arch == "transformer":
+        return TransformerLm(
+            n_tokens=vocab.n_tokens,
+            embed=max(cfg.nn_hidden // 2, 16),
+            hidden=cfg.nn_hidden,
+            layers=cfg.nn_layers,
+        )
+    if arch != "lstm":
+        raise ValueError(f"unknown nnlm arch: {arch!r}")
     return NeuralLm(
         n_tokens=vocab.n_tokens,
         embed=max(cfg.nn_hidden // 2, 8),
@@ -202,12 +255,14 @@ def train_nnlm(
     cfg: TrainConfig,
     batch_size: int = 64,
     seed: int = 0,
+    arch: str = "lstm",
     logger=None,
-) -> Tuple[NeuralLm, Any]:
-    """Train the LSTM LM on word transcripts for cfg.num_nn_steps steps.
+) -> Tuple[Any, Any]:
+    """Train the neural LM (LSTM or causal Transformer) on word transcripts
+    for cfg.num_nn_steps steps.
 
     All batches pad to one global u_max so the step compiles exactly once."""
-    model = build_nnlm(vocab, cfg)
+    model = build_nnlm(vocab, cfg, arch=arch)
     state = init_nnlm_train_state(model, cfg, jax.random.key(seed))
     step_fn = make_nnlm_train_step(model, cfg)
 
@@ -285,7 +340,7 @@ def rescore_nbest_nnlm(
 # --------------------------------------------------------------------------
 
 
-def save_nnlm(ckpt_dir: str, model: NeuralLm, params, vocab: LmVocab) -> None:
+def save_nnlm(ckpt_dir: str, model, params, vocab: LmVocab) -> None:
     from mogasr.utils.checkpoint import save_checkpoint
 
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -293,6 +348,8 @@ def save_nnlm(ckpt_dir: str, model: NeuralLm, params, vocab: LmVocab) -> None:
         json.dump(
             {
                 "tokens": list(vocab.tokens),
+                "arch": ("transformer" if isinstance(model, TransformerLm)
+                         else "lstm"),
                 "embed": model.embed,
                 "hidden": model.hidden,
                 "layers": model.layers,
@@ -302,13 +359,15 @@ def save_nnlm(ckpt_dir: str, model: NeuralLm, params, vocab: LmVocab) -> None:
     save_checkpoint(os.path.join(ckpt_dir, "ckpt"), {"params": params}, step=0)
 
 
-def load_nnlm(ckpt_dir: str) -> Tuple[NeuralLm, Any, LmVocab]:
+def load_nnlm(ckpt_dir: str) -> Tuple[Any, Any, LmVocab]:
     from mogasr.utils.checkpoint import restore_checkpoint
 
     with open(os.path.join(ckpt_dir, "nnlm.json")) as f:
         meta = json.load(f)
     vocab = LmVocab(tuple(meta["tokens"]))
-    model = NeuralLm(
+    cls = (TransformerLm if meta.get("arch", "lstm") == "transformer"
+           else NeuralLm)
+    model = cls(
         n_tokens=vocab.n_tokens,
         embed=meta["embed"],
         hidden=meta["hidden"],

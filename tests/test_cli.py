@@ -1013,3 +1013,31 @@ def test_rnnt_bpe_train_decode_stream_cli(tmp_path, monkeypatch, capsys):
     assert sum("partial" in e for e in events) >= 3
     finals = [e for e in events if "final" in e]
     assert len(finals) == 1 and isinstance(finals[0]["final"], list)
+
+
+def test_train_lm_transformer_cli(tmp_path, monkeypatch):
+    """--nnlm-arch transformer trains the causal-attention LM, records the
+    arch in nnlm.json, and decode --nnlm-rescore restores it transparently."""
+    from cli import decode, train_lm
+
+    run_cli(
+        train_lm,
+        ["--synthetic", "12", "--run-dir", str(tmp_path / "run"),
+         "--nnlm-arch", "transformer",
+         "--hidden", "16", "--layers", "1", "--steps", "40"],
+        monkeypatch,
+    )
+    meta = json.load(open(tmp_path / "run" / "nnlm" / "nnlm.json"))
+    assert meta["arch"] == "transformer"
+
+    out = str(tmp_path / "hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run2"),
+         "--mode", "word", "--num-components", "1",
+         "--nnlm-rescore", str(tmp_path / "run" / "nnlm"),
+         "--nnlm-nbest", "4", "--nbest", "2", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4 and all("nbest" in r for r in recs)

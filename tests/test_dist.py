@@ -166,6 +166,46 @@ def test_sharded_ctc_train_step_matches_local(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_distill_train_step_matches_local(mesh, rng):
+    from mogasr.am import ctc as C
+    from mogasr.am.distill import make_distill_train_step
+    from mogasr.am.neural import build_model
+    from mogasr.dist.sharded import make_sharded_distill_train_step
+
+    cfg = TrainConfig(nn_hidden=16, nn_layers=1, nn_context=1, lr=1e-2,
+                      num_nn_steps=10)
+    V = 4
+    teacher = build_model("mlp", V, cfg)
+    t_params = teacher.init(jax.random.key(7),
+                            jnp.zeros((2, 8, 5)), jnp.asarray([8, 8]))
+    student = build_model("mlp", V, cfg)
+    state = C.init_ctc_train_state(student, cfg, 5, jax.random.key(0))
+    feats = rng.standard_normal((8, 10, 5)).astype(np.float32)
+    n_frames = np.full(8, 10, np.int32)
+    labels = rng.integers(0, V - 1, (8, 3)).astype(np.int32)
+    n_labels = np.full(8, 3, np.int32)
+
+    local_step = make_distill_train_step(
+        student, teacher, t_params, cfg, alpha=0.6, temperature=2.0
+    )
+    s_local, m_local = local_step(
+        state, jnp.asarray(feats), jnp.asarray(n_frames),
+        jnp.asarray(labels), jnp.asarray(n_labels),
+    )
+    dist_step = make_sharded_distill_train_step(
+        student, teacher, M.replicate(t_params, mesh), cfg, mesh,
+        alpha=0.6, temperature=2.0,
+    )
+    state_r = M.replicate(state, mesh)
+    fs, nfs, ls, nls = M.shard_batch((feats, n_frames, labels, n_labels), mesh)
+    s_dist, m_dist = dist_step(state_r, fs, nfs, ls, nls)
+    for key in ("loss", "kl", "ctc"):
+        np.testing.assert_allclose(float(m_dist[key]), float(m_local[key]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_local.params), jax.tree.leaves(s_dist.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_sharded_rnnt_train_step_matches_local(mesh, rng):
     from mogasr.am import rnnt as R
     from mogasr.dist.sharded import make_sharded_rnnt_train_step
