@@ -44,14 +44,19 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--spec-augment", action="store_true",
                    help="SpecAugment time/feature masking during training")
-    p.add_argument("--objective", default="ce", choices=["ce", "ctc", "rnnt", "aed"],
+    p.add_argument("--objective", default="ce",
+                   choices=["ce", "ctc", "rnnt", "aed", "mpc"],
                    help="ce: frame CE on GMM forced alignments; "
                         "ctc: alignment-free CTC on transcript phone targets; "
                         "rnnt: RNN-transducer (label-history-conditioned, "
                         "streaming-native; --arch picks the encoder lstm/blstm); "
                         "aed: attention encoder-decoder (Conformer + "
                         "Transformer decoder, joint CTC/attention loss; "
-                        "--hidden/--layers size the Conformer, --arch ignored)")
+                        "--hidden/--layers size the Conformer, --arch ignored); "
+                        "mpc: UNSUPERVISED masked-predictive-coding "
+                        "pretraining of the --arch encoder (no transcripts "
+                        "read) — warm-start a later CTC run with "
+                        "--init-from RUN_DIR/nn_mpc_ARCH")
     p.add_argument("--aed-chunk", type=int, default=0, metavar="C",
                    help="with --objective aed: train the STREAMING-capable "
                         "chunked encoder (causal convs, attention masked to "
@@ -69,6 +74,11 @@ def main() -> None:
                         "(N merges learned from the transcripts) instead of "
                         "phones — lexicon-free word recognition; writes "
                         "bpe.json next to the checkpoint")
+    p.add_argument("--init-from", metavar="CKPT_DIR",
+                   help="with --objective ctc: warm-start the encoder from "
+                        "an MPC-pretrained checkpoint (train_nn --objective "
+                        "mpc with the SAME --arch/--hidden/--layers); the "
+                        "CTC head keeps its fresh init")
     p.add_argument("--distill-from", metavar="CKPT_DIR",
                    help="with --objective ctc: knowledge distillation — "
                         "train THIS (student) model to match the frame "
@@ -120,7 +130,7 @@ def main() -> None:
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
 
-    if args.objective in ("ctc", "rnnt", "aed"):
+    if args.objective in ("ctc", "rnnt", "aed", "mpc"):
         import jax.numpy as jnp
 
         from mogasr.pipeline import train_aed, train_ctc, train_rnnt
@@ -129,13 +139,32 @@ def main() -> None:
             nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
             lr=args.lr, num_nn_steps=args.steps,
         )
+        init_params = None
+        if args.init_from:
+            if args.objective != "ctc":
+                raise SystemExit("--init-from (MPC warm start) supports "
+                                 "--objective ctc")
+            from mogasr.utils.checkpoint import restore_checkpoint
+
+            pre_model = build_model(args.arch, fcfg.feat_dim, tcfg)
+            template = {"params": pre_model.init(
+                jax.random.key(0), jnp.zeros((2, 8, fcfg.feat_dim)),
+                jnp.asarray([8, 8]))}
+            init_params = restore_checkpoint(
+                os.path.abspath(args.init_from), template)["params"]
         if args.distill_from and args.objective != "ctc":
             raise SystemExit("--distill-from supports --objective ctc")
         if args.distill_from and args.bpe_merges > 0:
             raise SystemExit("--distill-from reuses the TEACHER's unit "
                              "inventory (its bpe.json): drop --bpe-merges")
         with Timer() as t:
-            if args.distill_from:
+            if args.objective == "mpc":
+                from mogasr.am.pretrain import pretrain_mpc
+
+                model, params = pretrain_mpc(
+                    batches, tcfg, arch=args.arch, logger=logger,
+                )
+            elif args.distill_from:
                 from mogasr.am.ctc import (
                     ctc_labels_from_words, init_ctc_train_state,
                 )
@@ -213,7 +242,8 @@ def main() -> None:
             elif args.objective == "ctc":
                 model, params = train_ctc(
                     batches, lex, tcfg, arch=args.arch,
-                    spec_augment=args.spec_augment, logger=logger,
+                    spec_augment=args.spec_augment,
+                    init_params=init_params, logger=logger,
                 )
             else:
                 if args.arch not in ("lstm", "blstm"):

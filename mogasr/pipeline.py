@@ -568,6 +568,7 @@ def train_ctc(
     steps: Optional[int] = None,
     spec_augment: bool = False,
     include_sil: bool = False,
+    init_params=None,
     logger=None,
 ):
     """Alignment-free CTC training: (features, phone sequence) pairs only.
@@ -583,7 +584,8 @@ def train_ctc(
         batches,
         lambda words: C.ctc_labels_from_words(lexicon, words, include_sil),
         lexicon.n_phones,
-        tcfg, arch=arch, steps=steps, spec_augment=spec_augment, logger=logger,
+        tcfg, arch=arch, steps=steps, spec_augment=spec_augment,
+        init_params=init_params, logger=logger,
     )
 
 
@@ -594,6 +596,7 @@ def train_ctc_bpe(
     arch: str = "mlp",
     steps: Optional[int] = None,
     spec_augment: bool = False,
+    init_params=None,
     logger=None,
 ):
     """Lexicon-free CTC on BPE subword targets (mogasr.data.bpe).
@@ -604,7 +607,8 @@ def train_ctc_bpe(
     """
     return train_ctc_units(
         batches, bpe.encode, bpe.n_units,
-        tcfg, arch=arch, steps=steps, spec_augment=spec_augment, logger=logger,
+        tcfg, arch=arch, steps=steps, spec_augment=spec_augment,
+        init_params=init_params, logger=logger,
     )
 
 
@@ -616,9 +620,15 @@ def train_ctc_units(
     arch: str = "mlp",
     steps: Optional[int] = None,
     spec_augment: bool = False,
+    init_params=None,
     logger=None,
 ):
-    """Generic alignment-free CTC over any unit inventory (phones, BPE)."""
+    """Generic alignment-free CTC over any unit inventory (phones, BPE).
+
+    init_params (optional): warm-start tree, e.g. an MPC-pretrained encoder
+    (mogasr.am.pretrain): every leaf whose path+shape matches this model is
+    copied in (transfer_pretrained); mismatched leaves — the task head —
+    keep their fresh init."""
     from mogasr.am import ctc as C
     from mogasr.am.neural import build_model
 
@@ -627,6 +637,18 @@ def train_ctc_units(
     state = C.init_ctc_train_state(
         model, tcfg, batches[0].feats.shape[-1], jax.random.key(tcfg.seed)
     )
+    if init_params is not None:
+        from mogasr.am.pretrain import transfer_pretrained
+
+        merged, copied, total = transfer_pretrained(init_params, state.params)
+        if copied == 0:
+            raise ValueError(
+                "init_params shares no (path, shape)-compatible leaves with "
+                f"the {arch} CTC model — arch/hidden/layers mismatch?")
+        state = state._replace(params=merged)
+        if logger is not None:
+            logger.log({"stage": "ctc_warm_start", "leaves_copied": copied,
+                        "leaves_total": total})
     step_fn = C.make_ctc_train_step(model, tcfg, spec_augment=spec_augment)
     labeled = _pack_ctc_targets(batches, encode_fn)
 
