@@ -60,8 +60,25 @@ def main() -> None:
                         "word decoding) instead of the GMM system: requires "
                         "--bpe and --nn-ckpt; same DP sharding + per-chunk "
                         "resume")
-    p.add_argument("--bpe", metavar="FILE", help="bpe.json (with --ctc)")
-    p.add_argument("--nn-ckpt", help="CTC checkpoint dir (with --ctc)")
+    p.add_argument("--rnnt", action="store_true",
+                   help="evaluate a BPE-RNNT checkpoint (train_nn "
+                        "--objective rnnt --bpe-merges): single-dispatch "
+                        "device-greedy transducer decode per sharded batch "
+                        "through the same resume/metrics protocol")
+    p.add_argument("--rnnt-pred", default="stateless",
+                   choices=["stateless", "lstm"],
+                   help="RNN-T prediction-net arch — must match the ckpt")
+    p.add_argument("--rnnt-plain", action="store_true",
+                   help="the RNN-T ckpt was trained WITHOUT the aux CTC head")
+    p.add_argument("--aed", action="store_true",
+                   help="evaluate a BPE-AED checkpoint (train_nn --objective "
+                        "aed --bpe-merges): on-device batched beam search")
+    p.add_argument("--aed-beam", type=int, default=4)
+    p.add_argument("--aed-max-tokens", type=int, default=48)
+    p.add_argument("--bpe", metavar="FILE",
+                   help="bpe.json (with --ctc/--rnnt/--aed)")
+    p.add_argument("--nn-ckpt",
+                   help="NN checkpoint dir (with --ctc/--rnnt/--aed)")
     p.add_argument("--nn-arch", default="lstm",
                    choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
     p.add_argument("--nn-hidden", type=int, default=512)
@@ -77,12 +94,17 @@ def main() -> None:
 
     from mogasr.dist import mesh as M
 
-    if args.ctc and (args.fmllr or args.mllr or args.vtln or args.consensus
+    nf_flags = [f for f, on in
+                (("--ctc", args.ctc), ("--rnnt", args.rnnt),
+                 ("--aed", args.aed)) if on]
+    if len(nf_flags) > 1:
+        raise SystemExit(f"pick one of {'/'.join(nf_flags)}")
+    if nf_flags and (args.fmllr or args.mllr or args.vtln or args.consensus
                      or args.bundle):
-        raise SystemExit("--ctc is lexicon-free greedy decoding: "
+        raise SystemExit(f"{nf_flags[0]} is lexicon-free decoding: "
                          "incompatible with GMM adaptation/consensus/bundle")
-    if args.ctc and not (args.bpe and args.nn_ckpt):
-        raise SystemExit("--ctc requires --bpe and --nn-ckpt")
+    if nf_flags and not (args.bpe and args.nn_ckpt):
+        raise SystemExit(f"{nf_flags[0]} requires --bpe and --nn-ckpt")
 
     bundle = None
     if args.bundle:
@@ -115,9 +137,10 @@ def main() -> None:
         batches = featurize_streaming(corpus, fcfg, bcfg, chunk_samples=chunk)
     else:
         batches = featurize(corpus, fcfg, bcfg)
-    ctc = None
-    if args.ctc:
-        from mogasr.am.train_nn import build_model, init_train_state
+    # lexicon-free neural families share one slot: (bpe, decode_units) where
+    # decode_units(sharded feats, sharded n_frames, fb) -> unit-id sequences
+    neural = None
+    if nf_flags:
         from mogasr.config import TrainConfig
         from mogasr.data.bpe import load_bpe
         from mogasr.utils.checkpoint import restore_checkpoint
@@ -125,21 +148,82 @@ def main() -> None:
         bpe = load_bpe(args.bpe)
         tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
-        nn_model = build_model(args.nn_arch, bpe.n_units + 1, tcfg)
-        template = {
-            "params": init_train_state(
-                nn_model, tcfg, fcfg.feat_dim, jax.random.key(0)
-            ).params,
-        }
-        nn_params = M.replicate(
-            restore_checkpoint(args.nn_ckpt, template)["params"], mesh
-        )
+        if args.ctc:
+            from mogasr.am.ctc import ctc_greedy_decode
+            from mogasr.am.train_nn import build_model, init_train_state
 
-        @jax.jit
-        def _ctc_logits(params, feats, n_frames):
-            return nn_model.apply(params, feats, n_frames)
+            nn_model = build_model(args.nn_arch, bpe.n_units + 1, tcfg)
+            template = {
+                "params": init_train_state(
+                    nn_model, tcfg, fcfg.feat_dim, jax.random.key(0)
+                ).params,
+            }
+            nn_params = M.replicate(
+                restore_checkpoint(args.nn_ckpt, template)["params"], mesh
+            )
 
-        ctc = (bpe, nn_params, _ctc_logits)
+            @jax.jit
+            def _ctc_logits(params, feats, n_frames):
+                return nn_model.apply(params, feats, n_frames)
+
+            def decode_units(feats, n_frames, fb, _p=nn_params):
+                return ctc_greedy_decode(
+                    _ctc_logits(_p, feats, n_frames), fb.n_frames
+                )
+        elif args.rnnt:
+            from mogasr.am.rnnt import (
+                build_rnnt_model, init_rnnt_train_state,
+                rnnt_greedy_decode_device,
+            )
+
+            if args.nn_arch not in ("lstm", "blstm"):
+                raise SystemExit("--rnnt needs --nn-arch lstm/blstm")
+            nn_model = build_rnnt_model(
+                bpe.n_units, tcfg, encoder_arch=args.nn_arch,
+                pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+            )
+            template = {
+                "params": init_rnnt_train_state(
+                    nn_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+                ).params,
+            }
+            nn_params = M.replicate(
+                restore_checkpoint(args.nn_ckpt, template)["params"], mesh
+            )
+
+            def decode_units(feats, n_frames, fb,
+                             _m=nn_model, _p=nn_params):
+                return rnnt_greedy_decode_device(_m, _p, feats, n_frames)
+        else:
+            import numpy as _np
+
+            from mogasr.am.aed import (
+                build_aed_model, init_aed_train_state, make_aed_decoder,
+            )
+
+            nn_model = build_aed_model(bpe.n_units, tcfg)
+            template = {
+                "params": init_aed_train_state(
+                    nn_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+                ).params,
+            }
+            nn_params = M.replicate(
+                restore_checkpoint(args.nn_ckpt, template)["params"], mesh
+            )
+            aed_dec = make_aed_decoder(
+                nn_model, nn_params, beam=args.aed_beam,
+                max_tokens=args.aed_max_tokens,
+            )
+
+            def decode_units(feats, n_frames, fb, _d=aed_dec):
+                toks, n_toks, _ = (
+                    _np.asarray(a) for a in _d(feats, n_frames)
+                )
+                return [
+                    list(map(int, toks[b, : n_toks[b]]))
+                    for b in range(len(toks))
+                ]
+        neural = (bpe, decode_units)
         gmm = graph = None
     else:
         gmm = (bundle[0] if bundle is not None
@@ -203,18 +287,13 @@ def main() -> None:
                     if all(u in done for u in fb.utt_ids):
                         continue
                     feats = jax.device_put(fb.feats, M.data_sharding(mesh))
-                    if ctc is not None:
-                        from mogasr.am.ctc import ctc_greedy_decode
-
-                        bpe, nn_params, logits_fn = ctc
-                        logits = logits_fn(
-                            nn_params, feats,
-                            jax.device_put(fb.n_frames,
-                                           M.data_sharding(mesh)),
-                        )
+                    if neural is not None:
+                        bpe, decode_units = neural
+                        nf_s = jax.device_put(
+                            fb.n_frames, M.data_sharding(mesh))
                         out = [
                             bpe.decode(seq)
-                            for seq in ctc_greedy_decode(logits, fb.n_frames)
+                            for seq in decode_units(feats, nf_s, fb)
                         ]
                         for b in range(fb.size):
                             out_f.write(json.dumps({

@@ -1041,3 +1041,49 @@ def test_train_lm_transformer_cli(tmp_path, monkeypatch):
     )
     recs = [json.loads(l) for l in open(out)]
     assert len(recs) == 4 and all("nbest" in r for r in recs)
+
+
+def test_eval_cli_rnnt_and_aed(tmp_path, monkeypatch):
+    """eval --rnnt / --aed: the lexicon-free transducer and attention
+    families through the same DP-sharded sweep + resume protocol as --ctc."""
+    from cli import eval as eval_cli
+    from cli import train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "rn"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    args_r = ["--synthetic", "4", "--run-dir", str(tmp_path / "evr"),
+              "--rnnt", "--bpe", str(tmp_path / "rn" / "bpe.json"),
+              "--nn-ckpt", str(tmp_path / "rn" / "nn_rnnt_lstm"),
+              "--nn-arch", "lstm", "--nn-hidden", "16", "--nn-layers", "2"]
+    run_cli(eval_cli, args_r, monkeypatch)
+    metrics = [json.loads(l) for l in open(tmp_path / "evr" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4 and "wer" in ev[0]
+    hyps1 = open(tmp_path / "evr" / "eval_hyps.jsonl").read()
+    run_cli(eval_cli, args_r, monkeypatch)  # resume is idempotent
+    assert open(tmp_path / "evr" / "eval_hyps.jsonl").read() == hyps1
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "ae"),
+         "--hidden", "16", "--layers", "1", "--steps", "6",
+         "--objective", "aed", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    run_cli(
+        eval_cli,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "eva"),
+         "--aed", "--bpe", str(tmp_path / "ae" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "ae" / "nn_aed_mlp"),
+         "--nn-hidden", "16", "--nn-layers", "1",
+         "--aed-beam", "2", "--aed-max-tokens", "12"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "eva" / "metrics.jsonl")]
+    ev = [m for m in metrics if m.get("stage") == "eval"]
+    assert ev and ev[0]["utts"] == 4 and "wer" in ev[0]
