@@ -166,10 +166,25 @@ def main() -> None:
         feats, nf = fe(w, ns)
         return conf_model.apply(conf_params, feats, nf), nf
 
+    # lstm_prefused: SAME LstmAm checkpoint evaluated by the hoisted-GEMM
+    # forward (mogasr.am.fast_lstm) — input projection of all frames as one
+    # MXU GEMM, scan does only the recurrent half (exactness-tested)
+    from mogasr.am.fast_lstm import lstm_am_apply_prefused
+
+    def make_hybrid_prefused(params):
+        def run(w, ns, fe):
+            feats, nf = fe(w, ns)
+            logits = lstm_am_apply_prefused(params, feats, nf)
+            ll = posteriors_to_loglik(logits, log_priors)
+            return vit.viterbi(ll, graphs, nf,
+                               acoustic_scale=dcfg.acoustic_scale).path
+        return run
+
     families = [
         ("gmm", run_gmm, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
+        ("lstm_prefused", make_hybrid_prefused(lstm_params), None),
         ("ctc", run_ctc, "collapse"),
         ("ctc_conformer", run_ctc_conformer, "collapse"),
         ("rnnt", run_rnnt, None),
