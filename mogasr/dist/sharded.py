@@ -234,6 +234,48 @@ def make_sharded_distill_train_step(
     return train_step
 
 
+def make_sharded_mpc_step(model, cfg: TrainConfig, mesh: Mesh,
+                          n_masks: int = 4, mask_width: int = 12):
+    """Self-supervised MPC pretraining step, batch sharded / params
+    replicated. The span masks derive from the REPLICATED step counter
+    (fold_in), so every chip draws the same global [B, T] mask and the
+    sharded computation is bitwise the local objective up to the grad-psum
+    reduction order."""
+    import optax
+
+    from mogasr.am.pretrain import MpcTrainState, mpc_objective, span_time_mask
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames):
+        key = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+        mask = span_time_mask(key, n_frames, feats.shape[1],
+                              n_masks, mask_width)
+
+        def loss_fn(params):
+            loss, n = mpc_objective(model, params, feats, n_frames, mask)
+            return loss, n
+
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return MpcTrainState(params, opt_state, state.step + 1), {
+            "loss": loss, "masked_frames": n,
+        }
+
+    return train_step
+
+
 def make_sharded_rnnt_train_step(model, cfg: TrainConfig, mesh: Mesh):
     """RNN-T train step, batch sharded / params replicated."""
     import optax

@@ -206,6 +206,32 @@ def test_sharded_distill_train_step_matches_local(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_mpc_step_matches_local(mesh, rng):
+    from mogasr.am import pretrain as P
+    from mogasr.am.neural import build_model
+    from mogasr.dist.sharded import make_sharded_mpc_step
+
+    cfg = TrainConfig(nn_hidden=16, nn_layers=1, nn_context=1, lr=1e-2,
+                      num_nn_steps=10)
+    model = build_model("mlp", 5, cfg)  # feat_dim-wide reconstruction head
+    state = P.init_mpc_state(model, cfg, 5, jax.random.key(0))
+    feats = rng.standard_normal((8, 10, 5)).astype(np.float32)
+    n_frames = np.full(8, 10, np.int32)
+
+    local_step = P.make_mpc_train_step(model, cfg)
+    s_local, m_local = local_step(
+        state, jnp.asarray(feats), jnp.asarray(n_frames))
+    dist_step = make_sharded_mpc_step(model, cfg, mesh)
+    s_dist, m_dist = dist_step(
+        M.replicate(state, mesh), *M.shard_batch((feats, n_frames), mesh))
+    np.testing.assert_allclose(float(m_dist["loss"]), float(m_local["loss"]),
+                               rtol=1e-5)
+    assert int(m_dist["masked_frames"]) == int(m_local["masked_frames"])
+    for a, b in zip(jax.tree.leaves(s_local.params),
+                    jax.tree.leaves(s_dist.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_sharded_rnnt_train_step_matches_local(mesh, rng):
     from mogasr.am import rnnt as R
     from mogasr.dist.sharded import make_sharded_rnnt_train_step
