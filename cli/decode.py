@@ -79,7 +79,8 @@ def main() -> None:
     p.add_argument("--ivector-dim", type=int, default=16)
     p.add_argument("--ivector-components", type=int, default=64)
     p.add_argument("--bias", metavar="FILE",
-                   help="with --ctc --bpe: contextual biasing — boost the "
+                   help="with --ctc --bpe, or --rnnt --rnnt-beam N "
+                        "(BPE or phone units): contextual biasing — boost the "
                         "phrases in FILE (one per line) during prefix beam "
                         "search (shallow-fusion boosting with retraction; "
                         "mogasr.decoder.biasing)")
@@ -359,10 +360,13 @@ def main() -> None:
             }
             ck = restore_checkpoint(args.nn_ckpt, template)
 
+            if args.bias and args.rnnt_beam <= 0:
+                raise SystemExit("--rnnt --bias boosts phrases inside the "
+                                 "beam search: add --rnnt-beam N")
             if args.rnnt_beam > 0:
                 from mogasr.am.rnnt import rnnt_beam_decode
 
-                rnnt_ext = None
+                rnnt_exts = []
                 if args.fusion_lm:
                     from mogasr.lm.unit_ngram import (
                         fusion_score, load_unit_lm,
@@ -375,7 +379,26 @@ def main() -> None:
                             f"{ulm.n_units} units, model decodes "
                             f"{n_rnnt_units} (train_lm --unit-ngram with "
                             "the matching --bpe, or without it for phones)")
-                    rnnt_ext = fusion_score(ulm, args.fusion_weight)
+                    rnnt_exts.append(fusion_score(ulm, args.fusion_weight))
+                if args.bias:
+                    from mogasr.decoder.biasing import (
+                        biaser_from_bpe, biaser_from_words, load_phrases,
+                    )
+
+                    phrases = load_phrases(args.bias)
+                    rnnt_exts.append(
+                        (biaser_from_bpe(bpe, phrases,
+                                         weight=args.bias_weight)
+                         if bpe is not None else
+                         biaser_from_words(lex, phrases,
+                                           weight=args.bias_weight)).score
+                    )
+                if len(rnnt_exts) > 1:
+                    from mogasr.lm.unit_ngram import compose_ext_scores
+
+                    rnnt_ext = compose_ext_scores(rnnt_exts)
+                else:
+                    rnnt_ext = rnnt_exts[0] if rnnt_exts else None
 
                 def scorer(fb, _m=model, _p=ck["params"]):
                     return [

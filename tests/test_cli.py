@@ -1014,6 +1014,35 @@ def test_rnnt_bpe_train_decode_stream_cli(tmp_path, monkeypatch, capsys):
     finals = [e for e in events if "final" in e]
     assert len(finals) == 1 and isinstance(finals[0]["final"], list)
 
+    # contextual biasing inside the RNN-T beam (same ext_score hook as the
+    # CTC prefix beam, composed through the monotonic beam search)
+    (tmp_path / "phrases.txt").write_text("cat fish\n")
+    out2 = str(tmp_path / "hyp_bias.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "2", "--run-dir", str(tmp_path / "dec2"),
+         "--am", "lstm", "--rnnt", "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--mode", "word", "--nn-hidden", "16", "--nn-layers", "2",
+         "--rnnt-beam", "3", "--bias", str(tmp_path / "phrases.txt"),
+         "--bias-weight", "1.0", "--out", out2],
+        monkeypatch,
+    )
+    recs2 = [json.loads(l) for l in open(out2)]
+    assert len(recs2) == 2 and all(isinstance(r["hyp"], list) for r in recs2)
+    # --bias without a beam is an explicit error, not a silent no-op
+    with pytest.raises(SystemExit):
+        run_cli(
+            decode,
+            ["--synthetic", "1", "--run-dir", str(tmp_path / "dec3"),
+             "--am", "lstm", "--rnnt",
+             "--bpe", str(tmp_path / "run" / "bpe.json"),
+             "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+             "--mode", "word", "--nn-hidden", "16", "--nn-layers", "2",
+             "--bias", str(tmp_path / "phrases.txt")],
+            monkeypatch,
+        )
+
 
 def test_train_lm_transformer_cli(tmp_path, monkeypatch):
     """--nnlm-arch transformer trains the causal-attention LM, records the
