@@ -51,7 +51,12 @@ def main() -> None:
                         "with --bpe) with segment timestamps — no per-word "
                         "times/confidences (no frame alignment)")
     p.add_argument("--bpe", metavar="FILE",
-                   help="with --aed: BPE inventory (bpe.json) -> word output")
+                   help="with --aed: BPE inventory (bpe.json) -> word output; "
+                        "with --ctc: LEXICON-FREE open-vocabulary "
+                        "transcription (train_nn --objective ctc "
+                        "--bpe-merges ckpt) — word timestamps from the "
+                        "greedy emission frames, confidences from the "
+                        "frame posteriors")
     p.add_argument("--aed-beam", type=int, default=4)
     p.add_argument("--aed-ctc-weight", type=float, default=0.3)
     p.add_argument("--aed-max-tokens", type=int, default=64)
@@ -104,6 +109,9 @@ def main() -> None:
     if args.aed and (args.nbest or args.ctm):
         raise SystemExit("--aed has no word lattice/alignment: "
                          "incompatible with --nbest/--ctm")
+    if args.ctc and args.bpe and args.nbest:
+        raise SystemExit("--ctc --bpe is lexicon-free greedy decoding "
+                         "(no lattice): incompatible with --nbest")
     if args.aed:
         import jax
 
@@ -146,17 +154,24 @@ def main() -> None:
 
         if not args.nn_ckpt:
             raise SystemExit("--ctc requires --nn-ckpt")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            n_ctc_units = bpe.n_units
+        else:
+            bpe = None
+            n_ctc_units = lex.n_phones
         tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
-        nn_model = build_model(args.nn_arch, lex.n_phones + 1, tcfg)
+        nn_model = build_model(args.nn_arch, n_ctc_units + 1, tcfg)
         template = {
             "params": init_train_state(
                 nn_model, tcfg, fcfg.feat_dim, jax.random.key(0)
             ).params,
         }
-        ctc_scorer = make_ctc_scorer(
-            nn_model, restore_checkpoint(args.nn_ckpt, template)["params"]
-        )
+        nn_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        ctc_scorer = make_ctc_scorer(nn_model, nn_params)
         gmm = None
     else:
         gmm = load_or_random_gmm(args, fcfg.feat_dim)
@@ -171,7 +186,7 @@ def main() -> None:
         ]
         results = []
         if corpus:
-            if args.aed:
+            if args.aed or (args.ctc and args.bpe):
                 graph = None
             elif args.ctc:
                 from mogasr.am.ctc import ctc_decode_graph
@@ -210,6 +225,43 @@ def main() -> None:
                             "end_s": round(e / fcfg.sample_rate, 2),
                             "words": (bpe.decode(seqs[b]) if bpe
                                       else [lex.phones[u] for u in seqs[b]]),
+                        })
+                    continue
+                if args.ctc and args.bpe:
+                    # lexicon-free: greedy units with emission frames ->
+                    # BPE word spans -> absolute word timestamps
+                    from mogasr.am.ctc import ctc_greedy_decode_with_frames
+
+                    logits = nn_model.apply(nn_params, fb.feats, fb.n_frames)
+                    maxp = np.asarray(
+                        jax.numpy.max(jax.nn.softmax(logits, axis=-1),
+                                      axis=-1))
+                    pairs_all = ctc_greedy_decode_with_frames(
+                        logits, fb.n_frames)
+                    for b in range(fb.size):
+                        idx = int(fb.utt_ids[b].split("-")[1])
+                        a, e = segments[idx]
+                        seg_start = a / fcfg.sample_rate
+                        pairs = pairs_all[b]
+                        spans = bpe.decode_with_spans([u for u, _ in pairs])
+                        results.append({
+                            "start_s": round(seg_start, 2),
+                            "end_s": round(e / fcfg.sample_rate, 2),
+                            "words": [w for w, _i0, _i1 in spans],
+                            # mean best-path posterior over the word's
+                            # emission frames
+                            "confidences": [
+                                round(float(np.mean(
+                                    [maxp[b, pairs[i][1]]
+                                     for i in range(i0, i1 + 1)])), 3)
+                                for _w, i0, i1 in spans
+                            ],
+                            "word_times": [
+                                [round(seg_start + pairs[i0][1] * shift_s, 2),
+                                 round(seg_start
+                                       + (pairs[i1][1] + 1) * shift_s, 2)]
+                                for _w, i0, i1 in spans
+                            ],
                         })
                     continue
                 scores = ctc_scorer(fb) if args.ctc else score_batch(fb.feats, gmm)

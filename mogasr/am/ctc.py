@@ -282,6 +282,32 @@ def ctc_greedy_decode(
     return [collapse_ctc(frames[b, : nf[b]], bid) for b in range(frames.shape[0])]
 
 
+def ctc_greedy_decode_with_frames(
+    logits: jax.Array,    # [B, T, V]
+    n_frames: jax.Array,  # [B]
+    blank_id: Optional[int] = None,
+) -> List[List[Tuple[int, int]]]:
+    """Best-path decode keeping emission times: per utterance a list of
+    (unit_id, frame) where frame is the FIRST frame of the collapsed run —
+    the standard CTC timing heuristic (units cluster at their run onsets).
+    The unit sequence equals ctc_greedy_decode exactly."""
+    V = logits.shape[-1]
+    bid = V - 1 if blank_id is None else blank_id
+    frames = np.asarray(_greedy_frames(logits, bid))
+    nf = np.asarray(n_frames)
+    out: List[List[Tuple[int, int]]] = []
+    for b in range(frames.shape[0]):
+        pairs: List[Tuple[int, int]] = []
+        prev = -1
+        for t in range(int(nf[b])):
+            f = int(frames[b, t])
+            if f != prev and f != bid:
+                pairs.append((f, t))
+            prev = f
+        out.append(pairs)
+    return out
+
+
 def _lse2(a: float, b: float) -> float:
     return float(np.logaddexp(a, b))
 

@@ -85,6 +85,28 @@ class Bpe:
             words.append(cur)  # trailing partial word (no boundary seen)
         return words
 
+    def decode_with_spans(
+        self, ids: Sequence[int]
+    ) -> List[Tuple[str, int, int]]:
+        """Unit ids -> [(word, first_unit_idx, last_unit_idx)]: decode()
+        plus the index span of each word's units (for unit-level timing)."""
+        spans: List[Tuple[str, int, int]] = []
+        cur, first = "", 0
+        for i, u_id in enumerate(ids):
+            u = self.units[int(u_id)]
+            if not cur:
+                first = i
+            if u.endswith(BOUNDARY):
+                cur += u[: -len(BOUNDARY)]
+                if cur:
+                    spans.append((cur, first, i))
+                cur = ""
+            else:
+                cur += u
+        if cur:
+            spans.append((cur, first, len(ids) - 1))
+        return spans
+
 
 def save_bpe(bpe: Bpe, path: str) -> None:
     import json

@@ -98,3 +98,18 @@ def test_bpe_ctc_lexicon_free_word_recognition():
             hyps.append(bpe.decode(out[b]))
     wer, _ = corpus_wer(refs, hyps)
     assert wer < 0.25, wer
+
+
+def test_decode_with_spans_matches_decode():
+    from mogasr.data.bpe import train_bpe
+
+    bpe = train_bpe([["fish", "cat"], ["sunny", "cat"]], n_merges=10)
+    ids = bpe.encode(["sunny", "fish", "cat"])
+    spans = bpe.decode_with_spans(ids)
+    assert [w for w, _a, _b in spans] == bpe.decode(ids)
+    # spans tile the id sequence in order without overlap
+    last = -1
+    for _w, a, b in spans:
+        assert a == last + 1 and b >= a
+        last = b
+    assert last == len(ids) - 1

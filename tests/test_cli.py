@@ -1116,3 +1116,54 @@ def test_eval_cli_rnnt_and_aed(tmp_path, monkeypatch):
     metrics = [json.loads(l) for l in open(tmp_path / "eva" / "metrics.jsonl")]
     ev = [m for m in metrics if m.get("stage") == "eval"]
     assert ev and ev[0]["utts"] == 4 and "wer" in ev[0]
+
+
+def test_transcribe_cli_ctc_bpe(tmp_path, monkeypatch):
+    """Lexicon-free long-audio transcription: --ctc --bpe decodes
+    open-vocabulary words with timestamps from the greedy emission frames
+    and posterior confidences; --ctm is emitted from the same spans."""
+    from cli import train_nn, transcribe
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "8",
+         "--objective", "ctc", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "t.jsonl")
+    ctm = str(tmp_path / "t.ctm")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--ctc",
+         "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_mlp"),
+         "--nn-arch", "mlp", "--nn-hidden", "32", "--nn-layers", "1",
+         "--out", out, "--ctm", ctm],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert recs
+    for r in recs:
+        assert r["end_s"] > r["start_s"]
+        assert len(r["words"]) == len(r["confidences"]) == len(r["word_times"])
+        for c in r["confidences"]:
+            assert 0.0 <= c <= 1.0
+        prev_start = r["start_s"]
+        for t0, t1 in r["word_times"]:
+            # monotone, inside the segment, end after start
+            assert r["start_s"] - 1e-6 <= t0 <= r["end_s"] + 1e-6
+            assert t1 > t0 - 1e-6 and t0 >= prev_start - 1e-6
+            prev_start = t0
+    n_words = sum(len(r["words"]) for r in recs)
+    assert len(open(ctm).read().strip().splitlines()) == n_words
+    # --nbest has no lattice on the lexicon-free path: explicit error
+    with pytest.raises(SystemExit):
+        run_cli(
+            transcribe,
+            ["--synthetic-demo", "--run-dir", str(tmp_path / "run3"),
+             "--ctc", "--bpe", str(tmp_path / "run" / "bpe.json"),
+             "--nn-ckpt", str(tmp_path / "run" / "nn_ctc_mlp"),
+             "--nbest", "2"],
+            monkeypatch,
+        )

@@ -463,3 +463,26 @@ def test_ctc_greedy_phone_decode_quality(ctc_system):
             hyps.append([lex.phones[p] for p in out[b]])
     per, _ = corpus_wer(refs, hyps)
     assert per < 0.25, per
+
+
+def test_greedy_decode_with_frames_matches_and_times():
+    """Unit sequence identical to ctc_greedy_decode; frames are the FIRST
+    frame of each collapsed run."""
+    logits, n_frames, _labels, _n_labels = _rand_problem(seed=11)
+    plain = C.ctc_greedy_decode(logits, n_frames)
+    timed = C.ctc_greedy_decode_with_frames(logits, n_frames)
+    for b in range(len(plain)):
+        assert [u for u, _t in timed[b]] == plain[b]
+        ts = [t for _u, t in timed[b]]
+        assert ts == sorted(ts) and all(
+            0 <= t < int(n_frames[b]) for t in ts)
+
+    # crafted case: runs b b 2 2 1 b (blank=3) -> (2, frame 2), (1, frame 4)
+    import numpy as _np
+    V = 4
+    crafted = _np.full((1, 6, V), -10.0, _np.float32)
+    for t, u in enumerate([3, 3, 2, 2, 1, 3]):
+        crafted[0, t, u] = 10.0
+    out = C.ctc_greedy_decode_with_frames(
+        jnp.asarray(crafted), jnp.asarray([6]))
+    assert out[0] == [(2, 2), (1, 4)]
