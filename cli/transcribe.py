@@ -44,6 +44,18 @@ def main() -> None:
                    help="use a CTC acoustic model (train_nn --objective ctc "
                         "ckpt via --nn-ckpt) through the CTC-topology word "
                         "graph instead of the GMM")
+    p.add_argument("--rnnt", action="store_true",
+                   help="use an RNN-transducer (train_nn --objective rnnt "
+                        "ckpt via --nn-ckpt, encoder --nn-arch lstm/blstm): "
+                        "single-dispatch device-greedy decode per VAD "
+                        "segment; outputs phones (or words with --bpe) with "
+                        "segment timestamps — no per-word times (transducer "
+                        "emissions have no frame alignment)")
+    p.add_argument("--rnnt-pred", default="stateless",
+                   choices=["stateless", "lstm"],
+                   help="RNN-T prediction-net arch — must match the ckpt")
+    p.add_argument("--rnnt-plain", action="store_true",
+                   help="RNN-T ckpt trained WITHOUT the aux CTC head")
     p.add_argument("--aed", action="store_true",
                    help="use an attention encoder-decoder (train_nn "
                         "--objective aed ckpt via --nn-ckpt): beam-search "
@@ -51,7 +63,8 @@ def main() -> None:
                         "with --bpe) with segment timestamps — no per-word "
                         "times/confidences (no frame alignment)")
     p.add_argument("--bpe", metavar="FILE",
-                   help="with --aed: BPE inventory (bpe.json) -> word output; "
+                   help="with --aed/--rnnt: BPE inventory (bpe.json) -> "
+                        "word output; "
                         "with --ctc: LEXICON-FREE open-vocabulary "
                         "transcription (train_nn --objective ctc "
                         "--bpe-merges ckpt) — word timestamps from the "
@@ -64,8 +77,8 @@ def main() -> None:
                    help="checkpoint trained with train_nn --aed-chunk C: "
                         "decode with the matching chunk mask")
     p.add_argument("--aed-left-chunks", type=int, default=1)
-    p.add_argument("--nn-ckpt", help="CTC/AED checkpoint dir (with "
-                        "--ctc/--aed)")
+    p.add_argument("--nn-ckpt", help="CTC/RNN-T/AED checkpoint dir (with "
+                        "--ctc/--rnnt/--aed)")
     p.add_argument("--nn-arch", default="mlp",
                    choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
     p.add_argument("--nn-hidden", type=int, default=512)
@@ -104,8 +117,11 @@ def main() -> None:
         acoustic_scale=args.acoustic_scale,
         word_insertion_penalty=args.insertion_penalty,
     )
-    if args.aed and args.ctc:
-        raise SystemExit("--aed and --ctc are different acoustic models")
+    if sum((args.aed, args.ctc, args.rnnt)) > 1:
+        raise SystemExit("--aed/--ctc/--rnnt are different acoustic models")
+    if args.rnnt and (args.nbest or args.ctm):
+        raise SystemExit("--rnnt has no word lattice/alignment: "
+                         "incompatible with --nbest/--ctm")
     if args.aed and (args.nbest or args.ctm):
         raise SystemExit("--aed has no word lattice/alignment: "
                          "incompatible with --nbest/--ctm")
@@ -142,6 +158,40 @@ def main() -> None:
             ).params,
         }
         aed_params = restore_checkpoint(args.nn_ckpt, template)["params"]
+        gmm = None
+    elif args.rnnt:
+        import jax
+
+        from mogasr.am.rnnt import (
+            build_rnnt_model, init_rnnt_train_state, rnnt_greedy_decode_device,
+        )
+        from mogasr.config import TrainConfig
+        from mogasr.utils.checkpoint import restore_checkpoint
+
+        if not args.nn_ckpt:
+            raise SystemExit("--rnnt requires --nn-ckpt")
+        if args.nn_arch not in ("lstm", "blstm"):
+            raise SystemExit("--rnnt needs --nn-arch lstm/blstm")
+        if args.bpe:
+            from mogasr.data.bpe import load_bpe
+
+            bpe = load_bpe(args.bpe)
+            n_units = bpe.n_units
+        else:
+            bpe = None
+            n_units = lex.n_phones
+        tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
+                           nn_layers=args.nn_layers)
+        rnnt_model = build_rnnt_model(
+            n_units, tcfg, encoder_arch=args.nn_arch,
+            pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+        )
+        template = {
+            "params": init_rnnt_train_state(
+                rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+            ).params,
+        }
+        rnnt_params = restore_checkpoint(args.nn_ckpt, template)["params"]
         gmm = None
     elif args.ctc:
         import jax
@@ -186,7 +236,7 @@ def main() -> None:
         ]
         results = []
         if corpus:
-            if args.aed or (args.ctc and args.bpe):
+            if args.aed or args.rnnt or (args.ctc and args.bpe):
                 graph = None
             elif args.ctc:
                 from mogasr.am.ctc import ctc_decode_graph
@@ -217,6 +267,19 @@ def main() -> None:
                         beam=args.aed_beam, max_tokens=args.aed_max_tokens,
                         ctc_weight=args.aed_ctc_weight,
                     )
+                    for b in range(fb.size):
+                        idx = int(fb.utt_ids[b].split("-")[1])
+                        a, e = segments[idx]
+                        results.append({
+                            "start_s": round(a / fcfg.sample_rate, 2),
+                            "end_s": round(e / fcfg.sample_rate, 2),
+                            "words": (bpe.decode(seqs[b]) if bpe
+                                      else [lex.phones[u] for u in seqs[b]]),
+                        })
+                    continue
+                if args.rnnt:
+                    seqs = rnnt_greedy_decode_device(
+                        rnnt_model, rnnt_params, fb.feats, fb.n_frames)
                     for b in range(fb.size):
                         idx = int(fb.utt_ids[b].split("-")[1])
                         a, e = segments[idx]

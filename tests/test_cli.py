@@ -1167,3 +1167,41 @@ def test_transcribe_cli_ctc_bpe(tmp_path, monkeypatch):
              "--nbest", "2"],
             monkeypatch,
         )
+
+
+def test_transcribe_cli_rnnt(tmp_path, monkeypatch):
+    """Long-audio transcription with an RNN-transducer: device-greedy decode
+    per VAD segment, open-vocabulary words with --bpe, segment timestamps."""
+    from cli import train_nn, transcribe
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "3", "--run-dir", str(tmp_path / "run"),
+         "--arch", "lstm", "--hidden", "16", "--layers", "2", "--steps", "6",
+         "--objective", "rnnt", "--bpe-merges", "20"],
+        monkeypatch,
+    )
+    out = str(tmp_path / "t.jsonl")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run2"), "--rnnt",
+         "--bpe", str(tmp_path / "run" / "bpe.json"),
+         "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+         "--nn-arch", "lstm", "--nn-hidden", "16", "--nn-layers", "2",
+         "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert recs
+    for r in recs:
+        assert r["end_s"] > r["start_s"] and isinstance(r["words"], list)
+    # no frame alignment on the transducer path: --ctm is an explicit error
+    with pytest.raises(SystemExit):
+        run_cli(
+            transcribe,
+            ["--synthetic-demo", "--run-dir", str(tmp_path / "run3"),
+             "--rnnt", "--bpe", str(tmp_path / "run" / "bpe.json"),
+             "--nn-ckpt", str(tmp_path / "run" / "nn_rnnt_lstm"),
+             "--ctm", str(tmp_path / "x.ctm")],
+            monkeypatch,
+        )
