@@ -89,6 +89,16 @@ def main() -> None:
     p.add_argument("--nbest", type=int, default=0,
                    help="also emit the top-N alternative word sequences per "
                         "segment from a word lattice (uniform word LM)")
+    p.add_argument("--diarize", action="store_true",
+                   help="also diarize the recording (per-recording UBM+TV "
+                        "i-vector clustering, mogasr.diarize trained on the "
+                        "recording's own VAD speech) and tag every segment "
+                        "with a speaker label")
+    p.add_argument("--num-speakers", type=int, default=0,
+                   help="with --diarize: known speaker count (0 = find it "
+                        "by the AHC distance threshold)")
+    p.add_argument("--diarize-components", type=int, default=16)
+    p.add_argument("--diarize-rank", type=int, default=8)
     p.add_argument("--out", help="write transcript (jsonl)")
     p.add_argument("--ctm", help="also write a CTM file (standard scoring "
                                  "format: utt channel start dur word conf)")
@@ -360,6 +370,29 @@ def main() -> None:
                     if nbests is not None:
                         rec["nbest"] = nbests[b]
                     results.append(rec)
+        if args.diarize and results:
+            from mogasr.diarize import diarize_wave, train_diarizer
+
+            seg_utts = [
+                (f"d-{i:04d}", wave[a:b], [])
+                for i, (a, b) in enumerate(segments)
+            ]
+            ubm, t_mat = train_diarizer(
+                seg_utts, fcfg, n_components=args.diarize_components,
+                rank=args.diarize_rank,
+            )
+            turns = diarize_wave(
+                wave, fcfg, ubm, t_mat,
+                n_speakers=args.num_speakers or None,
+            )
+            for r in results:
+                overlap = {}
+                for t0, t1, spk in turns:
+                    o = min(r["end_s"], t1) - max(r["start_s"], t0)
+                    if o > 0:
+                        overlap[spk] = overlap.get(spk, 0.0) + o
+                r["speaker"] = (max(overlap, key=overlap.get)
+                                if overlap else None)
     results.sort(key=lambda r: r["start_s"])
     logger.log({
         "stage": "transcribe", "audio_s": round(len(wave) / fcfg.sample_rate, 1),

@@ -1205,3 +1205,23 @@ def test_transcribe_cli_rnnt(tmp_path, monkeypatch):
              "--ctm", str(tmp_path / "x.ctm")],
             monkeypatch,
         )
+
+
+def test_transcribe_cli_diarize(tmp_path, monkeypatch):
+    """--diarize tags every transcript segment with a speaker label from the
+    per-recording i-vector clustering (known-K mode)."""
+    from cli import transcribe
+
+    out = str(tmp_path / "t.jsonl")
+    run_cli(
+        transcribe,
+        ["--synthetic-demo", "--run-dir", str(tmp_path / "run"),
+         "--num-components", "1", "--diarize", "--num-speakers", "2",
+         "--diarize-components", "4", "--diarize-rank", "2", "--out", out],
+        monkeypatch,
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert recs
+    spk = {r["speaker"] for r in recs}
+    assert all("speaker" in r for r in recs)
+    assert spk <= {0, 1, None} and (spk - {None})  # labels from known-K AHC
