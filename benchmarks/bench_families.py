@@ -180,11 +180,28 @@ def main() -> None:
                                acoustic_scale=dcfg.acoustic_scale).path
         return run
 
+    # lstm_pallas: the whole recurrence as ONE Pallas kernel with the
+    # recurrent weight VMEM-resident across all T steps and carries in
+    # scratch (mogasr.am.lstm_pallas, exactness-tested); bf16 variant runs
+    # the per-step dot MXU-native
+    from mogasr.am.lstm_pallas import lstm_am_apply_pallas
+
+    def make_hybrid_pallas(params, dt="float32"):
+        def run(w, ns, fe):
+            feats, nf = fe(w, ns)
+            logits = lstm_am_apply_pallas(params, feats, nf, compute_dtype=dt)
+            ll = posteriors_to_loglik(logits, log_priors)
+            return vit.viterbi(ll, graphs, nf,
+                               acoustic_scale=dcfg.acoustic_scale).path
+        return run
+
     families = [
         ("gmm", run_gmm, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
         ("lstm_prefused", make_hybrid_prefused(lstm_params), None),
+        ("lstm_pallas", make_hybrid_pallas(lstm_params), None),
+        ("lstm_pallas_bf16", make_hybrid_pallas(lstm_params, "bfloat16"), None),
         ("ctc", run_ctc, "collapse"),
         ("ctc_conformer", run_ctc_conformer, "collapse"),
         ("rnnt", run_rnnt, None),

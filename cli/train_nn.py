@@ -103,6 +103,19 @@ def main() -> None:
                         "speaker-aware hybrid training (decode with "
                         "--ivector-ckpt RUN_DIR/ivector_extractor)")
     p.add_argument("--ivector-components", type=int, default=64)
+    p.add_argument("--seq-mmi-steps", type=int, default=0, metavar="N",
+                   help="CE path: N steps of sequence-discriminative MMI "
+                        "fine-tuning after CE — autodiff through the "
+                        "forward-backward over alignment (num) and word-loop "
+                        "(den) graphs; priors frozen (mogasr.am.nn_seq)")
+    p.add_argument("--seq-mmi-scale", type=float, default=0.1,
+                   help="MMI acoustic scale (kappa)")
+    p.add_argument("--seq-smbr-steps", type=int, default=0, metavar="N",
+                   help="CE path: N steps of sMBR fine-tuning after CE (and "
+                        "after --seq-mmi-steps, if both) — autodiff of the "
+                        "posterior-expected frame accuracy over the word-loop "
+                        "denominator, CE labels as reference (mogasr.am."
+                        "nn_seq)")
     p.add_argument("--save-every", type=int, default=0, metavar="N",
                    help="checkpoint every N steps (CE path) — enables "
                         "--average-last")
@@ -350,6 +363,31 @@ def main() -> None:
     logger.log({"stage": "train_nn_done", "steps": i, "wall_sec": t.seconds,
                 "final_loss": float(metrics["loss"]),
                 "final_frame_acc": float(metrics["frame_acc"])})
+    if args.seq_mmi_steps > 0:
+        from mogasr.am.nn_seq import finetune_nn_mmi
+
+        feat_batches = [fb for fb, _labels in labeled]
+        new_params, mmi_hist = finetune_nn_mmi(
+            feat_batches, lex, topo, model, state.params,
+            jnp.asarray(log_priors), tcfg, steps=args.seq_mmi_steps,
+            acoustic_scale=args.seq_mmi_scale, logger=logger,
+        )
+        state = state._replace(params=new_params)
+        logger.log({"stage": "nn_mmi_done", "steps": args.seq_mmi_steps,
+                    "mmi_per_frame_first": mmi_hist[0],
+                    "mmi_per_frame_last": mmi_hist[-1]})
+    if args.seq_smbr_steps > 0:
+        from mogasr.am.nn_seq import finetune_nn_smbr
+
+        new_params, smbr_hist = finetune_nn_smbr(
+            labeled, lex, topo, model, state.params,
+            jnp.asarray(log_priors), tcfg, steps=args.seq_smbr_steps,
+            acoustic_scale=args.seq_mmi_scale, logger=logger,
+        )
+        state = state._replace(params=new_params)
+        logger.log({"stage": "nn_smbr_done", "steps": args.seq_smbr_steps,
+                    "acc_per_frame_first": smbr_hist[0],
+                    "acc_per_frame_last": smbr_hist[-1]})
     if not (args.save_every > 0 and i % args.save_every == 0):
         save_checkpoint(ckpt, tree_of(state.params), step=i)
     if args.average_last > 1:

@@ -1,0 +1,175 @@
+"""Pallas LSTM recurrence: the whole scan as ONE kernel, weights VMEM-resident.
+
+The prefused path (am/fast_lstm.py) already hoists the input projection out
+of the scan; what remains is the irreducibly sequential recurrent half,
+which XLA executes as a `lax.scan` whose per-step cost is dominated by loop
+machinery and HBM traffic, not math — each step re-streams the [H, 4H]
+recurrent weight from HBM and round-trips the carries.  This module runs
+the ENTIRE recurrence as one `pallas_call` with a sequential grid over
+frames (TPU grids execute in order):
+
+  - `w_rec` [H, 4H] has a constant index map, so Mosaic keeps it resident
+    in VMEM for all T steps — the weight is read from HBM once per layer
+    instead of once per frame;
+  - the carries (h, c) live in VMEM scratch for the whole scan — they
+    never touch HBM;
+  - the per-frame input-projection row [B, 4H] and the output row [B, H]
+    are streamed through the usual double-buffered block pipeline, fully
+    overlapped with the recurrent dot.
+
+Per step the kernel does one [B, H] x [H, 4H] MXU dot plus the gate VPU
+work.  Gate math and carry-freeze semantics mirror flax's
+OptimizedLSTMCell / seq_lengths exactly (i/f/o = sigmoid, g = tanh,
+c' = f*c + i*g, h' = o*tanh(c'), carries freeze at each row's n_frames) —
+`lstm_am_apply_pallas` consumes an UNMODIFIED LstmAm checkpoint and is
+tested equal to the stock forward on ragged batches.
+
+compute_dtype="bfloat16" keeps the dot's inputs bf16 with f32 accumulation
+(the MXU-native mode; carries and gates stay f32).  Equality tests pin the
+f32 path; the bf16 path is for throughput benches + decode-decision
+equivalence, same policy as the GMM kernel (CLAUDE.md conventions).
+
+No reference implementation exists for this capability (the
+/root/reference mount is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mogasr.am.fast_lstm import _IN_GATES, _REC_GATES, _layer_keys
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _lstm_scan_kernel(nf_ref, xg_ref, w_ref, out_ref, h_scr, c_scr, *, H: int):
+    """One grid step = one frame: gates from the resident recurrent weight,
+    carry update in VMEM scratch, frozen past each row's n_frames."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    w = w_ref[:]
+    gates = xg_ref[0] + jnp.dot(
+        h.astype(w.dtype), w, preferred_element_type=jnp.float32
+    )  # [B, 4H] f32
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    keep = nf_ref[:] > t  # [B, 1] bool
+    c_scr[:] = jnp.where(keep, c_new, c)
+    h2 = jnp.where(keep, h_new, h)
+    h_scr[:] = h2
+    out_ref[0] = h2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret")
+)
+def lstm_layer_pallas(
+    xg: jax.Array,        # [B, T, 4H] input projection + bias (prefused GEMM)
+    w_rec: jax.Array,     # [H, 4H] recurrent weight (flax gate order i,f,g,o)
+    n_frames: jax.Array,  # [B]
+    compute_dtype: str = "float32",
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, T, H] hidden states of one LSTM layer, zero initial carries."""
+    B, T, H4 = xg.shape
+    H = H4 // 4
+    Bp = _round_up(max(B, 8), 8)
+    Hp = _round_up(max(H, 128), 128)
+    wdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    # Pad: batch rows (masked off via n_frames=0) and hidden lanes.  Padded
+    # lanes carry zero weights and zero xg, so their h stays harmlessly at
+    # sigmoid(0)*tanh(0) = 0 through every step.
+    w_p = jnp.zeros((Hp, 4 * Hp), wdt)
+    for k in range(4):  # each gate block pads independently
+        w_p = w_p.at[:H, k * Hp:k * Hp + H].set(
+            w_rec[:, k * H:(k + 1) * H].astype(wdt))
+    xg_p = jnp.zeros((T, Bp, 4 * Hp), jnp.float32)
+    xg_tm = jnp.swapaxes(xg, 0, 1).astype(jnp.float32)
+    for k in range(4):
+        xg_p = xg_p.at[:, :B, k * Hp:k * Hp + H].set(
+            xg_tm[:, :, k * H:(k + 1) * H])
+    nf = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
+        n_frames.astype(jnp.int32))
+
+    out = pl.pallas_call(
+        functools.partial(_lstm_scan_kernel, H=Hp),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((Bp, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bp, 4 * Hp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, 4 * Hp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Bp, Hp), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, Hp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Bp, Hp), jnp.float32),
+            pltpu.VMEM((Bp, Hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nf, xg_p, w_p)
+    return jnp.swapaxes(out[:, :B, :H], 0, 1)  # [B, T, H]
+
+
+def lstm_am_apply_pallas(
+    params: Any,
+    feats: jax.Array,      # [B, T, D]
+    n_frames: jax.Array,   # [B]
+    compute_dtype: str = "float32",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Drop-in for ``LstmAm.apply(params, feats, n_frames)`` (same tree):
+    prefused input GEMMs outside, the Pallas recurrence kernel per layer."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    p = params["params"]
+    x = feats
+    for key in _layer_keys(p):
+        cp = p[key]
+        w_in = jnp.concatenate([cp[g]["kernel"] for g in _IN_GATES], axis=1)
+        w_rec = jnp.concatenate([cp[g]["kernel"] for g in _REC_GATES], axis=1)
+        bias = jnp.concatenate([cp[g]["bias"] for g in _REC_GATES])
+        xg = x @ w_in + bias                       # [B, T, 4H] one big GEMM
+        x = lstm_layer_pallas(
+            xg, w_rec, n_frames,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+    d = p["Dense_0"]
+    return x @ d["kernel"] + d["bias"]
+
+
+def make_pallas_lstm_logits(params, compute_dtype: str = "float32"):
+    """Jitted (feats, n_frames) -> logits closure over a fixed checkpoint."""
+
+    @jax.jit
+    def logits(feats, n_frames):
+        return lstm_am_apply_pallas(
+            params, feats, n_frames, compute_dtype=compute_dtype)
+
+    return logits

@@ -1,0 +1,94 @@
+"""Pallas LSTM recurrence kernel (mogasr.am.lstm_pallas): equality with the
+stock LstmAm checkpoint on ragged batches (interpret mode on the CPU test
+mesh), padding invariance, lane/row padding correctness at non-aligned
+shapes, and the bf16 throughput variant staying decision-close."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mogasr.am import fast_lstm as FL
+from mogasr.am import lstm_pallas as LP
+from mogasr.am.neural import LstmAm
+
+
+def _init(B=3, T=17, D=7, H=11, layers=2, seed=0):
+    model = LstmAm(n_pdfs=5, hidden=H, layers=layers)
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    n_frames = jnp.asarray(
+        [T, max(T - 5, 1), min(4, T)] + list(rng.integers(1, T + 1, B - 3))
+    )[:B]
+    params = model.init(jax.random.key(1), feats, n_frames)
+    return model, params, feats, n_frames
+
+
+@pytest.mark.parametrize("layers", [1, 2])
+def test_pallas_matches_stock_on_valid_frames(layers):
+    model, params, feats, n_frames = _init(layers=layers, seed=layers)
+    ref = np.asarray(model.apply(params, feats, n_frames))
+    got = np.asarray(
+        LP.lstm_am_apply_pallas(params, feats, n_frames, interpret=True))
+    for b, nf in enumerate(np.asarray(n_frames)):
+        np.testing.assert_allclose(
+            got[b, : int(nf)], ref[b, : int(nf)], rtol=2e-5, atol=2e-5
+        )
+
+
+def test_pallas_matches_prefused_exactly_shaped():
+    # H=128-aligned and B=8-aligned: no padding path at all
+    model, params, feats, n_frames = _init(B=8, T=9, D=16, H=128, layers=1,
+                                           seed=7)
+    ref = np.asarray(FL.lstm_am_apply_prefused(params, feats, n_frames))
+    got = np.asarray(
+        LP.lstm_am_apply_pallas(params, feats, n_frames, interpret=True))
+    for b, nf in enumerate(np.asarray(n_frames[:8])):
+        np.testing.assert_allclose(
+            got[b, : int(nf)], ref[b, : int(nf)], rtol=2e-5, atol=2e-5
+        )
+
+
+def test_pallas_padding_invariance():
+    model, params, feats, n_frames = _init(seed=3)
+    got1 = np.asarray(
+        LP.lstm_am_apply_pallas(params, feats, n_frames, interpret=True))
+    rng = np.random.default_rng(9)
+    feats2 = np.asarray(feats).copy()
+    for b, nf in enumerate(np.asarray(n_frames)):
+        feats2[b, int(nf):] = rng.standard_normal(feats2[b, int(nf):].shape) * 40
+    feats2 = jnp.concatenate(
+        [jnp.asarray(feats2),
+         jnp.asarray(rng.standard_normal((3, 5, feats.shape[-1])), jnp.float32)],
+        axis=1,
+    )
+    got2 = np.asarray(
+        LP.lstm_am_apply_pallas(params, feats2, n_frames, interpret=True))
+    for b, nf in enumerate(np.asarray(n_frames)):
+        np.testing.assert_allclose(
+            got2[b, : int(nf)], got1[b, : int(nf)], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_pallas_bf16_close_and_finite():
+    model, params, feats, n_frames = _init(B=4, T=12, D=7, H=16, layers=1,
+                                           seed=11)
+    f32 = np.asarray(
+        LP.lstm_am_apply_pallas(params, feats, n_frames, interpret=True))
+    bf16 = np.asarray(LP.lstm_am_apply_pallas(
+        params, feats, n_frames, compute_dtype="bfloat16", interpret=True))
+    assert np.isfinite(bf16).all()
+    # recurrent dot in bf16, everything else f32: loose but bounded drift
+    for b, nf in enumerate(np.asarray(n_frames)):
+        np.testing.assert_allclose(
+            bf16[b, : int(nf)], f32[b, : int(nf)], rtol=0.05, atol=0.05
+        )
+
+
+def test_pallas_jitted_closure():
+    model, params, feats, n_frames = _init(seed=5)
+    fn = LP.make_pallas_lstm_logits(params)
+    a = np.asarray(fn(feats, n_frames))
+    b = np.asarray(
+        LP.lstm_am_apply_pallas(params, feats, n_frames, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
