@@ -110,6 +110,10 @@ def main() -> None:
     p.add_argument("--rnnt-plain", action="store_true",
                    help="the RNN-T checkpoint was trained WITHOUT the "
                         "auxiliary CTC head (train_rnnt aux_ctc=False)")
+    p.add_argument("--rnnt-pruned", action="store_true",
+                   help="the RNN-T checkpoint was trained with the pruned "
+                        "loss (train_nn --rnnt-pruned-band): the tree has "
+                        "the factored simple_am/simple_lm heads")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
@@ -352,6 +356,7 @@ def main() -> None:
                 encoder_arch=args.am,
                 pred_arch=args.rnnt_pred,
                 aux_ctc=not args.rnnt_plain,
+                simple_heads=args.rnnt_pruned,
             )
             template = {
                 "params": init_rnnt_train_state(

@@ -70,6 +70,10 @@ def main() -> None:
                    help="RNN-T prediction-net arch — must match the ckpt")
     p.add_argument("--rnnt-plain", action="store_true",
                    help="the RNN-T ckpt was trained WITHOUT the aux CTC head")
+    p.add_argument("--rnnt-pruned", action="store_true",
+                   help="ckpt trained with the pruned transducer loss "
+                        "(train_nn --rnnt-pruned-band): tree has the "
+                        "factored simple_am/simple_lm heads")
     p.add_argument("--aed", action="store_true",
                    help="evaluate a BPE-AED checkpoint (train_nn --objective "
                         "aed --bpe-merges): on-device batched beam search")
@@ -181,6 +185,7 @@ def main() -> None:
             nn_model = build_rnnt_model(
                 bpe.n_units, tcfg, encoder_arch=args.nn_arch,
                 pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+                simple_heads=args.rnnt_pruned,
             )
             template = {
                 "params": init_rnnt_train_state(

@@ -270,6 +270,10 @@ def main() -> None:
                         "trained with")
     p.add_argument("--rnnt-plain", action="store_true",
                    help="checkpoint trained WITHOUT the auxiliary CTC head")
+    p.add_argument("--rnnt-pruned", action="store_true",
+                   help="ckpt trained with the pruned transducer loss "
+                        "(train_nn --rnnt-pruned-band): tree has the "
+                        "factored simple_am/simple_lm heads")
     p.add_argument("--max-symbols", type=int, default=400,
                    help="with --rnnt (per-session mode): hypothesis-buffer "
                         "cap per session; the --engine mode harvests every "
@@ -522,6 +526,7 @@ def main() -> None:
         rnnt_model = build_rnnt_model(
             n_units, tcfg,
             pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+            simple_heads=args.rnnt_pruned,
         )
         template = {
             "params": init_rnnt_train_state(

@@ -71,6 +71,10 @@ def main() -> None:
     p.add_argument("--rnnt-plain", action="store_true",
                    help="checkpoint was trained WITHOUT the auxiliary CTC head "
                         "(train_rnnt aux_ctc=False)")
+    p.add_argument("--rnnt-pruned", action="store_true",
+                   help="ckpt trained with the pruned transducer loss "
+                        "(train_nn --rnnt-pruned-band): tree has the "
+                        "factored simple_am/simple_lm heads")
     p.add_argument("--aed", action="store_true",
                    help="streaming AED: chunked Conformer encoder trained "
                         "with train_nn --objective aed --aed-chunk C; CTC-head "
@@ -253,6 +257,7 @@ def main() -> None:
         model = build_rnnt_model(
             n_rnnt_units, tcfg,
             pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+            simple_heads=args.rnnt_pruned,
         )
         template = {
             "params": init_rnnt_train_state(

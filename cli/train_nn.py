@@ -64,6 +64,13 @@ def main() -> None:
                         "stream with cli/stream.py --aed)")
     p.add_argument("--aed-left-chunks", type=int, default=1,
                    help="left-context chunks visible to attention")
+    p.add_argument("--rnnt-pruned-band", type=int, default=0, metavar="S",
+                   help="with --objective rnnt: train with the pruned "
+                        "transducer loss (mogasr.am.rnnt_pruned) — the "
+                        "joint runs only on an occupancy-selected (t, u) "
+                        "band of width S (joint GEMMs shrink (U+1)/S); "
+                        "decode the ckpt with --rnnt-pruned on the "
+                        "decode/eval/stream/serve/transcribe CLIs")
     p.add_argument("--mwer-steps", type=int, default=0, metavar="N",
                    help="with --objective aed/rnnt: N steps of on-policy "
                         "MWER (minimum word error rate) fine-tuning after "
@@ -238,6 +245,7 @@ def main() -> None:
                                          "lstm/blstm")
                     model, params = train_rnnt_bpe(
                         batches, bpe, tcfg, encoder_arch=args.arch,
+                        pruned_band=args.rnnt_pruned_band,
                         logger=logger,
                     )
                 else:
@@ -262,7 +270,8 @@ def main() -> None:
                 if args.arch not in ("lstm", "blstm"):
                     raise SystemExit("--objective rnnt needs --arch lstm/blstm")
                 model, params = train_rnnt(
-                    batches, lex, tcfg, encoder_arch=args.arch, logger=logger,
+                    batches, lex, tcfg, encoder_arch=args.arch,
+                    pruned_band=args.rnnt_pruned_band, logger=logger,
                 )
         if args.objective in ("aed", "rnnt") and args.mwer_steps > 0:
             from mogasr.am.ctc import ctc_labels_from_words

@@ -56,6 +56,10 @@ def main() -> None:
                    help="RNN-T prediction-net arch — must match the ckpt")
     p.add_argument("--rnnt-plain", action="store_true",
                    help="RNN-T ckpt trained WITHOUT the aux CTC head")
+    p.add_argument("--rnnt-pruned", action="store_true",
+                   help="ckpt trained with the pruned transducer loss "
+                        "(train_nn --rnnt-pruned-band): tree has the "
+                        "factored simple_am/simple_lm heads")
     p.add_argument("--aed", action="store_true",
                    help="use an attention encoder-decoder (train_nn "
                         "--objective aed ckpt via --nn-ckpt): beam-search "
@@ -195,6 +199,7 @@ def main() -> None:
         rnnt_model = build_rnnt_model(
             n_units, tcfg, encoder_arch=args.nn_arch,
             pred_arch=args.rnnt_pred, aux_ctc=not args.rnnt_plain,
+            simple_heads=args.rnnt_pruned,
         )
         template = {
             "params": init_rnnt_train_state(

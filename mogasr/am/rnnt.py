@@ -92,16 +92,48 @@ class RnntPredictionStateless(nn.Module):
 
 
 class RnntJoint(nn.Module):
-    """Joint network: enc [B, T, He] x pred [B, U1, Hp] -> [B, T, U1, V]."""
+    """Joint network: enc [B, T, He] x pred [B, U1, Hp] -> [B, T, U1, V].
+
+    setup-style (attribute names match the original compact names, so
+    checkpoints are unchanged) so ``banded`` can reuse the same parameters
+    to evaluate the joint only on a pruned (t, u) band (am/rnnt_pruned.py).
+    """
 
     n_labels: int
     hidden: int = 256
 
-    @nn.compact
+    def setup(self):
+        self.enc_proj = nn.Dense(self.hidden)
+        self.pred_proj = nn.Dense(self.hidden)
+        self.out = nn.Dense(self.n_labels + 1)
+
     def __call__(self, enc: jax.Array, pred: jax.Array) -> jax.Array:
-        e = nn.Dense(self.hidden, name="enc_proj")(enc)[:, :, None, :]
-        p = nn.Dense(self.hidden, name="pred_proj")(pred)[:, None, :, :]
-        return nn.Dense(self.n_labels + 1, name="out")(jnp.tanh(e + p))
+        e = self.enc_proj(enc)[:, :, None, :]
+        p = self.pred_proj(pred)[:, None, :, :]
+        return self.out(jnp.tanh(e + p))
+
+    def banded(
+        self, enc: jax.Array, pred: jax.Array, u_start: jax.Array, band: int
+    ) -> jax.Array:
+        """Joint logits on the band u ∈ [u_start[t], u_start[t]+band) only:
+        [B, T, band, V] instead of [B, T, U+1, V] — the pruned-transducer
+        FLOPs/memory win (the tanh+out GEMMs shrink by (U+1)/band).
+
+        ``pred`` is projected ONCE at [B, U+1, Hj] and the projected rows
+        gathered per frame, so the gather moves Hj-wide rows, not raw
+        prediction states through an extra GEMM.
+        """
+        B, T, _ = enc.shape
+        e = self.enc_proj(enc)[:, :, None, :]              # [B, T, 1, Hj]
+        p_all = self.pred_proj(pred)                       # [B, U+1, Hj]
+        U1 = p_all.shape[1]
+        idx = jnp.clip(
+            u_start[:, :, None] + jnp.arange(band)[None, None, :], 0, U1 - 1
+        )                                                  # [B, T, band]
+        p = jnp.take_along_axis(
+            p_all[:, None, :, :], idx[..., None], axis=2
+        )                                                  # [B, T, band, Hj]
+        return self.out(jnp.tanh(e + p))
 
 
 class RnntModel(nn.Module):
@@ -115,6 +147,7 @@ class RnntModel(nn.Module):
     encoder_arch: str = "lstm"  # lstm (streaming) | blstm (offline)
     pred_arch: str = "lstm"     # lstm | stateless (low-data regularizer)
     aux_ctc: bool = False       # add a CTC head on the encoder (joint loss)
+    simple_heads: bool = False  # factored am/lm heads for pruned training
 
     def setup(self):
         from mogasr.am.neural import BlstmAm, LstmAm
@@ -131,6 +164,14 @@ class RnntModel(nn.Module):
         self.joint = RnntJoint(self.n_labels, hidden=self.joint_hidden)
         if self.aux_ctc:
             self.ctc_head = nn.Dense(self.n_labels + 1)
+        if self.simple_heads:
+            # Factored "trivial" joint for pruned-transducer training
+            # (am/rnnt_pruned.py): logit(t, u, v) ≈ simple_am(enc)[t, v]
+            # + simple_lm(pred)[u, v] — cheap enough to score the FULL
+            # (t, u) lattice, whose occupancies pick the band the real
+            # joint is evaluated on.
+            self.simple_am = nn.Dense(self.n_labels + 1)
+            self.simple_lm = nn.Dense(self.n_labels + 1)
 
     def __call__(self, feats, n_frames, labels):
         enc = self.encoder(feats, n_frames)
@@ -148,6 +189,33 @@ class RnntModel(nn.Module):
     def encode(self, feats, n_frames):
         return self.encoder(feats, n_frames)
 
+    def forward_simple(self, feats, n_frames, labels):
+        """(am [B,T,V], lm [B,U+1,V], enc, pred, ctc_logits|None) — the cheap
+        pass of pruned training: factored lattice scores plus the encoder/
+        prediction activations the banded joint re-uses (one encoder run)."""
+        enc = self.encoder(feats, n_frames)
+        pred = self.prediction(labels)
+        ctc_logits = self.ctc_head(enc) if self.aux_ctc else None
+        return self.simple_am(enc), self.simple_lm(pred), enc, pred, ctc_logits
+
+    def joint_banded(self, enc, pred, u_start, band: int):
+        """Full joint evaluated only on the pruned band (RnntJoint.banded)."""
+        return self.joint.banded(enc, pred, u_start, band)
+
+    def init_targets(self, feats, n_frames, labels):
+        """Init-only method touching every submodule this config owns, so
+        one ``model.init`` covers plain / aux-CTC / pruned parameter trees
+        (identical module set => identical tree for existing configs)."""
+        enc = self.encoder(feats, n_frames)
+        pred = self.prediction(labels)
+        outs = [self.joint(enc, pred)]
+        if self.aux_ctc:
+            outs.append(self.ctc_head(enc))
+        if self.simple_heads:
+            outs.append(self.simple_am(enc))
+            outs.append(self.simple_lm(pred))
+        return tuple(outs)
+
 
 def build_rnnt_model(
     n_labels: int,
@@ -155,6 +223,7 @@ def build_rnnt_model(
     encoder_arch: str = "lstm",
     pred_arch: str = "stateless",
     aux_ctc: bool = True,
+    simple_heads: bool = False,
 ) -> RnntModel:
     """Single source of truth for the TrainConfig -> RnntModel derivation,
     shared by pipeline.train_rnnt and the decode CLI (a drift between them
@@ -168,6 +237,7 @@ def build_rnnt_model(
         encoder_arch=encoder_arch,
         pred_arch=pred_arch,
         aux_ctc=aux_ctc,
+        simple_heads=simple_heads,
     )
 
 
@@ -193,6 +263,23 @@ def rnnt_loss(
     emit = jnp.take_along_axis(
         logp[:, :, :U, :], safe[:, None, :, None], axis=3
     )[..., 0]                                                  # [B, T, U]
+    return rnnt_dp_nll(blank, emit, n_frames, n_labels)
+
+
+def rnnt_dp_nll(
+    blank: jax.Array,     # [B, T, U+1] log P(blank | t, u)
+    emit: jax.Array,      # [B, T, U] log P(y_{u+1} | t, u) (true label)
+    n_frames: jax.Array,  # [B]
+    n_labels: jax.Array,  # [B]
+) -> jax.Array:
+    """The Graves lattice DP on pre-gathered emit/blank grids, shape [B].
+
+    Shared by rnnt_loss (grids from the full joint) and the pruned
+    transducer's "simple" loss (grids from the factored am+lm joint,
+    am/rnnt_pruned.py) — and differentiable, so the pruning bounds come
+    from ``jax.grad`` of this very function (the arc occupancies)."""
+    B, T, U1 = blank.shape
+    U = U1 - 1
     u_idx = jnp.arange(U1, dtype=jnp.int32)
     valid_u = u_idx[None, :] <= n_labels[:, None]              # [B, U+1]
 
@@ -286,12 +373,9 @@ def init_rnnt_train_state(
 
     dummy_f = jnp.zeros((2, 8, feat_dim), jnp.float32)
     dummy_l = jnp.zeros((2, u_max), jnp.int32)
-    if model.aux_ctc:
-        params = model.init(
-            key, dummy_f, jnp.asarray([8, 8]), dummy_l, method=RnntModel.forward_aux
-        )
-    else:
-        params = model.init(key, dummy_f, jnp.asarray([8, 8]), dummy_l)
+    params = model.init(
+        key, dummy_f, jnp.asarray([8, 8]), dummy_l, method=RnntModel.init_targets
+    )
     opt = make_optimizer(cfg)
     return RnntTrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 

@@ -305,6 +305,43 @@ def make_sharded_rnnt_train_step(model, cfg: TrainConfig, mesh: Mesh):
     return train_step
 
 
+def make_sharded_rnnt_pruned_train_step(
+    model, cfg: TrainConfig, mesh: Mesh, band: int
+):
+    """Pruned-transducer train step (mogasr.am.rnnt_pruned), batch sharded /
+    params replicated.  Everything per-utterance — the simple pass, the
+    occupancy bounds, the banded joint — shards cleanly on the batch axis;
+    only the grad psum rides ICI, exactly like the dense RNN-T step."""
+    import optax
+
+    from mogasr.am.rnnt import RnntTrainState
+    from mogasr.am.rnnt_pruned import rnnt_pruned_objective
+    from mogasr.am.train_nn import make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames, labels, n_labels):
+        def loss_fn(params):
+            loss, _ = rnnt_pruned_objective(
+                model, params, feats, n_frames, labels, n_labels, band
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return RnntTrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return train_step
+
+
 def make_sharded_aed_train_step(model, cfg: TrainConfig, mesh: Mesh):
     """AED (Conformer + Transformer decoder) train step, batch sharded /
     params replicated — same derived ICI grad psum as the CTC/RNN-T steps."""

@@ -748,6 +748,7 @@ def train_rnnt(
     ctc_weight: float = 1.0,
     steps: Optional[int] = None,
     include_sil: bool = False,
+    pruned_band: int = 0,
     logger=None,
 ):
     """RNN-Transducer training on (features, phone sequence) pairs.
@@ -769,7 +770,8 @@ def train_rnnt(
         lambda words: C.ctc_labels_from_words(lexicon, words, include_sil),
         lexicon.n_phones,
         tcfg, encoder_arch=encoder_arch, pred_arch=pred_arch, aux_ctc=aux_ctc,
-        ctc_weight=ctc_weight, steps=steps, logger=logger,
+        ctc_weight=ctc_weight, steps=steps, pruned_band=pruned_band,
+        logger=logger,
     )
 
 
@@ -797,15 +799,23 @@ def train_rnnt_units(
     aux_ctc: bool = True,
     ctc_weight: float = 1.0,
     steps: Optional[int] = None,
+    pruned_band: int = 0,
     logger=None,
 ):
-    """Generic alignment-free RNN-T over any unit inventory (phones, BPE)."""
+    """Generic alignment-free RNN-T over any unit inventory (phones, BPE).
+
+    pruned_band > 0 trains with the pruned transducer loss
+    (mogasr.am.rnnt_pruned): the joint runs only on an occupancy-selected
+    (t, u) band of that width — the joint GEMMs shrink by (U+1)/band —
+    and the checkpoint gains the factored simple_am/simple_lm heads
+    (decode CLIs take --rnnt-pruned to rebuild the matching tree)."""
     from mogasr.am import ctc as C
     from mogasr.am import rnnt as R
 
     model = R.build_rnnt_model(
         n_units, tcfg,
         encoder_arch=encoder_arch, pred_arch=pred_arch, aux_ctc=aux_ctc,
+        simple_heads=pruned_band > 0,
     )
     seqs_all = [
         [encode_fn(fb.words[b]) for b in range(fb.size)]
@@ -821,7 +831,14 @@ def train_rnnt_units(
     state = R.init_rnnt_train_state(
         model, tcfg, batches[0].feats.shape[-1], l_max, jax.random.key(tcfg.seed)
     )
-    step_fn = R.make_rnnt_train_step(model, tcfg, ctc_weight=ctc_weight)
+    if pruned_band > 0:
+        from mogasr.am.rnnt_pruned import make_rnnt_pruned_train_step
+
+        step_fn = make_rnnt_pruned_train_step(
+            model, tcfg, band=pruned_band, ctc_weight=ctc_weight
+        )
+    else:
+        step_fn = R.make_rnnt_train_step(model, tcfg, ctc_weight=ctc_weight)
     total = steps if steps is not None else tcfg.num_nn_steps
     i, m = 0, {"loss": jnp.asarray(0.0)}
     while i < total:

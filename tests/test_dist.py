@@ -259,6 +259,34 @@ def test_sharded_rnnt_train_step_matches_local(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_rnnt_pruned_train_step_matches_local(mesh, rng):
+    from mogasr.am import rnnt as R
+    from mogasr.am.rnnt_pruned import make_rnnt_pruned_train_step
+    from mogasr.dist.sharded import make_sharded_rnnt_pruned_train_step
+
+    cfg = TrainConfig(lr=1e-2, num_nn_steps=10)
+    model = R.RnntModel(n_labels=3, enc_hidden=16, enc_layers=1,
+                        pred_hidden=8, joint_hidden=8, simple_heads=True)
+    state = R.init_rnnt_train_state(model, cfg, 5, 3, jax.random.key(0))
+    feats = rng.standard_normal((8, 10, 5)).astype(np.float32)
+    n_frames = np.full(8, 10, np.int32)
+    labels = rng.integers(0, 3, (8, 3)).astype(np.int32)
+    n_labels = np.full(8, 3, np.int32)
+
+    local_step = make_rnnt_pruned_train_step(model, cfg, band=2)
+    s_local, m_local = local_step(
+        state, jnp.asarray(feats), jnp.asarray(n_frames),
+        jnp.asarray(labels), jnp.asarray(n_labels),
+    )
+    dist_step = make_sharded_rnnt_pruned_train_step(model, cfg, mesh, band=2)
+    state_r = M.replicate(state, mesh)
+    fs, nfs, ls, nls = M.shard_batch((feats, n_frames, labels, n_labels), mesh)
+    s_dist, m_dist = dist_step(state_r, fs, nfs, ls, nls)
+    np.testing.assert_allclose(float(m_dist["loss"]), float(m_local["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_local.params), jax.tree.leaves(s_dist.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_sharded_aed_train_step_matches_local(mesh, rng):
     from mogasr.am import aed as A
     from mogasr.dist.sharded import make_sharded_aed_train_step
