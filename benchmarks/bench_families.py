@@ -195,10 +195,26 @@ def main() -> None:
                                acoustic_scale=dcfg.acoustic_scale).path
         return run
 
+    # quantized hybrid scorers (mogasr.am.quantize): bf16 any arch, int8 mlp
+    from mogasr.am.quantize import make_quantized_logits
+
+    def make_hybrid_quant(model, params, precision):
+        logits_fn = make_quantized_logits(model, params, precision)
+
+        def run(w, ns, fe):
+            feats, nf = fe(w, ns)
+            ll = posteriors_to_loglik(logits_fn(feats, nf), log_priors)
+            return vit.viterbi(ll, graphs, nf,
+                               acoustic_scale=dcfg.acoustic_scale).path
+        return run
+
     families = [
         ("gmm", run_gmm, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
+        ("mlp_bf16", make_hybrid_quant(mlp_model, mlp_params, "bfloat16"), None),
+        ("mlp_int8", make_hybrid_quant(mlp_model, mlp_params, "int8"), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
+        ("lstm_bf16", make_hybrid_quant(lstm_model, lstm_params, "bfloat16"), None),
         ("lstm_prefused", make_hybrid_prefused(lstm_params), None),
         ("lstm_pallas", make_hybrid_pallas(lstm_params), None),
         ("lstm_pallas_bf16", make_hybrid_pallas(lstm_params, "bfloat16"), None),

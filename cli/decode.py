@@ -114,6 +114,13 @@ def main() -> None:
                    help="the RNN-T checkpoint was trained with the pruned "
                         "loss (train_nn --rnnt-pruned-band): the tree has "
                         "the factored simple_am/simple_lm heads")
+    p.add_argument("--nn-precision", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="neural-AM inference precision (hybrid --am mlp/"
+                        "lstm/...): bfloat16 = MXU-native params+activations "
+                        "(any arch); int8 = dynamic-activation int8 GEMMs "
+                        "(mlp) — mogasr.am.quantize; scoring epilogue and "
+                        "Viterbi stay f32 in every mode")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])
@@ -446,7 +453,9 @@ def main() -> None:
                 "log_priors": jnp.zeros(topo.n_pdfs),
             }
             ck = restore_checkpoint(args.nn_ckpt, template)
-            scorer = make_nn_scorer(model, ck["params"], jnp.asarray(ck["log_priors"]))
+            scorer = make_nn_scorer(model, ck["params"],
+                                    jnp.asarray(ck["log_priors"]),
+                                    precision=args.nn_precision)
         gmm = None
 
     pron_logp = None

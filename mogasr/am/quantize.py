@@ -1,0 +1,174 @@
+"""Quantized inference for the neural acoustic models: bf16 + dynamic int8.
+
+The repo-wide precision policy (CLAUDE.md): parity-critical math runs
+f32/HIGHEST; throughput paths may drop precision ONLY with
+decode-decision-equivalence evidence.  This module supplies the dropped-
+precision inference paths for the neural families:
+
+- **bfloat16** (any Flax AM): cast float params + inputs to bf16 — the
+  MXU-native mode; logits return as f32 so the downstream prior-scaled
+  log-softmax and Viterbi stay exact.  Halves parameter HBM traffic and
+  doubles MXU issue rate vs f32.
+- **int8 (MLP)**: weight kernels quantized per-OUTPUT-channel (symmetric,
+  127 levels — the scale folds into the existing per-channel epilogue),
+  activations quantized dynamically per row; the GEMM runs
+  int8 x int8 -> int32 via ``lax.dot_general(preferred_element_type=
+  int32)``, which XLA lowers to the TPU's native int8 MXU mode (2x bf16
+  issue rate, 4x f32 HBM saving on weights).  LayerNorm/bias/epilogue
+  stay f32 — they are VPU work and numerically load-bearing.
+
+Decode-decision equivalence is the shipping gate, not a hope:
+tests/test_quantize.py trains a real frame classifier and requires the
+quantized frame decisions and the decoded Viterbi paths to match f32.
+
+No reference implementation exists for this capability (the
+/root/reference mount is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from mogasr.am.neural import MlpAm, splice_frames
+
+
+# --------------------------------------------------------------------------
+# bf16: generic over any Flax acoustic model
+# --------------------------------------------------------------------------
+
+
+def cast_float_leaves(tree: Any, dtype) -> Any:
+    """Cast floating leaves to ``dtype``; integer leaves untouched."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def make_bf16_logits(model, params):
+    """Jitted (feats, n_frames) -> f32 logits with bf16 params/activations.
+
+    Works for every AM family (MLP/LSTM/BLSTM/TDNN/Conformer): flax layers
+    follow the input dtype; the cast params are closed over, so XLA
+    constant-folds the conversion — zero runtime cast cost for weights.
+    """
+    p16 = cast_float_leaves(params, jnp.bfloat16)
+
+    @jax.jit
+    def logits(feats, n_frames):
+        out = model.apply(p16, feats.astype(jnp.bfloat16), n_frames)
+        return out.astype(jnp.float32)
+
+    return logits
+
+
+# --------------------------------------------------------------------------
+# int8: per-channel weights, dynamic per-row activations
+# --------------------------------------------------------------------------
+
+
+def quantize_dense_int8(kernel: jax.Array):
+    """(q int8 [din, dout], scale f32 [dout]): symmetric per-output-channel.
+
+    Max-abs scaling to 127 levels; zero columns get scale 1 (q == 0)."""
+    scale = jnp.max(jnp.abs(kernel), axis=0) / 127.0
+    scale = jnp.where(scale > 0, scale, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(kernel / scale[None, :]), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def int8_dynamic_dot(x: jax.Array, q: jax.Array, w_scale: jax.Array):
+    """f32-equivalent of ``x @ kernel`` through the int8 MXU path.
+
+    x [..., din] f32; activations quantized per ROW (dynamic max-abs — no
+    calibration set needed), weights already int8 per-channel; the int32
+    accumulator is rescaled by (row scale x channel scale)."""
+    ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    ax = jnp.where(ax > 0, ax, 1.0)
+    xq = jnp.clip(jnp.round(x / ax), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * ax * w_scale
+
+
+def quantize_mlp_int8(model: MlpAm, params) -> Dict[str, Any]:
+    """Quantize an MlpAm checkpoint: Dense kernels -> int8 + scales;
+    biases and LayerNorm affine stay f32."""
+    p = params["params"]
+    out: Dict[str, Any] = {}
+    for name, leaf in p.items():
+        if name.startswith("Dense_"):
+            q, s = quantize_dense_int8(jnp.asarray(leaf["kernel"]))
+            out[name] = {
+                "q": q, "scale": s,
+                "bias": jnp.asarray(leaf["bias"], jnp.float32),
+            }
+        else:
+            out[name] = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32), dict(leaf)
+            )
+    return out
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def mlp_apply_int8(model: MlpAm, qparams, feats, n_frames):
+    """Mirror of MlpAm.__call__ (am/neural.py:40-55) on quantized kernels:
+    splice -> [int8 GEMM -> f32 LayerNorm -> relu] x layers -> int8 GEMM."""
+    x = splice_frames(feats, n_frames, model.context)
+    for i in range(model.layers):
+        d = qparams[f"Dense_{i}"]
+        x = int8_dynamic_dot(x, d["q"], d["scale"]) + d["bias"]
+        ln = qparams[f"LayerNorm_{i}"]
+        x = _layer_norm(x, ln["scale"], ln["bias"])
+        x = jax.nn.relu(x)
+    d = qparams[f"Dense_{model.layers}"]
+    return int8_dynamic_dot(x, d["q"], d["scale"]) + d["bias"]
+
+
+def make_int8_logits(model, params):
+    """Jitted (feats, n_frames) -> f32 logits through the int8 path.
+
+    Currently MlpAm only (the pure-GEMM family where int8 pays most);
+    other archs raise so callers fall back explicitly, never silently."""
+    if not isinstance(model, MlpAm):
+        raise NotImplementedError(
+            "int8 inference is implemented for MlpAm (use bfloat16 for "
+            f"{type(model).__name__})"
+        )
+    qparams = quantize_mlp_int8(model, params)
+
+    @jax.jit
+    def logits(feats, n_frames):
+        return mlp_apply_int8(model, qparams, feats, n_frames)
+
+    return logits
+
+
+def make_quantized_logits(model, params, precision: str):
+    """Dispatch: precision in {"float32", "bfloat16", "int8"} -> jitted
+    (feats, n_frames) -> f32 logits closure."""
+    if precision == "float32":
+        @jax.jit
+        def logits(feats, n_frames):
+            return model.apply(params, feats, n_frames)
+
+        return logits
+    if precision == "bfloat16":
+        return make_bf16_logits(model, params)
+    if precision == "int8":
+        return make_int8_logits(model, params)
+    raise ValueError(f"unknown precision {precision!r}")

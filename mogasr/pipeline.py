@@ -538,17 +538,23 @@ def decode_batch_lattices(
     return lats[: fb.size], res
 
 
-def make_nn_scorer(model, params, log_priors: jax.Array):
+def make_nn_scorer(model, params, log_priors: jax.Array,
+                   precision: str = "float32"):
     """Hybrid NN-HMM scorer: posteriors -> prior-scaled pseudo-likelihoods.
 
     Returns a ``scorer(fb) -> [B, T, n_pdfs]`` closure for evaluate()/decode.
+    precision: "float32" (default) | "bfloat16" (any arch, MXU-native) |
+    "int8" (MlpAm: dynamic-activation int8 GEMMs) — am/quantize.py; the
+    prior-scaled log-softmax stays f32 in every mode.
     """
     from mogasr.am.neural import posteriors_to_loglik
+    from mogasr.am.quantize import make_quantized_logits
+
+    logits_fn = make_quantized_logits(model, params, precision)
 
     @jax.jit
     def score(feats, n_frames):
-        logits = model.apply(params, feats, n_frames)
-        return posteriors_to_loglik(logits, log_priors)
+        return posteriors_to_loglik(logits_fn(feats, n_frames), log_priors)
 
     return lambda fb: score(fb.feats, fb.n_frames)
 
