@@ -1,9 +1,12 @@
 """Streaming recognition SERVER loop: many concurrent sessions over a
 line-delimited JSON protocol.
 
-The session-manager shape of a production streaming service, with the
-transport reduced to stdin/stdout so it is hermetic and testable (a
-socket/gRPC wrapper would feed the same event stream). One process holds
+The session-manager shape of a production streaming service. Two
+transports carry the SAME event stream: stdin/stdout (default — hermetic
+and testable), and ``--tcp PORT`` (a selectors-based localhost socket
+server: many concurrent client connections, responses routed to the
+connection whose event produced them, per-connection session ownership,
+dropped clients reaped). One process holds
 ONE compiled decoder (graph + jitted Viterbi step); every session carries
 only its own small state (StreamingFrontend window + OnlineDecoder
 carries), so sessions are cheap and independent.
@@ -231,6 +234,17 @@ def main() -> None:
     p.add_argument("--cmvn-window", type=int, default=600)
     p.add_argument("--max-sessions", type=int, default=64,
                    help="reject starts beyond this many live sessions")
+    p.add_argument("--tcp", type=int, default=None, metavar="PORT",
+                   help="serve the SAME line-JSON protocol over a TCP "
+                        "socket (127.0.0.1:PORT, 0 = ephemeral) instead of "
+                        "stdin/stdout: many concurrent client connections, "
+                        "responses routed to the connection whose event "
+                        "produced them, sessions owned per-connection "
+                        "(a dropped client's sessions are reaped); "
+                        "{\"type\": \"shutdown\"} stops the server")
+    p.add_argument("--port-file", metavar="FILE",
+                   help="with --tcp: write the bound port number to FILE "
+                        "once listening (for --tcp 0 ephemeral ports)")
     p.add_argument("--engine", action="store_true",
                    help="batched session engine (GMM/hybrid, --ctc, --rnnt, "
                         "and --aed families): ONE device dispatch chain per "
@@ -626,8 +640,13 @@ def main() -> None:
 
     sessions: dict = {}
 
+    # response routing: stdin mode writes stdout; --tcp mode points this at
+    # the connection whose event is being handled (finish()/endpoint events
+    # always fire inside that connection's handle(), so routing is complete)
+    _out = {"fn": lambda obj: print(json.dumps(obj), flush=True)}
+
     def emit(obj):
-        print(json.dumps(obj), flush=True)
+        _out["fn"](obj)
 
     def finish(sid, s, rule=None):
         feats = s.frontend.finalize()
@@ -704,6 +723,105 @@ def main() -> None:
             handle({"type": "audio", "session": "demo",
                     "pcm": utt.wave[i : i + chunk].tolist()})
         handle({"type": "end", "session": "demo"})
+        return
+
+    if args.tcp is not None:
+        import selectors
+        import socket
+
+        sel = selectors.DefaultSelector()
+        srv = socket.create_server(("127.0.0.1", args.tcp))
+        srv.setblocking(False)
+        sel.register(srv, selectors.EVENT_READ, data=None)
+        port = srv.getsockname()[1]
+        if args.port_file:
+            with open(args.port_file, "w") as f:
+                f.write(str(port))
+        print(json.dumps({"event": "listening", "port": port}), flush=True)
+        logger.log({"stage": "serve_tcp_listening", "port": port})
+
+        rbufs: dict = {}          # conn -> bytearray
+        owner: dict = {}          # session id -> conn
+
+        def drop_conn(conn):
+            """Reap a client: its sessions vanish without finals (the
+            client is gone — there is nobody to deliver a final to)."""
+            for sid in [s for s, c in owner.items() if c is conn]:
+                sessions.pop(sid, None)
+                owner.pop(sid, None)
+            sel.unregister(conn)
+            rbufs.pop(conn, None)
+            conn.close()
+
+        def send_to(conn):
+            def fn(obj):
+                try:
+                    conn.sendall((json.dumps(obj) + "\n").encode())
+                except OSError:
+                    pass  # client went away mid-reply; reaped on next recv
+            return fn
+
+        running = True
+        while running:
+            for key, _mask in sel.select():
+                if key.data is None:
+                    conn, _addr = srv.accept()
+                    conn.setblocking(True)  # blocking sendall; recv gated
+                    sel.register(conn, selectors.EVENT_READ, data="conn")
+                    rbufs[conn] = bytearray()
+                    continue
+                conn = key.fileobj
+                try:
+                    data = conn.recv(1 << 16)
+                except (BlockingIOError, InterruptedError):
+                    continue
+                except OSError:
+                    data = b""
+                if not data:
+                    drop_conn(conn)
+                    continue
+                buf = rbufs[conn]
+                buf += data
+                _out["fn"] = send_to(conn)
+                while b"\n" in buf:
+                    raw, _, rest = bytes(buf).partition(b"\n")
+                    buf[:] = rest
+                    line = raw.decode(errors="replace").strip()
+                    if not line:
+                        continue
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError as e:
+                        emit({"error": f"bad json: {e}"})
+                        continue
+                    # per-connection session ownership: a session belongs
+                    # to the connection that started it
+                    sid = ev.get("session")
+                    typ = ev.get("type")
+                    if typ == "start" and sid is not None:
+                        if sid in owner and owner[sid] is not conn:
+                            emit({"session": sid,
+                                  "error": "session owned by another "
+                                           "connection"})
+                            continue
+                    elif sid is not None and sid in owner \
+                            and owner[sid] is not conn:
+                        emit({"session": sid,
+                              "error": "session owned by another "
+                                       "connection"})
+                        continue
+                    if not handle(ev):
+                        running = False
+                        break
+                    if typ == "start" and sid in sessions:
+                        owner[sid] = conn
+                    elif sid is not None and sid not in sessions:
+                        owner.pop(sid, None)
+                if not running:
+                    break
+        for conn in list(rbufs):
+            drop_conn(conn)
+        srv.close()
         return
 
     for line in sys.stdin:
