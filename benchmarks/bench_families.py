@@ -215,6 +215,7 @@ def main() -> None:
         ("mlp_int8", make_hybrid_quant(mlp_model, mlp_params, "int8"), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
         ("lstm_bf16", make_hybrid_quant(lstm_model, lstm_params, "bfloat16"), None),
+        ("lstm_int8", make_hybrid_quant(lstm_model, lstm_params, "int8"), None),
         ("lstm_prefused", make_hybrid_prefused(lstm_params), None),
         ("lstm_pallas", make_hybrid_pallas(lstm_params), None),
         ("lstm_pallas_bf16", make_hybrid_pallas(lstm_params, "bfloat16"), None),

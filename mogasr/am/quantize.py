@@ -9,13 +9,16 @@ precision inference paths for the neural families:
   MXU-native mode; logits return as f32 so the downstream prior-scaled
   log-softmax and Viterbi stay exact.  Halves parameter HBM traffic and
   doubles MXU issue rate vs f32.
-- **int8 (MLP)**: weight kernels quantized per-OUTPUT-channel (symmetric,
-  127 levels — the scale folds into the existing per-channel epilogue),
-  activations quantized dynamically per row; the GEMM runs
+- **int8 (MLP + LSTM)**: weight kernels quantized per-OUTPUT-channel
+  (symmetric, 127 levels — the scale folds into the existing per-channel
+  epilogue), activations quantized dynamically per row; the GEMM runs
   int8 x int8 -> int32 via ``lax.dot_general(preferred_element_type=
   int32)``, which XLA lowers to the TPU's native int8 MXU mode (2x bf16
-  issue rate, 4x f32 HBM saving on weights).  LayerNorm/bias/epilogue
-  stay f32 — they are VPU work and numerically load-bearing.
+  issue rate, 4x f32 HBM saving on weights).  For the LSTM the int8 GEMMs
+  are the prefused input projections + output head (the bandwidth-bound
+  bulk); the recurrence stays f32 (its error compounds over T and its
+  small per-step GEMM is latency-bound — int8 buys nothing there).
+  LayerNorm/bias/epilogue stay f32 — VPU work, numerically load-bearing.
 
 Decode-decision equivalence is the shipping gate, not a hope:
 tests/test_quantize.py trains a real frame classifier and requires the
@@ -139,23 +142,104 @@ def mlp_apply_int8(model: MlpAm, qparams, feats, n_frames):
     return int8_dynamic_dot(x, d["q"], d["scale"]) + d["bias"]
 
 
+def quantize_lstm_int8(params) -> Dict[str, Any]:
+    """Quantize an LstmAm checkpoint for the prefused forward
+    (am/fast_lstm.py): the hoisted input-projection kernels [D, 4H] and the
+    output Dense go int8 per-channel; the recurrent kernels, biases and
+    gate math stay f32 (the recurrence integrates T steps — quantization
+    error there compounds, and its small [B,H]x[H,4H] GEMM is latency-
+    not bandwidth-bound, so int8 buys nothing)."""
+    from mogasr.am.fast_lstm import _IN_GATES, _REC_GATES, _layer_keys
+
+    p = params["params"]
+    out: Dict[str, Any] = {"layers": []}
+    for key in _layer_keys(p):
+        cp = p[key]
+        w_in = jnp.concatenate(
+            [jnp.asarray(cp[g]["kernel"]) for g in _IN_GATES], axis=1
+        )
+        q, s = quantize_dense_int8(w_in)
+        out["layers"].append({
+            "q_in": q, "scale_in": s,
+            "w_rec": jnp.concatenate(
+                [jnp.asarray(cp[g]["kernel"], jnp.float32)
+                 for g in _REC_GATES], axis=1
+            ),
+            "bias": jnp.concatenate(
+                [jnp.asarray(cp[g]["bias"], jnp.float32)
+                 for g in _REC_GATES]
+            ),
+        })
+    d = p["Dense_0"]
+    qd, sd = quantize_dense_int8(jnp.asarray(d["kernel"]))
+    out["out"] = {"q": qd, "scale": sd,
+                  "bias": jnp.asarray(d["bias"], jnp.float32)}
+    return out
+
+
+def lstm_apply_int8(qparams, feats, n_frames):
+    """Prefused LstmAm forward (mirror of fast_lstm.lstm_am_apply_prefused)
+    with int8 input-projection and output GEMMs, f32 recurrence."""
+    x = feats
+    B, T = feats.shape[0], feats.shape[1]
+    t_idx = jnp.arange(T)
+    for layer in qparams["layers"]:
+        w_rec = layer["w_rec"]
+        H = w_rec.shape[0]
+        xg = int8_dynamic_dot(x, layer["q_in"], layer["scale_in"]) \
+            + layer["bias"]                        # [B, T, 4H]
+
+        def step(carry, inp, _w=w_rec, _H=H):
+            c, h = carry
+            xg_t, t = inp
+            gates = xg_t + h @ _w
+            i = jax.nn.sigmoid(gates[:, :_H])
+            f = jax.nn.sigmoid(gates[:, _H:2 * _H])
+            g = jnp.tanh(gates[:, 2 * _H:3 * _H])
+            o = jax.nn.sigmoid(gates[:, 3 * _H:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            keep = (t < n_frames)[:, None]
+            return (jnp.where(keep, c_new, c), jnp.where(keep, h_new, h)), \
+                jnp.where(keep, h_new, h)
+
+        zeros = jnp.zeros((B, H), jnp.float32)
+        _, x = jax.lax.scan(
+            step, (zeros, zeros), (jnp.swapaxes(xg, 0, 1), t_idx)
+        )
+        x = jnp.swapaxes(x, 0, 1)
+    d = qparams["out"]
+    return int8_dynamic_dot(x, d["q"], d["scale"]) + d["bias"]
+
+
 def make_int8_logits(model, params):
     """Jitted (feats, n_frames) -> f32 logits through the int8 path.
 
-    Currently MlpAm only (the pure-GEMM family where int8 pays most);
-    other archs raise so callers fall back explicitly, never silently."""
-    if not isinstance(model, MlpAm):
-        raise NotImplementedError(
-            "int8 inference is implemented for MlpAm (use bfloat16 for "
-            f"{type(model).__name__})"
-        )
-    qparams = quantize_mlp_int8(model, params)
+    MlpAm (pure int8 GEMM stack) and LstmAm (int8 input-projection/output
+    GEMMs, f32 recurrence); other archs raise so callers fall back
+    explicitly, never silently."""
+    from mogasr.am.neural import LstmAm
 
-    @jax.jit
-    def logits(feats, n_frames):
-        return mlp_apply_int8(model, qparams, feats, n_frames)
+    if isinstance(model, MlpAm):
+        qparams = quantize_mlp_int8(model, params)
 
-    return logits
+        @jax.jit
+        def logits(feats, n_frames):
+            return mlp_apply_int8(model, qparams, feats, n_frames)
+
+        return logits
+    if isinstance(model, LstmAm):
+        qlstm = quantize_lstm_int8(params)
+
+        @jax.jit
+        def lstm_logits(feats, n_frames):
+            return lstm_apply_int8(qlstm, feats, n_frames)
+
+        return lstm_logits
+    raise NotImplementedError(
+        "int8 inference is implemented for MlpAm/LstmAm (use bfloat16 for "
+        f"{type(model).__name__})"
+    )
 
 
 def make_quantized_logits(model, params, precision: str):

@@ -128,15 +128,39 @@ def test_quantized_scorer_decodes_identically():
         assert agree >= 0.99, (prec, agree)
 
 
-def test_int8_rejects_non_mlp():
+def test_int8_rejects_unsupported_arch():
     cfg = TrainConfig(nn_hidden=16, nn_layers=2)
-    model = build_model("lstm", 5, cfg)
+    model = build_model("tdnn", 5, cfg)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((2, 6, 4)), jnp.float32)
     nf = jnp.asarray([6, 6])
     params = model.init(jax.random.key(0), feats, nf)
     with pytest.raises(NotImplementedError):
         Q.make_int8_logits(model, params)
+
+
+def test_int8_lstm_close_to_f32_and_padding_invariant():
+    cfg = TrainConfig(nn_hidden=16, nn_layers=2)
+    model = build_model("lstm", 5, cfg)
+    rng = np.random.default_rng(6)
+    feats = jnp.asarray(rng.standard_normal((3, 12, 4)), jnp.float32)
+    nf = jnp.asarray([12, 7, 3])
+    params = model.init(jax.random.key(2), feats, nf)
+    ref = np.asarray(model.apply(params, feats, nf))
+    got = np.asarray(Q.make_int8_logits(model, params)(feats, nf))
+    for b, n in enumerate(np.asarray(nf)):
+        r, g = ref[b, :n], got[b, :n]
+        rel = np.linalg.norm(g - r) / np.linalg.norm(r)
+        assert rel < 0.05, (b, rel)
+    # trash padding frames: valid-frame outputs must not move
+    trashed = np.asarray(feats).copy()
+    for b, n in enumerate(np.asarray(nf)):
+        trashed[b, n:] = rng.standard_normal(trashed[b, n:].shape) * 30
+    got2 = np.asarray(Q.make_int8_logits(model, params)(
+        jnp.asarray(trashed), nf))
+    for b, n in enumerate(np.asarray(nf)):
+        np.testing.assert_allclose(got2[b, :n], got[b, :n],
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_bf16_works_for_lstm():
