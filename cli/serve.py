@@ -315,6 +315,11 @@ def main() -> None:
                    help="self-test: synthesize one utterance and drive a "
                         "session through the protocol instead of stdin")
     args = p.parse_args()
+    if args.tcp is not None and args.engine:
+        # the batched engine runs its own tick loop over stdin batches;
+        # silently ignoring --tcp would strand socket clients
+        raise SystemExit("--tcp serves the per-session mode only "
+                         "(--engine has its own stdin tick loop)")
 
     fcfg = FrontendConfig(cmvn="sliding", cmvn_window=args.cmvn_window)
     lex = load_lexicon(args.lexicon) if args.lexicon else synthetic_lexicon()
