@@ -33,6 +33,11 @@ def main() -> None:
                    help="compare vs the NumPy oracle (fp32 tolerance)")
     p.add_argument("--feature-type", default="mfcc",
                    choices=["mfcc", "fbank", "plp"])
+    p.add_argument("--add-pitch", action="store_true",
+                   help="append the pitch triple (POV, centered log-f0, "
+                        "delta log-f0) per frame — NCCF + on-device Viterbi "
+                        "lag tracking (mogasr.frontend.pitch); parity "
+                        "checking still covers the spectral dims")
     args = p.parse_args()
 
     corpus, _lex = load_corpus(args)
@@ -42,6 +47,30 @@ def main() -> None:
 
     with Timer() as t:
         batches = featurize(corpus, fcfg, bcfg)
+        if args.add_pitch:
+            import dataclasses
+
+            import jax.numpy as jnp
+
+            from mogasr.frontend.pitch import features_with_pitch
+
+            by_id = {u: w for u, w, _ in corpus}
+            out_batches = []
+            for fb in batches:
+                rows = int(fb.feats.shape[0])
+                s_max = max(len(by_id[u]) for u in fb.utt_ids)
+                wm = np.zeros((rows, s_max), np.float32)
+                ns = np.zeros((rows,), np.int32)
+                for i, u in enumerate(fb.utt_ids):
+                    w = by_id[u]
+                    wm[i, : len(w)] = w
+                    ns[i] = len(w)
+                feats2 = features_with_pitch(
+                    fb.feats, fb.n_frames, jnp.asarray(wm), jnp.asarray(ns),
+                    sample_rate=fcfg.sample_rate,
+                )
+                out_batches.append(dataclasses.replace(fb, feats=feats2))
+            batches = out_batches
     n_frames_total = int(sum(np.asarray(fb.n_frames).sum() for fb in batches))
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     logger.log({
@@ -59,7 +88,9 @@ def main() -> None:
             nf = np.asarray(fb.n_frames)
             for i, utt_id in enumerate(fb.utt_ids):
                 ref = extract_features_np(by_id[utt_id][0], fcfg)
-                err = float(np.abs(feats[i, : nf[i]] - ref).max())
+                err = float(
+                    np.abs(feats[i, : nf[i], : ref.shape[1]] - ref).max()
+                )
                 worst = max(worst, err)
         logger.log({"stage": "parity", "max_abs_err": worst, "pass": worst < 2e-3})
 
