@@ -41,36 +41,13 @@ def main() -> None:
     args = p.parse_args()
 
     corpus, _lex = load_corpus(args)
-    fcfg = FrontendConfig(feature_type=args.feature_type)
+    fcfg = FrontendConfig(feature_type=args.feature_type,
+                          add_pitch=args.add_pitch)
     bcfg = BatchConfig()
     logger = make_logger(args)
 
     with Timer() as t:
         batches = featurize(corpus, fcfg, bcfg)
-        if args.add_pitch:
-            import dataclasses
-
-            import jax.numpy as jnp
-
-            from mogasr.frontend.pitch import features_with_pitch
-
-            by_id = {u: w for u, w, _ in corpus}
-            out_batches = []
-            for fb in batches:
-                rows = int(fb.feats.shape[0])
-                s_max = max(len(by_id[u]) for u in fb.utt_ids)
-                wm = np.zeros((rows, s_max), np.float32)
-                ns = np.zeros((rows,), np.int32)
-                for i, u in enumerate(fb.utt_ids):
-                    w = by_id[u]
-                    wm[i, : len(w)] = w
-                    ns[i] = len(w)
-                feats2 = features_with_pitch(
-                    fb.feats, fb.n_frames, jnp.asarray(wm), jnp.asarray(ns),
-                    sample_rate=fcfg.sample_rate,
-                )
-                out_batches.append(dataclasses.replace(fb, feats=feats2))
-            batches = out_batches
     n_frames_total = int(sum(np.asarray(fb.n_frames).sum() for fb in batches))
     audio_sec = sum(len(w) for _, w, _ in corpus) / fcfg.sample_rate
     logger.log({

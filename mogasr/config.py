@@ -58,6 +58,10 @@ class FrontendConfig:
     dither: float = 0.0
     feature_type: str = "mfcc"  # mfcc | fbank | plp
     lpc_order: int = 12  # PLP all-pole model order (needs >= n_ceps - 1)
+    # Pitch stream (frontend/pitch.py): append (POV, centered log-f0,
+    # Δlog-f0) per frame. Utterance-level (the lag Viterbi + log-f0
+    # centering are acausal), so the streaming front end rejects it.
+    add_pitch: bool = False
 
     @property
     def frame_length(self) -> int:
@@ -73,7 +77,9 @@ class FrontendConfig:
 
     @property
     def feat_dim(self) -> int:
-        return self.base_dim * (1 + self.delta_order)
+        return self.base_dim * (1 + self.delta_order) + (
+            3 if self.add_pitch else 0
+        )
 
     def num_frames(self, num_samples: int) -> int:
         if self.snip_edges:

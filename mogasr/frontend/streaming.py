@@ -70,6 +70,11 @@ class StreamingFrontend:
                 "streaming requires snip_edges=True (centered frames need "
                 "right-edge reflection, which is acausal)"
             )
+        if cfg.add_pitch:
+            raise NotImplementedError(
+                "streaming add_pitch is unsupported: the pitch stream's lag "
+                "Viterbi and log-f0 centering are utterance-level (acausal)"
+            )
         self.cfg = cfg
         self.chunk_frames = chunk_frames
         self.kernel = _chunk_kernel(cfg, chunk_frames)

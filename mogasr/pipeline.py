@@ -52,11 +52,25 @@ def featurize(
     fcfg: FrontendConfig,
     bcfg: BatchConfig,
 ) -> List[FeatBatch]:
-    """Batch + run the fused front end; one compile per bucket shape."""
+    """Batch + run the fused front end; one compile per bucket shape.
+
+    fcfg.add_pitch appends the (POV, centered log-f0, Δlog-f0) pitch triple
+    (frontend/pitch.py) frame-aligned to the spectral stream — feat_dim
+    already accounts for it, so models sized off the config stay right."""
+    spectral_cfg = (
+        dataclasses.replace(fcfg, add_pitch=False) if fcfg.add_pitch else fcfg
+    )
     out = []
     for batch in make_batches(utts, bcfg, fcfg):
-        fe = cached_frontend(fcfg, batch.waves.shape[1])
+        fe = cached_frontend(spectral_cfg, batch.waves.shape[1])
         feats, n_frames = fe(jnp.asarray(batch.waves), jnp.asarray(batch.num_samples))
+        if fcfg.add_pitch:
+            from mogasr.frontend.pitch import features_with_pitch
+
+            feats = features_with_pitch(
+                feats, n_frames, jnp.asarray(batch.waves),
+                jnp.asarray(batch.num_samples), sample_rate=fcfg.sample_rate,
+            )
         out.append(FeatBatch(batch.utt_ids, feats, n_frames, batch.words))
     return out
 

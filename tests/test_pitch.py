@@ -127,3 +127,53 @@ def test_features_with_pitch_aligns():
     n = int(nf[0])
     # voiced tone: POV column is high on valid frames
     assert np.median(np.asarray(both[0, :n, -3])) > 0.6
+
+
+def test_featurize_add_pitch_config_path():
+    from mogasr.config import BatchConfig, FrontendConfig
+    from mogasr.pipeline import featurize
+    from mogasr.data.synthetic import make_corpus
+
+    corpus = [(u.utt_id, u.wave, u.words) for u in make_corpus(
+        3, words_per_utt=(2, 2), seed=13)]
+    fcfg = FrontendConfig(add_pitch=True)
+    assert fcfg.feat_dim == FrontendConfig().feat_dim + 3
+    batches = featurize(corpus, fcfg, BatchConfig())
+    base = featurize(corpus, FrontendConfig(), BatchConfig())
+    for fb, fb0 in zip(batches, base):
+        assert fb.feats.shape[-1] == fcfg.feat_dim
+        # spectral dims unchanged by the appended stream
+        np.testing.assert_allclose(
+            np.asarray(fb.feats[..., : fb0.feats.shape[-1]]),
+            np.asarray(fb0.feats), rtol=1e-6, atol=1e-6)
+        # pitch dims populated on valid frames (POV not all zero)
+        n = int(fb.n_frames[0])
+        assert float(jnp.abs(fb.feats[0, :n, -3:]).max()) > 0
+
+
+def test_streaming_rejects_add_pitch():
+    from mogasr.config import FrontendConfig
+    from mogasr.frontend.streaming import StreamingFrontend
+
+    with pytest.raises(NotImplementedError):
+        StreamingFrontend(FrontendConfig(add_pitch=True))
+
+
+def test_gmm_scores_pitch_features():
+    # dims flow end-to-end: GMM scoring on [.., feat_dim+3]
+    import jax
+
+    from mogasr.config import BatchConfig, FrontendConfig, GmmConfig
+    from mogasr.pipeline import featurize
+    from mogasr.data.synthetic import make_corpus
+    from mogasr.am.gmm import gmm_loglik, init_gmm
+
+    corpus = [(u.utt_id, u.wave, u.words) for u in make_corpus(
+        2, words_per_utt=(2, 2), seed=17)]
+    fcfg = FrontendConfig(add_pitch=True)
+    fb = featurize(corpus, fcfg, BatchConfig())[0]
+    assert fb.feats.shape[-1] == fcfg.feat_dim
+    gmm = init_gmm(GmmConfig(feat_dim=fcfg.feat_dim), jax.random.key(0),
+                   n_states=4, n_components=2)
+    ll = gmm_loglik(fb.feats.reshape(-1, fb.feats.shape[-1])[:50], gmm)
+    assert ll.shape == (50, 4)
