@@ -29,6 +29,10 @@ from mogasr.utils.metrics import Timer, trace
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--add-pitch", action="store_true",
+                   help="append the (POV, centered log-f0, delta log-f0) pitch "
+                        "triple to the features (frontend/pitch.py) — must "
+                        "match between training and decoding")
     add_corpus_args(p)
     add_run_args(p)
     p.add_argument("--gmm-ckpt")
@@ -120,7 +124,7 @@ def main() -> None:
         _gmm_b, topo, fcfg, _tied_b, _bmeta = bundle
         lex = topo.lexicon
     else:
-        fcfg = FrontendConfig()
+        fcfg = FrontendConfig(add_pitch=args.add_pitch)
         topo = build_topology(lex, TopologyConfig())
     if args.num_states == 0:
         args.num_states = topo.n_pdfs

@@ -43,6 +43,10 @@ def load_or_random_gmm(args, feat_dim: int):
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--add-pitch", action="store_true",
+                   help="append the (POV, centered log-f0, delta log-f0) pitch "
+                        "triple to the features (frontend/pitch.py) — must "
+                        "match between training and decoding")
     add_corpus_args(p)
     add_run_args(p)
     p.add_argument("--gmm-ckpt", help="orbax GMM checkpoint dir")
@@ -55,7 +59,7 @@ def main() -> None:
     import jax
 
     corpus, _lex = load_corpus(args)
-    fcfg = FrontendConfig()
+    fcfg = FrontendConfig(add_pitch=args.add_pitch)
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
     gmm = load_or_random_gmm(args, fcfg.feat_dim)

@@ -34,6 +34,10 @@ from mogasr.utils.metrics import Timer
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--add-pitch", action="store_true",
+                   help="append the (POV, centered log-f0, delta log-f0) pitch "
+                        "triple to the features (frontend/pitch.py) — must "
+                        "match between training and decoding")
     add_corpus_args(p)
     add_run_args(p)
     add_augment_args(p)
@@ -145,7 +149,7 @@ def main() -> None:
 
     corpus, lex = load_corpus(args)
     corpus = apply_augmentation(corpus, args)
-    fcfg = FrontendConfig()
+    fcfg = FrontendConfig(add_pitch=args.add_pitch)
     topo = build_topology(lex, TopologyConfig())
     logger = make_logger(args)
     batches = featurize(corpus, fcfg, BatchConfig())
