@@ -122,6 +122,16 @@ def main() -> None:
         ll = gmm_loglik_batched(feats, gmm, compute_dtype="bfloat16")
         return vit.viterbi(ll, graphs, nf, acoustic_scale=dcfg.acoustic_scale).path
 
+    # gmm_vit_pallas: SAME scoring, decode forward pass as the Pallas kernel
+    # (graph arrays VMEM-resident across the frame grid; exactness-tested)
+    from mogasr.decoder.viterbi_pallas import viterbi_pallas
+
+    def run_gmm_vit_pallas(w, ns, fe):
+        feats, nf = fe(w, ns)
+        ll = gmm_loglik_batched(feats, gmm, compute_dtype="bfloat16")
+        return viterbi_pallas(ll, graphs, nf,
+                              acoustic_scale=dcfg.acoustic_scale).path
+
     def make_hybrid(model, params):
         def run(w, ns, fe):
             feats, nf = fe(w, ns)
@@ -210,6 +220,7 @@ def main() -> None:
 
     families = [
         ("gmm", run_gmm, None),
+        ("gmm_vit_pallas", run_gmm_vit_pallas, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
         ("mlp_bf16", make_hybrid_quant(mlp_model, mlp_params, "bfloat16"), None),
         ("mlp_int8", make_hybrid_quant(mlp_model, mlp_params, "int8"), None),
