@@ -57,10 +57,20 @@ def featurize(
     fcfg.add_pitch appends the (POV, centered log-f0, Δlog-f0) pitch triple
     (frontend/pitch.py) frame-aligned to the spectral stream — feat_dim
     already accounts for it, so models sized off the config stay right."""
+    return list(featurize_iter(utts, fcfg, bcfg))
+
+
+def featurize_iter(
+    utts: Sequence[Tuple[str, np.ndarray, List[str]]],
+    fcfg: FrontendConfig,
+    bcfg: BatchConfig,
+):
+    """Lazy generator behind featurize(): one FeatBatch per bucket, produced
+    on demand — compose with data.prefetch.prefetch/device_put_batches to
+    overlap host staging with device compute on single-pass sweeps."""
     spectral_cfg = (
         dataclasses.replace(fcfg, add_pitch=False) if fcfg.add_pitch else fcfg
     )
-    out = []
     for batch in make_batches(utts, bcfg, fcfg):
         fe = cached_frontend(spectral_cfg, batch.waves.shape[1])
         feats, n_frames = fe(jnp.asarray(batch.waves), jnp.asarray(batch.num_samples))
@@ -71,8 +81,7 @@ def featurize(
                 feats, n_frames, jnp.asarray(batch.waves),
                 jnp.asarray(batch.num_samples), sample_rate=fcfg.sample_rate,
             )
-        out.append(FeatBatch(batch.utt_ids, feats, n_frames, batch.words))
-    return out
+        yield FeatBatch(batch.utt_ids, feats, n_frames, batch.words)
 
 
 def featurize_streaming(
