@@ -242,6 +242,52 @@ def make_int8_logits(model, params):
     )
 
 
+def save_quantized(path: str, qparams) -> None:
+    """Serialize a quantize_{mlp,lstm}_int8 tree to one .npz (~4x smaller
+    than the f32 checkpoint: kernels are int8 + a per-channel f32 scale)."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", qparams)
+    np.savez_compressed(path, **flat)
+
+
+def load_quantized(path: str):
+    """Inverse of save_quantized: rebuild the nested qparams tree (lists
+    recovered from integer path segments)."""
+    import numpy as np
+
+    data = np.load(path)
+    root: Dict[str, Any] = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
 def make_quantized_logits(model, params, precision: str):
     """Dispatch: precision in {"float32", "bfloat16", "int8"} -> jitted
     (feats, n_frames) -> f32 logits closure."""

@@ -177,3 +177,38 @@ def test_bf16_works_for_lstm():
     assert got.shape == ref.shape
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.05, rel
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    model, params, feats, nf = _train_small_mlp(seed=5, steps=120)
+    qp = Q.quantize_mlp_int8(model, params)
+    ref = np.asarray(Q.mlp_apply_int8(model, qp, feats, nf))
+
+    path = str(tmp_path / "q.npz")
+    Q.save_quantized(path, qp)
+    qp2 = Q.load_quantized(path)
+    got = np.asarray(Q.mlp_apply_int8(model, qp2, feats, nf))
+    np.testing.assert_array_equal(got, ref)  # bit-identical reload
+
+    # the int8 tree is materially smaller than the f32 params (raw bytes —
+    # at toy sizes zip headers would drown the file-size comparison)
+    q_bytes = sum(x.nbytes for x in jax.tree.leaves(qp))
+    f_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))
+    assert q_bytes < 0.5 * f_bytes, (q_bytes, f_bytes)
+
+
+def test_quantized_lstm_checkpoint_roundtrip(tmp_path):
+    from mogasr.am.neural import build_model
+
+    cfg = TrainConfig(nn_hidden=24, nn_layers=2)
+    model = build_model("lstm", 5, cfg)
+    rng = np.random.default_rng(8)
+    feats = jnp.asarray(rng.standard_normal((2, 9, 6)), jnp.float32)
+    nf = jnp.asarray([9, 5])
+    params = model.init(jax.random.key(3), feats, nf)
+    qp = Q.quantize_lstm_int8(params)
+    ref = np.asarray(Q.lstm_apply_int8(qp, feats, nf))
+    path = str(tmp_path / "ql.npz")
+    Q.save_quantized(path, qp)
+    got = np.asarray(Q.lstm_apply_int8(Q.load_quantized(path), feats, nf))
+    np.testing.assert_array_equal(got, ref)
