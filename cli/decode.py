@@ -123,8 +123,8 @@ def main() -> None:
                    help="neural-AM inference precision (hybrid --am mlp/"
                         "lstm/...): bfloat16 = MXU-native params+activations "
                         "(any arch); int8 = dynamic-activation int8 GEMMs "
-                        "(mlp) — mogasr.am.quantize; scoring epilogue and "
-                        "Viterbi stay f32 in every mode")
+                        "(mlp and lstm) — mogasr.am.quantize; scoring "
+                        "epilogue and Viterbi stay f32 in every mode")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
     p.add_argument("--mode", default="word", choices=["word", "phone"])

@@ -745,37 +745,75 @@ def main() -> None:
         print(json.dumps({"event": "listening", "port": port}), flush=True)
         logger.log({"stage": "serve_tcp_listening", "port": port})
 
-        rbufs: dict = {}          # conn -> bytearray
+        rbufs: dict = {}          # conn -> bytearray (inbound)
+        wbufs: dict = {}          # conn -> bytearray (outbound, unflushed)
         owner: dict = {}          # session id -> conn
+        MAX_WBUF = 16 << 20       # slow-consumer cap: drop past 16 MB queued
 
         def drop_conn(conn):
             """Reap a client: its sessions vanish without finals (the
-            client is gone — there is nobody to deliver a final to)."""
+            client is gone — there is nobody to deliver a final to).
+            Idempotent — emits mid-handle may race the recv-EOF path."""
+            if conn not in rbufs:
+                return
             for sid in [s for s, c in owner.items() if c is conn]:
                 sessions.pop(sid, None)
                 owner.pop(sid, None)
             sel.unregister(conn)
             rbufs.pop(conn, None)
+            wbufs.pop(conn, None)
             conn.close()
+
+        def flush(conn) -> bool:
+            """Write as much queued output as the socket accepts (non-
+            blocking — a stalled client must NEVER stall the event loop).
+            Returns False if the connection should be dropped."""
+            buf = wbufs.get(conn)
+            if buf is None:
+                return False
+            try:
+                while buf:
+                    n = conn.send(buf)
+                    del buf[:n]
+            except (BlockingIOError, InterruptedError):
+                pass
+            except OSError:
+                return False
+            if len(buf) > MAX_WBUF:
+                return False  # client is not reading; protect the server
+            events = selectors.EVENT_READ | (
+                selectors.EVENT_WRITE if buf else 0)
+            sel.modify(conn, events, data="conn")
+            return True
 
         def send_to(conn):
             def fn(obj):
-                try:
-                    conn.sendall((json.dumps(obj) + "\n").encode())
-                except OSError:
-                    pass  # client went away mid-reply; reaped on next recv
+                if conn not in wbufs:
+                    return  # client already reaped mid-reply
+                wbufs[conn] += (json.dumps(obj) + "\n").encode()
+                if not flush(conn):
+                    drop_conn(conn)
             return fn
 
         running = True
         while running:
-            for key, _mask in sel.select():
+            for key, mask in sel.select():
                 if key.data is None:
                     conn, _addr = srv.accept()
-                    conn.setblocking(True)  # blocking sendall; recv gated
+                    conn.setblocking(False)
                     sel.register(conn, selectors.EVENT_READ, data="conn")
                     rbufs[conn] = bytearray()
+                    wbufs[conn] = bytearray()
                     continue
                 conn = key.fileobj
+                if conn not in rbufs:
+                    continue  # dropped earlier in this select batch
+                if mask & selectors.EVENT_WRITE:
+                    if not flush(conn):
+                        drop_conn(conn)
+                        continue
+                if not (mask & selectors.EVENT_READ):
+                    continue
                 try:
                     data = conn.recv(1 << 16)
                 except (BlockingIOError, InterruptedError):

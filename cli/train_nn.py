@@ -401,7 +401,12 @@ def main() -> None:
         logger.log({"stage": "nn_smbr_done", "steps": args.seq_smbr_steps,
                     "acc_per_frame_first": smbr_hist[0],
                     "acc_per_frame_last": smbr_hist[-1]})
-    if not (args.save_every > 0 and i % args.save_every == 0):
+    seq_tuned = args.seq_mmi_steps > 0 or args.seq_smbr_steps > 0
+    if seq_tuned and args.save_every > 0 and i % args.save_every == 0:
+        # the CE loop already wrote step i, but MMI/sMBR fine-tuning mutated
+        # the params afterwards — save them as a NEW step or they are lost
+        save_checkpoint(ckpt, tree_of(state.params), step=i + 1)
+    elif seq_tuned or not (args.save_every > 0 and i % args.save_every == 0):
         save_checkpoint(ckpt, tree_of(state.params), step=i)
     if args.average_last > 1:
         from mogasr.utils.checkpoint import average_checkpoints

@@ -201,6 +201,9 @@ def finetune_nn_smbr(
             jnp.asarray(labels),
         ))
 
+    if not prepared:
+        raise ValueError("finetune_nn_smbr: no batches to train on "
+                         "(an empty list would loop forever)")
     opt = make_optimizer(tcfg)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step_fn = make_nn_smbr_step(model, tcfg, log_priors, acoustic_scale)
@@ -254,6 +257,9 @@ def finetune_nn_mmi(
             {k: jnp.asarray(v) for k, v in den_np.items()},
         ))
 
+    if not prepared:
+        raise ValueError("finetune_nn_mmi: no batches to train on "
+                         "(an empty list would loop forever)")
     opt = make_optimizer(tcfg)
     from mogasr.am.train_nn import TrainState
 

@@ -277,7 +277,19 @@ def rnnt_pruned_objective(
     )
     pruned_nll = rnnt_loss_banded(logits_band, u_start, n_frames, labels,
                                   n_labels)
-    loss_p, mean_nll = masked_mean_objective(pruned_nll, n_frames, n_labels)
+    # Band feasibility: covering both the lattice start (u=0) and the final
+    # node needs at most band-1 label advances per frame, i.e.
+    # n_labels+1-band <= (n_frames-1)*(band-1). An infeasible utterance
+    # (more labels than the band can traverse in its frames) would get a
+    # ~1e30 banded NLL that poisons the batch mean — exclude it from the
+    # pruned term (it still trains through the simple term below).
+    feasible = (
+        jnp.maximum(n_labels + 1 - band, 0)
+        <= jnp.maximum(n_frames - 1, 0) * max(band - 1, 1)
+    )
+    loss_p, mean_nll = masked_mean_objective(
+        pruned_nll, n_frames, jnp.where(feasible, n_labels, 0)
+    )
     loss_s, _ = masked_mean_objective(simple_nll, n_frames, n_labels)
     loss = loss_p + simple_scale * loss_s
     if model.aux_ctc:
@@ -301,6 +313,9 @@ def make_rnnt_pruned_train_step(
     if not model.simple_heads:
         raise ValueError("pruned training needs build_rnnt_model("
                          "simple_heads=True)")
+    if band < 2:
+        raise ValueError("pruned band must be >= 2 (band=1 cannot advance "
+                         "through the lattice)")
     opt = make_optimizer(cfg)
 
     @jax.jit

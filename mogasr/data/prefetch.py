@@ -45,26 +45,48 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
         return
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                # timed puts so an abandoned consumer (generator closed
+                # early) releases this thread instead of pinning it — and
+                # the rest of the iterable — forever on a full queue
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            # the sentinel must arrive reliably (a full queue just means
+            # the consumer has not drained yet) — same timed-put loop, so
+            # an abandoned consumer still releases this thread via stop
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            t.join()
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                t.join()
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def device_put_batches(batches: Iterable) -> Iterator:

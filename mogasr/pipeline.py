@@ -75,11 +75,20 @@ def featurize_iter(
         fe = cached_frontend(spectral_cfg, batch.waves.shape[1])
         feats, n_frames = fe(jnp.asarray(batch.waves), jnp.asarray(batch.num_samples))
         if fcfg.add_pitch:
-            from mogasr.frontend.pitch import features_with_pitch
+            from mogasr.frontend.pitch import PitchConfig, features_with_pitch
 
+            if not fcfg.snip_edges:
+                raise NotImplementedError(
+                    "add_pitch requires snip_edges=True (extract_pitch "
+                    "mirrors the snip_edges frame-count formula)"
+                )
+            # pitch frames must share the SPECTRAL grid, whatever it is
+            pcfg = PitchConfig(window_ms=fcfg.frame_length_ms,
+                               shift_ms=fcfg.frame_shift_ms)
             feats = features_with_pitch(
                 feats, n_frames, jnp.asarray(batch.waves),
-                jnp.asarray(batch.num_samples), sample_rate=fcfg.sample_rate,
+                jnp.asarray(batch.num_samples), cfg=pcfg,
+                sample_rate=fcfg.sample_rate,
             )
         yield FeatBatch(batch.utt_ids, feats, n_frames, batch.words)
 
@@ -567,8 +576,8 @@ def make_nn_scorer(model, params, log_priors: jax.Array,
 
     Returns a ``scorer(fb) -> [B, T, n_pdfs]`` closure for evaluate()/decode.
     precision: "float32" (default) | "bfloat16" (any arch, MXU-native) |
-    "int8" (MlpAm: dynamic-activation int8 GEMMs) — am/quantize.py; the
-    prior-scaled log-softmax stays f32 in every mode.
+    "int8" (MlpAm and LstmAm: dynamic-activation int8 GEMMs) —
+    am/quantize.py; the prior-scaled log-softmax stays f32 in every mode.
     """
     from mogasr.am.neural import posteriors_to_loglik
     from mogasr.am.quantize import make_quantized_logits

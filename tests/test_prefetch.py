@@ -80,3 +80,24 @@ def test_evaluate_accepts_prefetched_generator(trained_system):
     ref = evaluate(batches, gmm, lex, topo, dcfg)
     got = evaluate(prefetch(iter(batches), depth=2), gmm, lex, topo, dcfg)
     assert got == ref
+
+
+def test_abandoned_consumer_releases_producer():
+    started = threading.active_count()
+    consumed = []
+
+    def gen():
+        for i in range(1000):
+            yield i
+
+    it = prefetch(gen(), depth=2)
+    for i, x in enumerate(it):
+        consumed.append(x)
+        if i == 3:
+            break
+    it.close()  # abandon: the producer thread must exit, not pin the rest
+    deadline = time.time() + 5
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= started, "producer thread leaked"
+    assert consumed == [0, 1, 2, 3]

@@ -174,3 +174,28 @@ def test_pruned_step_rejects_model_without_simple_heads():
                         pred_hidden=8, joint_hidden=8)
     with pytest.raises(ValueError):
         RP.make_rnnt_pruned_train_step(model, TrainConfig(), band=2)
+
+
+def test_infeasible_band_excluded_not_poisoning():
+    # U=6 labels but only 3 frames with band=2 -> the band cannot traverse;
+    # the pruned term must exclude the row instead of averaging ~1e30 in
+    rng = np.random.default_rng(31)
+    model = R.RnntModel(n_labels=8, enc_hidden=16, enc_layers=1,
+                        pred_hidden=8, joint_hidden=8, simple_heads=True)
+    B, T, U, D = 2, 3, 6, 5
+    feats = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    n_frames = jnp.asarray([T, T])
+    labels = jnp.asarray(rng.integers(0, 8, (B, U)), jnp.int32)
+    n_labels = jnp.asarray([U, 1])   # row 0 infeasible, row 1 fine
+    params = R.init_rnnt_train_state(
+        model, TrainConfig(), D, U, jax.random.key(0)).params
+    loss, _ = RP.rnnt_pruned_objective(
+        model, params, feats, n_frames, labels, n_labels, band=2)
+    assert np.isfinite(float(loss)) and abs(float(loss)) < 1e6, float(loss)
+
+
+def test_band_below_two_rejected():
+    model = R.RnntModel(n_labels=3, enc_hidden=8, enc_layers=1,
+                        pred_hidden=8, joint_hidden=8, simple_heads=True)
+    with pytest.raises(ValueError):
+        RP.make_rnnt_pruned_train_step(model, TrainConfig(), band=1)
