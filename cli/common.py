@@ -30,6 +30,11 @@ def add_corpus_args(p: argparse.ArgumentParser) -> None:
              "language) synthetic utterances — the corpus the headline "
              "bundle is trained on",
     )
+    p.add_argument("--manifest", metavar="FILE",
+                   help="JSONL manifest corpus: one {'audio': PATH, 'text': "
+                        "WORDS[, 'id': ID]} per line; relative audio paths "
+                        "resolve against the manifest dir; wav + flac "
+                        "(mogasr.data.manifest); requires --lexicon")
     p.add_argument("--lexicon", help="Kaldi-style lexicon.txt (word phone...)")
     p.add_argument("--max-utts", type=int, default=0, help="limit corpus size")
 
@@ -88,6 +93,16 @@ def load_corpus(args) -> Tuple[List[Tuple[str, np.ndarray, List[str]]], Lexicon]
         utts = make_corpus(args.synthetic, seed=args.synthetic_seed)
         corpus = [(u.utt_id, u.wave, u.words) for u in utts]
         lex = synthetic_lexicon()
+    elif getattr(args, "manifest", None):
+        from mogasr.data.manifest import read_manifest
+
+        corpus = read_manifest(
+            args.manifest, max_utts=getattr(args, "max_utts", 0) or 0
+        )
+        if args.lexicon:
+            lex = load_lexicon(args.lexicon)
+        else:
+            raise SystemExit("--lexicon is required with --manifest")
     elif args.librispeech_root:
         from mogasr.data.librispeech import LibriSpeech
 
@@ -101,7 +116,7 @@ def load_corpus(args) -> Tuple[List[Tuple[str, np.ndarray, List[str]]], Lexicon]
         else:
             raise SystemExit("--lexicon is required with --librispeech-root")
     else:
-        raise SystemExit("pass --synthetic N, --synthetic-v2 N, or --librispeech-root DIR")
+        raise SystemExit("pass --synthetic N, --synthetic-v2 N, --manifest FILE, or --librispeech-root DIR")
     if args.max_utts:
         corpus = corpus[: args.max_utts]
     return corpus, lex
