@@ -48,6 +48,10 @@ def main() -> None:
                         "training (expected frame accuracy, I-smoothed EBW)")
     p.add_argument("--disc-acoustic-scale", type=float, default=0.1,
                    help="acoustic scale (kappa) for --mmi/--smbr")
+    p.add_argument("--bundle-out", metavar="DIR",
+                   help="export the trained system (GMM + lexicon + topology "
+                        "[+ tied triphones] + frontend config) as a deployable "
+                        "bundle dir for decode/eval --bundle (utils/bundle.py)")
     p.add_argument("--lda", type=int, default=0, metavar="CONTEXT",
                    help="after monophone training, train a splice(+-CONTEXT)"
                         "->LDA->MLLT system bootstrapped from its alignments")
@@ -151,6 +155,20 @@ def main() -> None:
         cd_ckpt = os.path.join(os.path.abspath(args.run_dir), "gmm_cd")
         save_checkpoint(cd_ckpt, res.gmm._asdict(), step=len(res.history))
         print(f"saved CD GMM ({tied.n_pdfs} tied pdfs) to {cd_ckpt}")
+
+    if args.bundle_out:
+        from mogasr.utils.bundle import save_system
+
+        if args.triphones > 0:
+            save_system(args.bundle_out, res.gmm, topo, fcfg, tied=tied,
+                        meta={"source": "cli/train_gmm.py",
+                              "final_avg_loglik": res.history[-1]})
+        else:
+            save_system(args.bundle_out, gmm, topo, fcfg,
+                        meta={"source": "cli/train_gmm.py",
+                              "final_avg_loglik": history[-1]})
+        print(f"wrote deployable bundle to {args.bundle_out} "
+              f"(decode/eval --bundle)")
 
 
 if __name__ == "__main__":
