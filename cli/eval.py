@@ -78,6 +78,15 @@ def main() -> None:
                    help="ckpt trained with the pruned transducer loss "
                         "(train_nn --rnnt-pruned-band): tree has the "
                         "factored simple_am/simple_lm heads")
+    p.add_argument("--am", default="gmm",
+                   choices=["gmm", "mlp", "lstm", "blstm", "tdnn", "conformer"],
+                   help="acoustic model for the standard word-loop sweep: "
+                        "gmm (default) or a trained HYBRID frame classifier "
+                        "(needs --nn-ckpt; incompatible with --bundle and the "
+                        "GMM adaptation flags)")
+    p.add_argument("--nn-precision", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="hybrid-AM inference precision (mogasr.am.quantize)")
     p.add_argument("--aed", action="store_true",
                    help="evaluate a BPE-AED checkpoint (train_nn --objective "
                         "aed --bpe-merges): on-device batched beam search")
@@ -114,6 +123,19 @@ def main() -> None:
     if nf_flags and not (args.bpe and args.nn_ckpt):
         raise SystemExit(f"{nf_flags[0]} requires --bpe and --nn-ckpt")
 
+    if args.am != "gmm":
+        if not args.nn_ckpt:
+            raise SystemExit("--am mlp/lstm/... requires --nn-ckpt")
+        if args.fmllr or args.mllr or args.vtln:
+            raise SystemExit("--fmllr/--mllr/--vtln are GMM adaptation: "
+                             "incompatible with a hybrid --am")
+        if args.bundle:
+            raise SystemExit("--bundle carries a GMM system: incompatible "
+                             "with a hybrid --am")
+        if nf_flags:
+            raise SystemExit("--ctc/--rnnt/--aed are lexicon-free sweeps: "
+                             "use them without --am")
+    hybrid_score = None
     bundle = None
     if args.bundle:
         from mogasr.utils.bundle import load_system
@@ -235,9 +257,40 @@ def main() -> None:
         neural = (bpe, decode_units)
         gmm = graph = None
     else:
-        gmm = (bundle[0] if bundle is not None
-               else load_or_random_gmm(args, fcfg.feat_dim))
-        gmm = M.replicate(gmm, mesh)
+        if args.am != "gmm":
+            import jax.numpy as jnp
+
+            from mogasr.am.neural import build_model, posteriors_to_loglik
+            from mogasr.am.quantize import make_quantized_logits
+            from mogasr.am.train_nn import init_train_state
+            from mogasr.config import TrainConfig
+            from mogasr.utils.checkpoint import restore_checkpoint
+
+            tcfg_h = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
+                                 nn_layers=args.nn_layers)
+            nn_model_h = build_model(args.am, topo.n_pdfs, tcfg_h)
+            template_h = {
+                "params": init_train_state(
+                    nn_model_h, tcfg_h, fcfg.feat_dim, jax.random.key(0)
+                ).params,
+                "log_priors": jnp.zeros(topo.n_pdfs),
+            }
+            ck_h = restore_checkpoint(args.nn_ckpt, template_h)
+            nn_params_h = M.replicate(ck_h["params"], mesh)
+            log_priors_h = M.replicate(jnp.asarray(ck_h["log_priors"]), mesh)
+            logits_fn_h = make_quantized_logits(
+                nn_model_h, nn_params_h, args.nn_precision)
+
+            @jax.jit
+            def hybrid_score(feats, n_frames):
+                return posteriors_to_loglik(
+                    logits_fn_h(feats, n_frames), log_priors_h)
+
+            gmm = None
+        else:
+            gmm = (bundle[0] if bundle is not None
+                   else load_or_random_gmm(args, fcfg.feat_dim))
+            gmm = M.replicate(gmm, mesh)
         if bundle is not None and bundle[3] is not None:
             from mogasr.hmm.triphone import word_loop_graph_cd
 
@@ -311,7 +364,12 @@ def main() -> None:
                             }) + "\n")
                         out_f.flush()
                         continue
-                    scores = score_batch(feats, gmm)
+                    if hybrid_score is not None:
+                        nf_h = jax.device_put(
+                            fb.n_frames, M.data_sharding(mesh))
+                        scores = hybrid_score(feats, nf_h)
+                    else:
+                        scores = score_batch(feats, gmm)
                     if args.consensus:
                         lats, _ = decode_batch_lattices(fb, scores, graph, cn_lm, dcfg)
                         out = [

@@ -148,6 +148,46 @@ def test_train_nn_then_nn_decode_cli(tmp_path, monkeypatch):
     assert len(lines) == 4
 
 
+def test_eval_cli_hybrid_nn(tmp_path, monkeypatch):
+    """eval --am mlp: the hybrid frame classifier through the DP-sharded
+    word-loop sweep, at every precision tier."""
+    from cli import eval as eval_cli
+    from cli import train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--arch", "mlp", "--hidden", "32", "--layers", "1", "--steps", "10",
+         "--bootstrap-iters", "2", "--bootstrap-components", "1"],
+        monkeypatch,
+    )
+    for prec in ["float32", "int8"]:
+        run_cli(
+            eval_cli,
+            ["--synthetic", "4", "--run-dir", str(tmp_path / f"e_{prec}"),
+             "--am", "mlp", "--nn-ckpt", str(tmp_path / "run" / "nn_mlp"),
+             "--nn-hidden", "32", "--nn-layers", "1",
+             "--nn-precision", prec],
+            monkeypatch,
+        )
+        metrics = [json.loads(l)
+                   for l in open(tmp_path / f"e_{prec}" / "metrics.jsonl")]
+        ev = [m for m in metrics if m.get("stage") == "eval"]
+        assert ev and ev[0]["utts"] == 4
+
+    # guards: hybrid without ckpt / with GMM adaptation
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="requires --nn-ckpt"):
+        run_cli(eval_cli, ["--synthetic", "2", "--am", "mlp",
+                           "--run-dir", str(tmp_path / "g1")], monkeypatch)
+    with _pytest.raises(SystemExit, match="GMM adaptation"):
+        run_cli(eval_cli, ["--synthetic", "2", "--am", "mlp",
+                           "--nn-ckpt", str(tmp_path / "run" / "nn_mlp"),
+                           "--fmllr",
+                           "--run-dir", str(tmp_path / "g2")], monkeypatch)
+
+
 def test_decode_cli_bigram_lm(tmp_path, monkeypatch):
     from cli import decode
 
