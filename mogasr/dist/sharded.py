@@ -342,6 +342,49 @@ def make_sharded_rnnt_pruned_train_step(
     return train_step
 
 
+def make_sharded_nn_mmi_step(
+    model, cfg: TrainConfig, mesh: Mesh, log_priors,
+    acoustic_scale: float = 0.1,
+):
+    """Sequence-discriminative (MMI) hybrid-NN step (am/nn_seq), batch
+    sharded / params replicated: the per-utterance alignment-chain (num)
+    and word-loop (den) graphs are [B, J] arrays, so they shard on the
+    batch axis like the features; only the grad psum rides ICI."""
+    import jax.numpy as jnp
+    import optax
+
+    from mogasr.am.nn_seq import nn_mmi_objective
+    from mogasr.am.train_nn import TrainState, make_optimizer
+
+    opt = make_optimizer(cfg)
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+    priors = jax.device_put(jnp.asarray(log_priors), rep)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, dsh, dsh, dsh, dsh),
+        out_shardings=(rep, rep),
+    )
+    def train_step(state, feats, n_frames, num_graphs, den_graphs):
+        def loss_fn(params):
+            return nn_mmi_objective(
+                model, params, priors, feats, n_frames,
+                num_graphs, den_graphs, acoustic_scale,
+            )
+
+        (loss, mmi), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {
+            "loss": loss, "mmi_per_frame": mmi,
+        }
+
+    return train_step
+
+
 def make_sharded_aed_train_step(model, cfg: TrainConfig, mesh: Mesh):
     """AED (Conformer + Transformer decoder) train step, batch sharded /
     params replicated — same derived ICI grad psum as the CTC/RNN-T steps."""

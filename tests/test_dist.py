@@ -259,6 +259,52 @@ def test_sharded_rnnt_train_step_matches_local(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_nn_mmi_step_matches_local(mesh, rng):
+    from mogasr import pipeline as pipe
+    from mogasr.am.neural import build_model
+    from mogasr.am.nn_seq import make_nn_mmi_step
+    from mogasr.am.train_nn import init_train_state
+    from mogasr.config import DecodeConfig
+    from mogasr.dist.sharded import make_sharded_nn_mmi_step
+    from mogasr.hmm import graph as gr
+    from mogasr.hmm.lexicon import synthetic_lexicon
+    from mogasr.hmm.topology import build_topology
+
+    lex = synthetic_lexicon()
+    topo = build_topology(lex, TopologyConfig())
+    cfg = TrainConfig(nn_arch="mlp", nn_hidden=16, nn_layers=1,
+                      nn_context=1, lr=1e-2)
+    model = build_model("mlp", topo.n_pdfs, cfg)
+    B, T, D = 8, 40, 5
+    state = init_train_state(model, cfg, D, jax.random.key(0))
+    feats = rng.standard_normal((B, T, D)).astype(np.float32)
+    n_frames = np.full(B, T, np.int32)
+    words = [[lex.words[b % len(lex.words)]] for b in range(B)]
+    num_g = {k: jnp.asarray(v)
+             for k, v in pipe.build_align_graphs(words, lex, topo).items()}
+    den_graph = pipe.word_decode_graph(lex, topo, DecodeConfig())
+    den_g = {k: jnp.asarray(v)
+             for k, v in gr.batch_graphs([den_graph] * B).items()}
+    log_priors = jnp.zeros(topo.n_pdfs)
+
+    local_step = make_nn_mmi_step(model, cfg, log_priors)
+    s_local, m_local = local_step(
+        state, jnp.asarray(feats), jnp.asarray(n_frames), num_g, den_g)
+
+    dist_step = make_sharded_nn_mmi_step(model, cfg, mesh, log_priors)
+    state_r = M.replicate(state, mesh)
+    fs, nfs = M.shard_batch((feats, n_frames), mesh)
+    dsh = M.data_sharding(mesh)
+    num_s = {k: jax.device_put(v, dsh) for k, v in num_g.items()}
+    den_s = {k: jax.device_put(v, dsh) for k, v in den_g.items()}
+    s_dist, m_dist = dist_step(state_r, fs, nfs, num_s, den_s)
+    np.testing.assert_allclose(float(m_dist["loss"]), float(m_local["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_local.params),
+                    jax.tree.leaves(s_dist.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_sharded_viterbi_pallas_matches_local(mesh, rng):
     """The Pallas Viterbi kernel under jit-with-NamedSharding on the faked
     mesh (interpret mode): batch-sharded decode == local, bitwise."""
