@@ -159,6 +159,10 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
                     emit({"session": sid, "error": "no such session"})
                 elif sid in ep_rule:
                     emit({"session": sid, "error": "endpointed"})
+                elif sid in ending:
+                    # ended earlier in this very batch — engine.feed would
+                    # raise and kill every other session with it
+                    emit({"session": sid, "error": "session ended"})
                 else:
                     pcm = np.asarray(ev.get("pcm", []), np.float32)
                     eng.feed(sid, pcm)
@@ -177,6 +181,8 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
                     emit({"session": sid, "error": "no such session"})
                 elif sid in ep_rule:
                     emit({"session": sid, "error": "endpointed"})
+                elif sid in ending:
+                    emit({"session": sid, "error": "session ended"})
                 else:
                     eng.end(sid)
                     ending.append(sid)
@@ -612,16 +618,9 @@ def main() -> None:
         }
 
         def words_of(path, entered):
-            toks = []
-            for t in range(path.shape[1]):
-                j = path[0, t]
-                if j < 0:
-                    break
-                if entered[0, t]:
-                    w = graph.labels[graph.chain_id[j]]
-                    if w not in ("<sil>", "sil"):
-                        toks.append(w)
-            return toks
+            from mogasr.hmm.graph import path_words
+
+            return path_words(graph, path[0], entered[0])
 
         def make_session():
             return _Session(

@@ -170,6 +170,26 @@ def loop_graph(
     return g
 
 
+def path_words(graph: "Graph", path, entered,
+               drop=("<sil>", "sil")) -> list:
+    """Collapse ONE stream's decoded (path, entered) into word labels.
+
+    The single source of truth for path->words (serving engines, the serve
+    CLI, and online decode all need it; three hand copies drifted before
+    this existed). path[t] < 0 terminates; a frame with entered[t] emits
+    its chain's label unless it is a silence token."""
+    toks = []
+    for t in range(len(path)):
+        j = int(path[t])
+        if j < 0:
+            break
+        if entered[t]:
+            w = graph.labels[graph.chain_id[j]]
+            if w not in drop:
+                toks.append(w)
+    return toks
+
+
 def batch_graphs(graphs: Sequence[Graph], j_max: Optional[int] = None) -> dict:
     """Stack per-utterance graphs into [B, J_max] device-ready arrays."""
     jm = j_max if j_max is not None else max(g.n_states for g in graphs)

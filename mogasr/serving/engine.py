@@ -167,6 +167,10 @@ class _BaseSlotEngine:
 
     def run_to_drain(self, sid):
         """Convenience: tick until sid's frames drain, then finalize."""
+        if not self.slots[self._sid_to_slot[sid]].finishing:
+            # drained() requires the end() flush flag — without it this
+            # loop would spin no-op ticks forever
+            raise ValueError("run_to_drain() before end()")
         while not self.drained(sid):
             self.tick()
         return self.finalize(sid)
@@ -212,12 +216,16 @@ class _BaseSlotEngine:
         L, D = self.fcfg.frame_length, self.fcfg.feat_dim
 
         # --- dispatch decode stage first (features finalized by earlier
-        # ticks), so it overlaps the spectral stage on device
-        feats = np.zeros((B, F, D), np.float32)
+        # ticks), so it overlaps the spectral stage on device; the buffer is
+        # allocated lazily like the spectral one — idle ticks (and every
+        # first tick after start) should not zero B*F*D floats for nothing
+        feats = None
         n_valid = np.zeros(B, np.int32)
         for b, s in enumerate(self.slots):
             if s is None or len(s.feat_q) == 0:
                 continue
+            if feats is None:
+                feats = np.zeros((B, F, D), np.float32)
             n = self._take(len(s.feat_q))
             feats[b, :n] = s.feat_q[:n]
             n_valid[b] = n
@@ -225,7 +233,7 @@ class _BaseSlotEngine:
             self._apply_resets(self._reset_pending.copy())
             self._reset_pending[:] = False
         handle = (self._dispatch_decode(feats, n_valid)
-                  if n_valid.any() else None)
+                  if feats is not None and n_valid.any() else None)
 
         # --- spectral stage over pending (pre-emphasized) frames
         nfr = np.zeros(B, np.int32)
@@ -358,16 +366,27 @@ class BatchedSessionEngine(_BaseSlotEngine):
     # -- results --
 
     def _slot_backtrace(self, b: int, n: int, j_last: int):
+        """Walks the per-tick backpointer CHUNK LIST in reverse instead of
+        concatenating it — partial() runs per tick, and re-concatenating a
+        session's whole history each time is O(T²·J) host work over its
+        life (same bp-code semantics as decoder/online.py's backtrace; the
+        engine-vs-dedicated equality tests pin the two together)."""
         path = np.full(n, -1, np.int64)
         entered = np.zeros(n, bool)
         if n == 0:
             return path, entered
-        bps = np.concatenate(self._bp_hist[b])
-        exits = np.concatenate(self._exit_hist[b])
+        chunks_bp = self._bp_hist[b]
+        chunks_ex = self._exit_hist[b]
         j = int(j_last)
+        ci = len(chunks_bp) - 1
+        start = sum(len(c) for c in chunks_bp) - len(chunks_bp[ci])
         for t in range(n - 1, 0, -1):
+            while t < start:
+                ci -= 1
+                start -= len(chunks_bp[ci])
+            local = t - start
             path[t] = j
-            bcode = bps[t, j]
+            bcode = chunks_bp[ci][local, j]
             entered[t] = bcode == 2
             if bcode == 0:
                 pass
@@ -376,22 +395,15 @@ class BatchedSessionEngine(_BaseSlotEngine):
             elif bcode == 3:
                 j = j - 2
             else:
-                j = int(exits[t])
+                j = int(chunks_ex[ci][local])
         path[0] = j
         entered[0] = True
         return path, entered
 
     def _words_of(self, path: np.ndarray, entered: np.ndarray) -> List[str]:
-        toks = []
-        for t in range(path.shape[0]):
-            j = path[t]
-            if j < 0:
-                break
-            if entered[t]:
-                w = self.graph.labels[self.graph.chain_id[j]]
-                if w not in ("<sil>", "sil"):
-                    toks.append(w)
-        return toks
+        from mogasr.hmm.graph import path_words
+
+        return path_words(self.graph, path, entered)
 
     def partial(self, sid, delta_np: Optional[np.ndarray] = None) -> List[str]:
         """Best-so-far hypothesis. Pass ``delta_np = np.asarray(engine.delta)``
@@ -573,8 +585,8 @@ class BatchedRnntEngine(_BaseSlotEngine):
         cmvn_istd: Optional[np.ndarray] = None,
     ):
         super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
-        from mogasr.am.neural import LstmAm, LstmAmStream, lstm_stream_init
-        from mogasr.am.rnnt import _device_greedy_chunk_fn
+        from mogasr.am.neural import LstmAmStream
+        from mogasr.am.rnnt import _device_greedy_chunk_fn, _rnnt_stream_carries
 
         assert model.encoder_arch == "lstm", "streaming needs the lstm encoder"
         B = self.capacity
@@ -587,9 +599,7 @@ class BatchedRnntEngine(_BaseSlotEngine):
             layers=model.enc_layers,
         )
         enc_params = {"params": params["params"]["encoder"]}
-        offline = LstmAm(n_pdfs=model.enc_hidden, hidden=model.enc_hidden,
-                         layers=model.enc_layers)
-        self.enc_carries = lstm_stream_init(offline, B, fcfg.feat_dim)
+        self.enc_carries = _rnnt_stream_carries(model, B, fcfg.feat_dim)
 
         @jax.jit
         def _enc_step(carries, feats, n_valid):
