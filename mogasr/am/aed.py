@@ -75,7 +75,7 @@ class ConvSubsample(nn.Module):
     modes produce ceil-div-2 frame counts per conv (subsampled_frames)."""
 
     d_model: int
-    channels: int = 32
+    channels: int = 32  # aed_stream_init derives the cache layout from this
     causal: bool = False
 
     def setup(self):
@@ -94,7 +94,12 @@ class ConvSubsample(nn.Module):
     def __call__(self, feats: jax.Array) -> jax.Array:  # [B, T, D]
         x = feats[..., None]  # [B, T, D, 1]
         for conv in (self.conv1, self.conv2):
-            tp = (2, 0) if self.causal else _same_lohi(x.shape[1])
+            # global mode pads time (1, 1), NOT TF-SAME: SAME's lo depends
+            # on T's parity, so the same utterance padded to an even vs odd
+            # bucket would get conv windows shifted by one frame (padding-
+            # AMOUNT invariance is a repo requirement). (1, 1) yields the
+            # same ceil(T/2) output count with T-independent alignment.
+            tp = (2, 0) if self.causal else (1, 1)
             x = nn.relu(conv(self._pad(x, tp)))
         B, T4, D4, C = x.shape
         return self.proj(x.reshape(B, T4, D4 * C))
@@ -352,11 +357,11 @@ class ConformerEncoder(nn.Module):
 def _sin_positions(U: int, D: int) -> np.ndarray:
     """Sinusoidal absolute positions for the decoder (any length, no params)."""
     pos = np.arange(U)[:, None]
-    i = np.arange(D // 2)[None, :]
+    i = np.arange((D + 1) // 2)[None, :]  # ceil(D/2): survives odd d_model
     ang = pos / np.power(10000.0, 2 * i / D)
     out = np.zeros((U, D), np.float32)
     out[:, 0::2] = np.sin(ang)
-    out[:, 1::2] = np.cos(ang)
+    out[:, 1::2] = np.cos(ang[:, : D // 2])
     return out
 
 
@@ -493,7 +498,8 @@ def aed_stream_init(model: AedModel, batch: int, n_feats: int) -> dict:
     f1 = -(-n_feats // 2)
     return {
         "raw": jnp.zeros((B, 2, n_feats), jnp.float32),
-        "c1": jnp.zeros((B, 2, f1, 32), jnp.float32),
+        "c1": jnp.zeros((B, 2, f1,
+                         ConvSubsample.channels), jnp.float32),
         "valid": jnp.zeros((B, Lc), bool),
         "x1": [jnp.zeros((B, Lc, D), jnp.float32)
                for _ in range(model.enc_blocks)],
@@ -783,6 +789,9 @@ def make_aed_decoder(
     return decode
 
 
+_DECODER_CACHE: Dict[tuple, tuple] = {}
+
+
 def aed_decode_batch(
     model: AedModel,
     params,
@@ -795,12 +804,26 @@ def aed_decode_batch(
     fusion: Optional[jax.Array] = None,
 ):
     """Convenience host wrapper: -> list of unit-id lists (valid rows only
-    trimmed by the caller via batch.size)."""
-    dec = make_aed_decoder(
-        model, params, beam=beam, max_tokens=max_tokens,
-        ctc_weight=ctc_weight, length_penalty=length_penalty,
-        fusion=fusion,
-    )
+    trimmed by the caller via batch.size).
+
+    The jitted beam decoder is CACHED per (model, params, options) — jit
+    caches are per-function-object, so rebuilding it each call would pay
+    the full beam-scan compile per batch (transcribe) / per final (serve).
+    The cache holds the model/params refs, keeping their ids stable."""
+    key = (id(model), id(params), beam, max_tokens, ctc_weight,
+           length_penalty, None if fusion is None else id(fusion))
+    hit = _DECODER_CACHE.get(key)
+    if hit is None or hit[0] is not model or hit[1] is not params:
+        dec = make_aed_decoder(
+            model, params, beam=beam, max_tokens=max_tokens,
+            ctc_weight=ctc_weight, length_penalty=length_penalty,
+            fusion=fusion,
+        )
+        if len(_DECODER_CACHE) > 16:  # bound: a serve process lives long
+            _DECODER_CACHE.clear()
+        _DECODER_CACHE[key] = (model, params, fusion, dec)
+    else:
+        dec = hit[3]
     toks, n_toks, _ = jax.tree.map(np.asarray, dec(feats, n_frames))
     return [list(map(int, toks[b, : n_toks[b]])) for b in range(len(toks))]
 

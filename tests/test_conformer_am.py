@@ -51,7 +51,9 @@ def test_conformer_ctc_learns_unit_task():
     # data than the AED's joint CTC/attention loss to escape the collapsed
     # optimum (the 4-utterance variant plateaus with dropped labels)
     feats, n_frames, labels, n_labels, seqs = _unit_task(B=8, units_T=4)
-    cfg = TrainConfig(nn_hidden=32, nn_layers=1, lr=2e-3, num_nn_steps=500)
+    # hidden 48 / 600 steps: under the fixed (1,1) subsample padding the
+    # 32-hidden variant plateaus with one under-fit repeated-bigram row
+    cfg = TrainConfig(nn_hidden=48, nn_layers=1, lr=2e-3, num_nn_steps=600)
     model = build_model("conformer", 4, cfg)  # 3 units + blank
     state = C.init_ctc_train_state(
         model, cfg, feats.shape[-1], jax.random.key(0)
