@@ -246,11 +246,17 @@ def main() -> None:
                     ctc_greedy_decode(logits, nf)
             return outs
 
-        run_all()  # compile + warm (not timed)
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            run_all()
-        dt = (time.perf_counter() - t0) / args.reps
+        try:
+            run_all()  # compile + warm (not timed)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                run_all()
+            dt = (time.perf_counter() - t0) / args.reps
+        except Exception as e:  # record and keep measuring the other rows
+            rows.append({"family": name, "error": f"{type(e).__name__}: {e}"[:300]})
+            print(f"  {name}: FAILED {type(e).__name__} [{time.time()-t_start:.0f}s]",
+                  flush=True)
+            continue
         rows.append({
             "family": name,
             "utts_per_sec": round(args.n_utts / dt, 2),

@@ -60,7 +60,8 @@ def _vit_kernel(
     exitp_ref,     # [B, J] resident
     initp_ref,     # [B, J] resident
     bp_ref,        # [1, B, J] uint8 out
-    exitarg_ref,   # [1, B] int32 out
+    exitarg_ref,   # [1, 8, B] int32 out (8 sublanes: Mosaic needs the
+                   # second-to-last block dim 8-divisible; row 0 is the data)
     delta_ref,     # [B, J] f32 out (final row, constant map)
     delta_scr,     # [B, J] f32 scratch
     *,
@@ -104,7 +105,9 @@ def _vit_kernel(
         active = nf_ref[:] > t                                    # [B, 1]
         delta_scr[:] = jnp.where(active, new_delta, delta)
         bp_ref[0] = jnp.where(active, bp, jnp.uint8(0))
-        exitarg_ref[0] = jnp.where(active[:, 0], exit_arg, 0)
+        exitarg_ref[0] = jnp.broadcast_to(
+            jnp.where(active[:, 0], exit_arg, 0)[None, :], exitarg_ref[0].shape
+        )
 
     delta_ref[:] = delta_scr[:]
 
@@ -169,13 +172,13 @@ def viterbi_pallas(
         out_specs=[
             pl.BlockSpec((1, Bp, Jp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bp), lambda t: (t, 0),
+            pl.BlockSpec((1, 8, Bp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bp, Jp), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, Bp, Jp), jnp.uint8),
-            jax.ShapeDtypeStruct((T, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((T, 8, Bp), jnp.int32),
             jax.ShapeDtypeStruct((Bp, Jp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Bp, Jp), jnp.float32)],
@@ -184,7 +187,7 @@ def viterbi_pallas(
 
     delta_final = delta_final[:B, :J]
     bps = bps[1:, :B, :J]           # step t row (t >= 1), matching viterbi.py
-    exit_args = exit_args[1:, :B]
+    exit_args = exit_args[1:, 0, :B]
 
     final_scores = delta_final + graphs["final_logp"]
     score = jnp.max(final_scores, axis=1)
