@@ -192,8 +192,16 @@ def main() -> None:
                 restore_checkpoint(args.nn_ckpt, template)["params"], mesh
             )
 
+            from mogasr.am.lstm_pallas import (
+                lstm_am_apply_pallas, use_pallas_lstm,
+            )
+
+            _pallas = use_pallas_lstm(nn_model)  # on-chip promotion
+
             @jax.jit
             def _ctc_logits(params, feats, n_frames):
+                if _pallas:
+                    return lstm_am_apply_pallas(params, feats, n_frames)
                 return nn_model.apply(params, feats, n_frames)
 
             def decode_units(feats, n_frames, fb, _p=nn_params):

@@ -310,7 +310,14 @@ def main() -> None:
                     # BPE word spans -> absolute word timestamps
                     from mogasr.am.ctc import ctc_greedy_decode_with_frames
 
-                    logits = nn_model.apply(nn_params, fb.feats, fb.n_frames)
+                    from mogasr.am.lstm_pallas import (
+                        lstm_am_apply_pallas, use_pallas_lstm,
+                    )
+
+                    logits = (  # on-chip promotion (use_pallas_lstm)
+                        lstm_am_apply_pallas(nn_params, fb.feats, fb.n_frames)
+                        if use_pallas_lstm(nn_model)
+                        else nn_model.apply(nn_params, fb.feats, fb.n_frames))
                     maxp = np.asarray(
                         jax.numpy.max(jax.nn.softmax(logits, axis=-1),
                                       axis=-1))

@@ -618,8 +618,14 @@ def make_ctc_scorer(model, params):
     acoustic_scale=1.0 (the hybrid prior division does not apply).
     """
 
+    from mogasr.am.lstm_pallas import lstm_am_apply_pallas, use_pallas_lstm
+
+    pallas = use_pallas_lstm(model)  # promoted on-chip (see use_pallas_lstm)
+
     @jax.jit
     def score(feats, n_frames):
-        return jax.nn.log_softmax(model.apply(params, feats, n_frames), axis=-1)
+        logits = (lstm_am_apply_pallas(params, feats, n_frames) if pallas
+                  else model.apply(params, feats, n_frames))
+        return jax.nn.log_softmax(logits, axis=-1)
 
     return lambda fb: score(fb.feats, fb.n_frames)

@@ -164,6 +164,18 @@ def lstm_am_apply_pallas(
     return x @ d["kernel"] + d["bias"]
 
 
+def use_pallas_lstm(model) -> bool:
+    """Production routing gate (promoted round 2): offline LstmAm logits on
+    the real chip run the VMEM-resident recurrence kernel — the on-chip A/B
+    (bench_families) measured 21 utt/s (stock XLA scan, f32 weights spill
+    VMEM) vs 1874 (this kernel), far past the >1.2x promotion gate, at
+    tested float-tolerance equality.  CPU keeps the stock scan (interpret-
+    mode Pallas is slower); streaming/stateful paths keep LstmAmStream."""
+    from mogasr.am.neural import LstmAm
+
+    return type(model) is LstmAm and _on_tpu()
+
+
 def make_pallas_lstm_logits(params, compute_dtype: str = "float32"):
     """Jitted (feats, n_frames) -> logits closure over a fixed checkpoint."""
 

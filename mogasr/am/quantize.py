@@ -292,6 +292,20 @@ def make_quantized_logits(model, params, precision: str):
     """Dispatch: precision in {"float32", "bfloat16", "int8"} -> jitted
     (feats, n_frames) -> f32 logits closure."""
     if precision == "float32":
+        # Promoted round 2 (bench_families on-chip A/B, >1.2x gate):
+        # the stock XLA-scan LstmAm forward measured 21 utt/s against the
+        # Pallas VMEM-resident recurrence's 1874 (f32 weights spill VMEM
+        # under the scan; the kernel keeps only w_rec resident per layer).
+        # Float-tolerance exactness vs the stock cell is tested on ragged
+        # batches (tests/test_lstm_pallas.py); CPU stays on the stock path
+        # (interpret-mode Pallas is slower there).
+        from mogasr.am.lstm_pallas import (
+            make_pallas_lstm_logits, use_pallas_lstm,
+        )
+
+        if use_pallas_lstm(model):
+            return make_pallas_lstm_logits(params)
+
         @jax.jit
         def logits(feats, n_frames):
             return model.apply(params, feats, n_frames)
