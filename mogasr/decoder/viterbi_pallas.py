@@ -95,16 +95,20 @@ def _vit_kernel(
         adv = delta_shift + advp_ref[:]
         ent = exit_best + enterp_ref[:]
         best = jnp.maximum(jnp.maximum(stay, adv), ent)
+        # int32 selects: Mosaic cannot relayout the (8,128)-tiled f32
+        # comparison masks onto the (32,128) int8 tiling a uint8 select
+        # would need ("Invalid relayout ... vector<...xi1>"); compute in
+        # i32 and pack to u8 only at the store.
         bp = jnp.where(
-            best == ent, jnp.uint8(2),
-            jnp.where(best == adv, jnp.uint8(1), jnp.uint8(0)),
+            best == ent, jnp.int32(2),
+            jnp.where(best == adv, jnp.int32(1), jnp.int32(0)),
         )
-        bp = jnp.where(best == stay, jnp.uint8(0), bp)
+        bp = jnp.where(best == stay, jnp.int32(0), bp)
         new_delta = best + emit_ref[0]
 
         active = nf_ref[:] > t                                    # [B, 1]
         delta_scr[:] = jnp.where(active, new_delta, delta)
-        bp_ref[0] = jnp.where(active, bp, jnp.uint8(0))
+        bp_ref[0] = jnp.where(active, bp, 0).astype(jnp.uint8)
         exitarg_ref[0] = jnp.broadcast_to(
             jnp.where(active[:, 0], exit_arg, 0)[None, :], exitarg_ref[0].shape
         )
