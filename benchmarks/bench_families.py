@@ -150,6 +150,13 @@ def main() -> None:
         feats, nf = fe(w, ns)
         return ctc_model.apply(ctc_params, feats, nf), nf
 
+    def run_ctc_pallas(w, ns, fe):
+        # the promoted production encoder path (use_pallas_lstm routing)
+        from mogasr.am.lstm_pallas import lstm_am_apply_pallas
+
+        feats, nf = fe(w, ns)
+        return lstm_am_apply_pallas(ctc_params, feats, nf), nf
+
     def run_rnnt(w, ns, fe):
         feats, nf = fe(w, ns)
         enc = rnnt_model.apply(rnnt_params, feats, nf, method=RnntModel.encode)
@@ -231,6 +238,7 @@ def main() -> None:
         ("lstm_pallas", make_hybrid_pallas(lstm_params), None),
         ("lstm_pallas_bf16", make_hybrid_pallas(lstm_params, "bfloat16"), None),
         ("ctc", run_ctc, "collapse"),
+        ("ctc_pallas", run_ctc_pallas, "collapse"),
         ("ctc_conformer", run_ctc_conformer, "collapse"),
         ("rnnt", run_rnnt, None),
         ("aed", run_aed, None),
