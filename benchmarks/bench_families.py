@@ -158,8 +158,10 @@ def main() -> None:
         return lstm_am_apply_pallas(ctc_params, feats, nf), nf
 
     def run_rnnt(w, ns, fe):
+        from mogasr.am.rnnt import rnnt_encode
+
         feats, nf = fe(w, ns)
-        enc = rnnt_model.apply(rnnt_params, feats, nf, method=RnntModel.encode)
+        enc = rnnt_encode(rnnt_model, rnnt_params, feats, nf)  # production route
         return rnnt_decode(enc, nf)
 
     from mogasr.am.aed import build_aed_model, init_aed_train_state, make_aed_decoder

@@ -92,3 +92,26 @@ def test_pallas_jitted_closure():
     b = np.asarray(
         LP.lstm_am_apply_pallas(params, feats, n_frames, interpret=True))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_rnnt_encoder_subtree_matches_stock_encode():
+    # rnnt_encode routes the encoder submodule (an LstmAm) through the
+    # kernel by passing its params subtree unchanged; the subtree
+    # extraction must reproduce model.apply(method=encode) exactly.
+    from mogasr.am.rnnt import RnntModel, build_rnnt_model
+
+    model = build_rnnt_model(5, __import__("mogasr.config", fromlist=["TrainConfig"]).TrainConfig())
+    rng = np.random.default_rng(3)
+    B, T, D = 3, 13, 7
+    feats = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    n_frames = jnp.asarray([T, T - 4, 2])
+    labels = jnp.asarray(rng.integers(0, 5, (B, 6)), jnp.int32)
+    params = model.init(jax.random.key(0), feats, n_frames, labels)
+    ref = np.asarray(
+        model.apply(params, feats, n_frames, method=RnntModel.encode))
+    got = np.asarray(LP.lstm_am_apply_pallas(
+        {"params": params["params"]["encoder"]}, feats, n_frames,
+        interpret=True))
+    mask = (np.arange(T)[None, :, None] < np.asarray(n_frames)[:, None, None])
+    np.testing.assert_allclose(np.where(mask, got, 0.0),
+                               np.where(mask, ref, 0.0), rtol=1e-5, atol=1e-5)
