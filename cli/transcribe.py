@@ -237,6 +237,18 @@ def main() -> None:
         }
         nn_params = restore_checkpoint(args.nn_ckpt, template)["params"]
         ctc_scorer = make_ctc_scorer(nn_model, nn_params)
+        # One jitted logits closure built outside the batch loop: the
+        # Pallas route's surrounding GEMMs/bias adds must not dispatch
+        # eagerly (each synchronized dispatch costs ~27-30 ms through the
+        # tunnel — round-2 advisor finding), mirroring quantize.py.
+        from mogasr.am.lstm_pallas import (
+            make_pallas_lstm_logits, use_pallas_lstm,
+        )
+        if use_pallas_lstm(nn_model):
+            nn_logits_fn = make_pallas_lstm_logits(nn_params)
+        else:
+            nn_logits_fn = jax.jit(
+                lambda feats, nf: nn_model.apply(nn_params, feats, nf))
         gmm = None
     else:
         gmm = load_or_random_gmm(args, fcfg.feat_dim)
@@ -310,14 +322,7 @@ def main() -> None:
                     # BPE word spans -> absolute word timestamps
                     from mogasr.am.ctc import ctc_greedy_decode_with_frames
 
-                    from mogasr.am.lstm_pallas import (
-                        lstm_am_apply_pallas, use_pallas_lstm,
-                    )
-
-                    logits = (  # on-chip promotion (use_pallas_lstm)
-                        lstm_am_apply_pallas(nn_params, fb.feats, fb.n_frames)
-                        if use_pallas_lstm(nn_model)
-                        else nn_model.apply(nn_params, fb.feats, fb.n_frames))
+                    logits = nn_logits_fn(fb.feats, fb.n_frames)
                     maxp = np.asarray(
                         jax.numpy.max(jax.nn.softmax(logits, axis=-1),
                                       axis=-1))

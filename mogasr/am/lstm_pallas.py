@@ -145,7 +145,15 @@ def lstm_am_apply_pallas(
     interpret: bool | None = None,
 ) -> jax.Array:
     """Drop-in for ``LstmAm.apply(params, feats, n_frames)`` (same tree):
-    prefused input GEMMs outside, the Pallas recurrence kernel per layer."""
+    prefused input GEMMs outside, the Pallas recurrence kernel per layer.
+
+    Equality with the stock forward holds on VALID frames (t < n_frames)
+    only: this kernel freezes carries at each row's n_frames, while flax
+    ``RNN(seq_lengths=..., return_carry=False)`` keeps evolving outputs
+    past n_frames from the zero-padded inputs.  Every production consumer
+    masks by n_frames; a new consumer that reads padded frames would
+    silently diverge by route — the padding-invariance tests are the
+    guard (round-2 advisor finding)."""
     if interpret is None:
         interpret = not _on_tpu()
     p = params["params"]
@@ -170,10 +178,19 @@ def use_pallas_lstm(model) -> bool:
     (bench_families) measured 21 utt/s (stock XLA scan, f32 weights spill
     VMEM) vs 1874 (this kernel), far past the >1.2x promotion gate, at
     tested float-tolerance equality.  CPU keeps the stock scan (interpret-
-    mode Pallas is slower); streaming/stateful paths keep LstmAmStream."""
+    mode Pallas is slower); streaming/stateful paths keep LstmAmStream.
+
+    SINGLE-DEVICE ONLY (round-2 advisor finding): consumers such as
+    cli/eval.py shard feats over the ('data',) mesh, and a bare
+    ``pl.pallas_call`` inside jit has no GSPMD partitioning rule — on a
+    multi-chip mesh it would either fail to compile or force a full
+    all-gather per call.  Until the kernel is wrapped in ``shard_map``
+    over the data axis, multi-device processes keep the stock XLA scan
+    (which partitions fine).  ``__graft_entry__.dryrun_multichip``
+    asserts this gate stays off on an 8-device mesh."""
     from mogasr.am.neural import LstmAm
 
-    return type(model) is LstmAm and _on_tpu()
+    return type(model) is LstmAm and _on_tpu() and jax.device_count() == 1
 
 
 def make_pallas_lstm_logits(params, compute_dtype: str = "float32"):

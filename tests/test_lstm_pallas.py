@@ -115,3 +115,20 @@ def test_rnnt_encoder_subtree_matches_stock_encode():
     mask = (np.arange(T)[None, :, None] < np.asarray(n_frames)[:, None, None])
     np.testing.assert_allclose(np.where(mask, got, 0.0),
                                np.where(mask, ref, 0.0), rtol=1e-5, atol=1e-5)
+
+
+def test_routing_gate_requires_single_device(monkeypatch):
+    """use_pallas_lstm must stay off on multi-device processes: a bare
+    pallas_call has no GSPMD partitioning rule, so sharded consumers
+    (cli/eval.py data mesh) would fail to compile or all-gather per call
+    (round-2 advisor finding)."""
+    model = LstmAm(n_pdfs=5, hidden=11, layers=1)
+    monkeypatch.setattr(LP, "_on_tpu", lambda: True)
+    monkeypatch.setattr(LP.jax, "device_count", lambda: 1)
+    assert LP.use_pallas_lstm(model)
+    monkeypatch.setattr(LP.jax, "device_count", lambda: 8)
+    assert not LP.use_pallas_lstm(model)
+    # and never on CPU regardless of device count
+    monkeypatch.setattr(LP, "_on_tpu", lambda: False)
+    monkeypatch.setattr(LP.jax, "device_count", lambda: 1)
+    assert not LP.use_pallas_lstm(model)
