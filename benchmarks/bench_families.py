@@ -38,7 +38,19 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--layers", type=int, default=3)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="dispatch windows averaged into one timing")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="independent timed windows per family, INTERLEAVED "
+                         "across families so tunnel drift hits all rows "
+                         "alike — promotion A/Bs need spread, not one "
+                         "number (round-2 VERDICT weak 3)")
+    ap.add_argument("--families", default=None,
+                    help="comma list to measure a subset (e.g. "
+                         "gmm,gmm_vit_pallas); writes results_families_ab.json "
+                         "instead so the full table isn't clobbered")
+    ap.add_argument("--out", default=None,
+                    help="override output JSON filename (in benchmarks/)")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +128,8 @@ def main() -> None:
     rnnt_params = init_rnnt_train_state(
         rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(1)).params
     rnnt_decode = make_rnnt_device_greedy(rnnt_model, rnnt_params, u_cap=120)
+    rnnt_decode_scan = make_rnnt_device_greedy(
+        rnnt_model, rnnt_params, u_cap=120, impl="frame_scan")
 
     def run_gmm(w, ns, fe):
         feats, nf = fe(w, ns)
@@ -164,6 +178,15 @@ def main() -> None:
         enc = rnnt_encode(rnnt_model, rnnt_params, feats, nf)  # production route
         return rnnt_decode(enc, nf)
 
+    def run_rnnt_scan(w, ns, fe):
+        # pre-round-3 frame-scan greedy kept as the A/B row (identical
+        # hypotheses — tested; the label loop cuts sequential depth ~T/E)
+        from mogasr.am.rnnt import rnnt_encode
+
+        feats, nf = fe(w, ns)
+        enc = rnnt_encode(rnnt_model, rnnt_params, feats, nf)
+        return rnnt_decode_scan(enc, nf)
+
     from mogasr.am.aed import build_aed_model, init_aed_train_state, make_aed_decoder
 
     aed_model = build_aed_model(lex.n_phones, tcfg)
@@ -182,6 +205,15 @@ def main() -> None:
         jax.random.key(4), jnp.zeros((2, 8, fcfg.feat_dim)), jnp.asarray([8, 8]))
 
     def run_ctc_conformer(w, ns, fe):
+        # production route (make_ctc_logits_fn): decode at the encoder's
+        # native 25 Hz rate — greedy collapse is frame-rate invariant, so
+        # hypotheses are identical to the upsampled path (tested) at 4x
+        # fewer argmax/collapse frames
+        feats, nf = fe(w, ns)
+        return conf_model.apply(conf_params, feats, nf, method="subsampled")
+
+    def run_ctc_conformer_up(w, ns, fe):
+        # pre-round-3 path (repeat-upsampled to 100 Hz) kept as the A/B row
         feats, nf = fe(w, ns)
         return conf_model.apply(conf_params, feats, nf), nf
 
@@ -242,12 +274,17 @@ def main() -> None:
         ("ctc", run_ctc, "collapse"),
         ("ctc_pallas", run_ctc_pallas, "collapse"),
         ("ctc_conformer", run_ctc_conformer, "collapse"),
+        ("ctc_conformer_up", run_ctc_conformer_up, "collapse"),
         ("rnnt", run_rnnt, None),
+        ("rnnt_scan", run_rnnt_scan, None),
         ("aed", run_aed, None),
     ]
 
-    rows = []
-    for name, fn, host_post in families:
+    fam_filter = (set(args.families.split(",")) if args.families else None)
+    selected = [f for f in families
+                if fam_filter is None or f[0] in fam_filter]
+
+    def make_run_all(fn, host_post):
         def run_all():
             outs = [fn(w, ns, fe) for (w, ns, fe) in prepared]
             jax.block_until_ready(outs)
@@ -255,25 +292,52 @@ def main() -> None:
                 for logits, nf in outs:
                     ctc_greedy_decode(logits, nf)
             return outs
+        return run_all
 
+    # Compile + warm every family first, then take `--runs` timed windows
+    # per family in an INTERLEAVED order (run 1 of every family, run 2 of
+    # every family, ...) so slow tunnel drift cannot masquerade as a
+    # family difference in an A/B.
+    rows = []
+    failed: dict[str, str] = {}
+    runners = {}
+    for name, fn, host_post in selected:
+        runners[name] = make_run_all(fn, host_post)
         try:
-            run_all()  # compile + warm (not timed)
+            runners[name]()  # compile + warm (not timed)
+        except Exception as e:  # record and keep measuring the other rows
+            failed[name] = f"{type(e).__name__}: {e}"[:300]
+            del runners[name]
+            print(f"  {name}: FAILED {type(e).__name__} "
+                  f"[{time.time()-t_start:.0f}s]", flush=True)
+    timings: dict[str, list] = {name: [] for name in runners}
+    for run_i in range(args.runs):
+        for name, run_all in runners.items():
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 run_all()
-            dt = (time.perf_counter() - t0) / args.reps
-        except Exception as e:  # record and keep measuring the other rows
-            rows.append({"family": name, "error": f"{type(e).__name__}: {e}"[:300]})
-            print(f"  {name}: FAILED {type(e).__name__} [{time.time()-t_start:.0f}s]",
-                  flush=True)
+            timings[name].append((time.perf_counter() - t0) / args.reps)
+            print(f"  run {run_i + 1}/{args.runs} {name}: "
+                  f"{args.n_utts / timings[name][-1]:.1f} utt/s "
+                  f"[{time.time()-t_start:.0f}s]", flush=True)
+    for name, fn, host_post in selected:
+        if name in failed:
+            rows.append({"family": name, "error": failed[name]})
             continue
-        rows.append({
+        dts = sorted(timings[name])
+        dt = dts[len(dts) // 2]  # median window
+        row = {
             "family": name,
             "utts_per_sec": round(args.n_utts / dt, 2),
             "rtf": round(dt / audio_seconds, 6),
-        })
-        print(f"  {name}: {rows[-1]['utts_per_sec']} utt/s "
-              f"rtf {rows[-1]['rtf']}  [{time.time()-t_start:.0f}s]", flush=True)
+        }
+        if args.runs > 1:
+            row["runs_utts_per_sec"] = [
+                round(args.n_utts / d, 1) for d in timings[name]]
+        rows.append(row)
+        print(f"  {name}: {row['utts_per_sec']} utt/s rtf {row['rtf']}"
+              + (f" runs {row['runs_utts_per_sec']}" if args.runs > 1 else "")
+              + f"  [{time.time()-t_start:.0f}s]", flush=True)
 
     # aed_stream: the chunk-incremental streaming path — the metric that
     # matters here is PER-CHUNK STEP LATENCY (64 concurrent streams, one
@@ -285,41 +349,44 @@ def main() -> None:
         aed_stream_init, build_aed_model as _bam, make_aed_stream_step,
     )
 
-    saed_model = _bam(lex.n_phones, tcfg, chunk_frames=8)
-    saed_params = init_aed_train_state(
-        saed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(4)).params
-    saed_step = make_aed_stream_step(saed_model, saed_params)
-    w, ns, fe = prepared[0]
-    feats, _nf = fe(w, ns)
-    B, T = feats.shape[0], feats.shape[1]
-    raw_per = 4 * 8
-    n_chunks = T // raw_per
-    feats = jax.block_until_ready(feats[:, : n_chunks * raw_per])
+    if fam_filter is None or "aed_stream" in fam_filter:
+        saed_model = _bam(lex.n_phones, tcfg, chunk_frames=8)
+        saed_params = init_aed_train_state(
+            saed_model, tcfg, fcfg.feat_dim, 4, jax.random.key(4)).params
+        saed_step = make_aed_stream_step(saed_model, saed_params)
+        w, ns, fe = prepared[0]
+        feats, _nf = fe(w, ns)
+        B, T = feats.shape[0], feats.shape[1]
+        raw_per = 4 * 8
+        n_chunks = T // raw_per
+        feats = jax.block_until_ready(feats[:, : n_chunks * raw_per])
 
-    def run_stream():
-        st = aed_stream_init(saed_model, batch=B, n_feats=fcfg.feat_dim)
-        outs = []
-        for c in range(n_chunks):
-            e, l, st = saed_step(feats[:, c * raw_per : (c + 1) * raw_per], st)
-            outs.append(l)
-        jax.block_until_ready(outs)
+        def run_stream():
+            st = aed_stream_init(saed_model, batch=B, n_feats=fcfg.feat_dim)
+            outs = []
+            for c in range(n_chunks):
+                e, l, st = saed_step(
+                    feats[:, c * raw_per : (c + 1) * raw_per], st)
+                outs.append(l)
+            jax.block_until_ready(outs)
 
-    run_stream()  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        run_stream()
-    dt = (time.perf_counter() - t0) / args.reps
-    chunk_audio_s = raw_per * fcfg.frame_shift / fcfg.sample_rate
-    rows.append({
-        "family": "aed_stream",
-        "concurrent_streams": B,
-        "chunk_audio_ms": round(1000 * chunk_audio_s, 1),
-        "chunk_step_ms": round(1000 * dt / n_chunks, 2),
-        "realtime_streams_per_chip": round(B * chunk_audio_s * n_chunks / dt, 1),
-    })
-    print(f"  aed_stream: {rows[-1]['chunk_step_ms']} ms/chunk-step, "
-          f"{rows[-1]['realtime_streams_per_chip']} realtime streams "
-          f"[{time.time()-t_start:.0f}s]", flush=True)
+        run_stream()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            run_stream()
+        dt = (time.perf_counter() - t0) / args.reps
+        chunk_audio_s = raw_per * fcfg.frame_shift / fcfg.sample_rate
+        rows.append({
+            "family": "aed_stream",
+            "concurrent_streams": B,
+            "chunk_audio_ms": round(1000 * chunk_audio_s, 1),
+            "chunk_step_ms": round(1000 * dt / n_chunks, 2),
+            "realtime_streams_per_chip": round(
+                B * chunk_audio_s * n_chunks / dt, 1),
+        })
+        print(f"  aed_stream: {rows[-1]['chunk_step_ms']} ms/chunk-step, "
+              f"{rows[-1]['realtime_streams_per_chip']} realtime streams "
+              f"[{time.time()-t_start:.0f}s]", flush=True)
 
     out = {
         "n_utts": args.n_utts,
@@ -328,10 +395,14 @@ def main() -> None:
         "nn": f"hidden={args.hidden} layers={args.layers}",
         "note": "random weights at production sizes; decode speed is "
                 "weight-independent (accuracy rows: demo_accuracy_v2 + headline)",
+        "reps": args.reps,
+        "runs": args.runs,
         "rows": rows,
     }
+    default_name = ("results_families.json" if fam_filter is None
+                    else "results_families_ab.json")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results_families.json")
+                        args.out or default_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -192,22 +192,16 @@ def main() -> None:
                 restore_checkpoint(args.nn_ckpt, template)["params"], mesh
             )
 
-            from mogasr.am.lstm_pallas import (
-                lstm_am_apply_pallas, use_pallas_lstm,
-            )
+            from mogasr.am.ctc import make_ctc_logits_fn
 
-            _pallas = use_pallas_lstm(nn_model)  # on-chip promotion
+            # carries the production routing: Conformer decodes at its
+            # native 25 Hz rate, LstmAm takes the Pallas recurrence on a
+            # single-device TPU (multi-device stays on the XLA scan)
+            _ctc_logits = make_ctc_logits_fn(nn_model, nn_params)
 
-            @jax.jit
-            def _ctc_logits(params, feats, n_frames):
-                if _pallas:
-                    return lstm_am_apply_pallas(params, feats, n_frames)
-                return nn_model.apply(params, feats, n_frames)
-
-            def decode_units(feats, n_frames, fb, _p=nn_params):
-                return ctc_greedy_decode(
-                    _ctc_logits(_p, feats, n_frames), fb.n_frames
-                )
+            def decode_units(feats, n_frames, fb):
+                logits, n_dec = _ctc_logits(feats, n_frames)
+                return ctc_greedy_decode(logits, n_dec)
         elif args.rnnt:
             from mogasr.am.rnnt import (
                 build_rnnt_model, init_rnnt_train_state,

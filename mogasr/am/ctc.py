@@ -611,6 +611,43 @@ def ctc_decode_graph(
     )
 
 
+def make_ctc_logits_fn(model, params):
+    """One jitted ``(feats, n_frames) -> (logits, n_dec)`` closure carrying
+    every production routing decision for greedy/prefix CTC decoding:
+
+    - ``ConformerAm`` emits at its native subsampled 25 Hz rate
+      (``method="subsampled"``) — greedy collapse is frame-rate invariant,
+      so hypotheses are identical to the full-rate contract while the
+      decode stream shrinks 4x (round-2 VERDICT item 5);
+    - ``LstmAm`` routes through the promoted Pallas recurrence on a
+      single-device TPU (see ``use_pallas_lstm``);
+    - everything else takes the stock forward at the input frame rate.
+
+    ``n_dec`` is the per-utterance valid length IN DECODE FRAMES — greedy
+    consumers must use it instead of the raw n_frames.  Graph decoding
+    (``make_ctc_scorer``) keeps the full-rate [B, T, V] contract: the CTC
+    skip topology's transition weights are per-frame, so its rate is part
+    of the decoder definition, not an implementation detail.
+    """
+    from mogasr.am.lstm_pallas import lstm_am_apply_pallas, use_pallas_lstm
+    from mogasr.am.neural import ConformerAm
+
+    if type(model) is ConformerAm:
+        @jax.jit
+        def logits_fn(feats, n_frames):
+            return model.apply(params, feats, n_frames, method="subsampled")
+    elif use_pallas_lstm(model):
+        @jax.jit
+        def logits_fn(feats, n_frames):
+            return lstm_am_apply_pallas(params, feats, n_frames), n_frames
+    else:
+        @jax.jit
+        def logits_fn(feats, n_frames):
+            return model.apply(params, feats, n_frames), n_frames
+
+    return logits_fn
+
+
 def make_ctc_scorer(model, params):
     """``fb -> [B, T, V]`` log-posterior scorer for graph decoding.
 

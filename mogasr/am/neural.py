@@ -219,6 +219,17 @@ class ConformerAm(nn.Module):
         up = jnp.repeat(logits, 4, axis=1)           # back to frame rate
         return up[:, : feats.shape[1]]               # [B, T, P]
 
+    def subsampled(self, feats: jax.Array, n_frames: jax.Array):
+        """The 25 Hz head: (logits [B, ceil(T/4), P], n_out [B]) WITHOUT the
+        repeat-upsample.  Greedy CTC collapse is frame-rate invariant
+        (argmax of repeated rows repeats the argmax; collapse erases run
+        lengths), so decoding here yields IDENTICAL hypotheses to
+        ``__call__`` + full-rate decode while the argmax/collapse work
+        shrinks 4x (round-2 VERDICT item 5; equivalence is tested).
+        Call via ``model.apply(params, feats, n_frames, method="subsampled")``."""
+        enc, n_out = self.enc(feats, n_frames)
+        return self.head(enc), n_out
+
 
 def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
     if arch == "conformer":

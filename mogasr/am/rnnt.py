@@ -112,6 +112,21 @@ class RnntJoint(nn.Module):
         p = self.pred_proj(pred)[:, None, :, :]
         return self.out(jnp.tanh(e + p))
 
+    def project_enc(self, enc: jax.Array) -> jax.Array:
+        """The prediction-independent half: [B, T, He] -> [B, T, Hj].
+        Greedy label-loop decoding computes this ONCE per utterance batch
+        and reuses it every emission round (the enc_proj GEMM is the
+        expensive half of the joint)."""
+        return self.enc_proj(enc)
+
+    def logits_vs_frames(self, e_proj: jax.Array, pred: jax.Array) -> jax.Array:
+        """Joint logits of ONE prediction state against ALL frames:
+        ([B, T, Hj] projected enc, [B, Hp] pred) -> [B, T, V].  Identical
+        math to ``__call__`` with U1=1 — the per-element contractions are
+        the same dot products, just batched over T in one GEMM."""
+        p = self.pred_proj(pred)
+        return self.out(jnp.tanh(e_proj + p[:, None, :]))
+
     def banded(
         self, enc: jax.Array, pred: jax.Array, u_start: jax.Array, band: int
     ) -> jax.Array:
@@ -709,11 +724,113 @@ class RnntDeviceStream:
         return [hyp[b, : lens[b]].tolist() for b in range(hyp.shape[0])]
 
 
+@functools.lru_cache(maxsize=32)
+def _label_loop_greedy_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
+    """Offline greedy decode as a LABEL LOOP (round-2 VERDICT item 6).
+
+    The frame-scan greedy (`_device_greedy_chunk_fn`) serializes T x
+    max_symbols_per_frame tiny joint+prediction steps — at T~600 that is
+    ~2400 sequential sub-millisecond kernels per batch, pure latency.  The
+    TPU-native restructure exploits the greedy recurrence's sparsity: the
+    prediction state only changes on EMISSION, and between emissions the
+    joint argmax over consecutive frames uses a CONSTANT prediction state.
+    So run a `lax.while_loop` whose sequential depth is the max emission
+    count (tens), not the frame count (hundreds):
+
+      - hoist the prediction-independent joint half `enc_proj(enc)` out of
+        the loop entirely (ONE [B*T, He]x[He, Hj] MXU GEMM per batch);
+      - each round, score the current prediction state against ALL frames
+        in one batched [B*T, Hj]x[Hj, V] GEMM, argmax over V, and jump
+        every row straight to its first emitting frame;
+      - emit one label per row per round (masked prediction-net step),
+        honoring the same per-frame symbol cap as the frame scan: `syms`
+        counts emissions at the current frame, and a row at the cap may
+        only emit at frames strictly past it.
+
+    Hypotheses are EXACTLY the frame-scan greedy's (tested): between two
+    emissions the frame scan evaluates the same logits this version's
+    batched round evaluates, sees blank argmax at each skipped frame, and
+    emits the same label at the same frame.  Per round the extra work is
+    scoring frames behind/ahead of each row's cursor — redundant FLOPs in
+    MXU-friendly shapes, traded for a ~T/E reduction in sequential depth.
+    """
+    step_cls = (
+        RnntPredictionStep if model.pred_arch == "lstm"
+        else RnntPredictionStatelessStep
+    )
+    pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
+    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
+    blank = model.n_labels
+    sos = model.n_labels
+    cap = int(max_symbols_per_frame)
+
+    @jax.jit
+    def decode(params, enc, n_frames):
+        pred_params = {"params": params["params"]["prediction"]}
+        joint_params = {"params": params["params"]["joint"]}
+        B, T, _ = enc.shape
+        n = n_frames.astype(jnp.int32)
+        e_proj = joint_def.apply(joint_params, enc,
+                                 method=RnntJoint.project_enc)   # [B, T, Hj]
+        if model.pred_arch == "lstm":
+            cell = nn.OptimizedLSTMCell(model.pred_hidden)
+            carry0 = cell.initialize_carry(jax.random.key(0), (B, 1))
+        else:
+            carry0 = jnp.zeros((B, 1))
+        carry0, pred0 = pred_step_def.apply(
+            pred_params, jnp.full((B,), sos, jnp.int32), carry0)
+        hyp0 = jnp.full((B, u_cap), -1, jnp.int32)
+        lens0 = jnp.zeros((B,), jnp.int32)
+        t0 = jnp.zeros((B,), jnp.int32)
+        syms0 = jnp.zeros((B,), jnp.int32)
+        cols = jnp.arange(u_cap)[None, :]
+        idxT = jnp.arange(T)[None, :]
+
+        def cond(st):
+            t, syms, carry, pred, hyp, lens = st
+            return jnp.any((t < n) & (lens < u_cap))
+
+        def body(st):
+            t, syms, carry, pred, hyp, lens = st
+            logits = joint_def.apply(
+                joint_params, e_proj, pred,
+                method=RnntJoint.logits_vs_frames)               # [B, T, V]
+            best = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
+            at_cap = (idxT == t[:, None]) & (syms[:, None] >= cap)
+            cand = ((best != blank) & (idxT >= t[:, None])
+                    & (idxT < n[:, None]) & ~at_cap)
+            has = jnp.any(cand, axis=1)
+            f = jnp.argmax(cand, axis=1).astype(jnp.int32)  # first True
+            active = (t < n) & (lens < u_cap)
+            emit = active & has
+            label_f = jnp.take_along_axis(best, f[:, None], axis=1)[:, 0]
+            label = jnp.where(emit, label_f, sos)
+            new_carry, new_pred = pred_step_def.apply(pred_params, label, carry)
+            carry = jax.tree.map(
+                lambda nw, o: jnp.where(emit[:, None], nw, o), new_carry, carry)
+            pred = jnp.where(emit[:, None], new_pred, pred)
+            slot = emit[:, None] & (cols == lens[:, None])
+            hyp = jnp.where(slot, label[:, None], hyp)
+            lens = lens + emit.astype(jnp.int32)
+            syms = jnp.where(emit, jnp.where(f == t, syms + 1, 1), syms)
+            # emitting rows park at their emission frame (more symbols may
+            # follow there); active rows with nothing left to emit finish
+            t = jnp.where(emit, f, jnp.where(active, n, t))
+            return (t, syms, carry, pred, hyp, lens)
+
+        st = jax.lax.while_loop(
+            cond, body, (t0, syms0, carry0, pred0, hyp0, lens0))
+        return st[4], st[5]
+
+    return decode
+
+
 def make_rnnt_device_greedy(
     model: RnntModel,
     params,
     u_cap: int = 200,
     max_symbols_per_frame: int = 4,
+    impl: str = "label_loop",
 ):
     """Fully on-device greedy decode: ONE jitted call per batch.
 
@@ -727,12 +844,29 @@ def make_rnnt_device_greedy(
     host greedy decode at equal caps (tested).
 
     Returns decode(enc [B, T, He], n_frames) -> (hyp [B, u_cap] -1-padded,
-    lens [B]) as device arrays. Implemented as init + ONE consume over the
-    full sequence through the chunk-resumable scan (_device_greedy_chunk_fn)
-    — a single shared frame loop, so streaming and offline cannot drift.
-    The jitted consume is cached on (model config, caps) with params as a
-    traced argument, so repeated calls never recompile at equal shapes.
+    lens [B]) as device arrays.
+
+    ``impl="label_loop"`` (production default since round 3) decodes with
+    sequential depth = max emission count via `_label_loop_greedy_fn` —
+    measured >=2x the frame scan on the bench `rnnt` row at exactly equal
+    hypotheses.  ``impl="frame_scan"`` keeps the chunk-resumable frame scan
+    (`_device_greedy_chunk_fn`) that streaming uses; the
+    streaming-equals-offline guarantee is now enforced by tests comparing
+    both implementations rather than by sharing one loop.  Jitted fns are
+    cached on (model config, caps) with params as a traced argument, so
+    repeated calls never recompile at equal shapes.
     """
+    if impl == "label_loop":
+        label_decode = _label_loop_greedy_fn(
+            model, int(u_cap), int(max_symbols_per_frame)
+        )
+
+        def decode(enc, n_frames):
+            return label_decode(params, enc, jnp.asarray(n_frames))
+
+        return decode
+    if impl != "frame_scan":
+        raise ValueError(f"unknown impl {impl!r}")
     init_state, consume = _device_greedy_chunk_fn(
         model, int(u_cap), int(max_symbols_per_frame)
     )

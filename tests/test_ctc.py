@@ -486,3 +486,52 @@ def test_greedy_decode_with_frames_matches_and_times():
     out = C.ctc_greedy_decode_with_frames(
         jnp.asarray(crafted), jnp.asarray([6]))
     assert out[0] == [(2, 2), (1, 4)]
+
+
+def test_conformer_subsampled_greedy_identical():
+    """Round-3 promotion (VERDICT item 5): greedy CTC decode at the
+    Conformer's native 25 Hz rate must produce IDENTICAL hypotheses to the
+    repeat-upsampled full-rate contract — collapse erases run lengths, so
+    the 4x repeat is pure redundant work. Ragged lengths include
+    non-multiples of 4 and a 1-frame row (the ceil-div edge)."""
+    from mogasr.am.neural import ConformerAm
+
+    model = ConformerAm(n_pdfs=7, hidden=16, layers=1, heads=2)
+    rng = np.random.default_rng(3)
+    B, T, D = 5, 37, 13
+    feats = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    n_frames = jnp.asarray([T, 36, 17, 4, 1])
+    params = model.init(jax.random.key(0), feats, n_frames)
+
+    full = model.apply(params, feats, n_frames)            # [B, T, P]
+    hyp_full = C.ctc_greedy_decode(full, n_frames)
+
+    sub, n_sub = model.apply(params, feats, n_frames, method="subsampled")
+    assert sub.shape[1] == -(-T // 4)
+    np.testing.assert_array_equal(
+        np.asarray(n_sub), -(-np.asarray(n_frames) // 4))
+    hyp_sub = C.ctc_greedy_decode(sub, n_sub)
+    assert hyp_sub == hyp_full
+
+    # the production routing helper picks the subsampled head for Conformer
+    logits_fn = C.make_ctc_logits_fn(model, params)
+    lg, nd = logits_fn(feats, n_frames)
+    assert lg.shape == sub.shape
+    assert C.ctc_greedy_decode(lg, nd) == hyp_full
+
+
+def test_make_ctc_logits_fn_full_rate_for_lstm():
+    """Non-Conformer models keep the full-rate contract and n_dec == n_frames."""
+    from mogasr.am.neural import LstmAm
+
+    model = LstmAm(n_pdfs=6, hidden=8, layers=1)
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((3, 11, 5)), jnp.float32)
+    n_frames = jnp.asarray([11, 7, 2])
+    params = model.init(jax.random.key(1), feats, n_frames)
+    logits_fn = C.make_ctc_logits_fn(model, params)
+    lg, nd = logits_fn(feats, n_frames)
+    assert lg.shape == (3, 11, 6)
+    np.testing.assert_array_equal(np.asarray(nd), np.asarray(n_frames))
+    ref = np.asarray(model.apply(params, feats, n_frames))
+    np.testing.assert_allclose(np.asarray(lg), ref, atol=1e-6)

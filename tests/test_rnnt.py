@@ -366,3 +366,42 @@ def test_finetune_rnnt_mwer_reduces_expected_risk(trained_unit_rnnt):
     )
     assert len(hist) == 12
     assert np.mean(hist[-3:]) <= np.mean(hist[:3]) + 1e-6, hist
+
+
+def test_rnnt_label_loop_equals_frame_scan(trained_unit_rnnt):
+    """Round-3 promotion (VERDICT item 6): the label-loop greedy
+    (sequential depth = emission count, enc_proj hoisted, one batched
+    [B,T,V] joint per round) must equal the frame-scan greedy EXACTLY —
+    same labels, same emission frames via identical per-frame symbol-cap
+    semantics — across caps that force cap hits, on a trained lstm-pred
+    model and a random stateless-pred model."""
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+    enc = R.rnnt_encode(model, params, feats, n_frames)
+    for u_cap, cap in ((50, 4), (7, 2), (50, 1)):
+        d_new = R.make_rnnt_device_greedy(
+            model, params, u_cap=u_cap, max_symbols_per_frame=cap)
+        d_old = R.make_rnnt_device_greedy(
+            model, params, u_cap=u_cap, max_symbols_per_frame=cap,
+            impl="frame_scan")
+        h1, l1 = d_new(enc, n_frames)
+        h2, l2 = d_old(enc, n_frames)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+    rand = R.RnntModel(n_labels=5, enc_hidden=16, enc_layers=1,
+                       pred_hidden=8, joint_hidden=16, pred_arch="stateless")
+    cfg = TrainConfig()
+    rstate = R.init_rnnt_train_state(
+        rand, cfg, feats.shape[-1], 4, jax.random.key(9))
+    enc_r = R.rnnt_encode(rand, rstate.params, feats, n_frames)
+    # random weights emit aggressively -> the u_cap and per-frame caps bind
+    for u_cap, cap in ((30, 4), (5, 3)):
+        d_new = R.make_rnnt_device_greedy(
+            rand, rstate.params, u_cap=u_cap, max_symbols_per_frame=cap)
+        d_old = R.make_rnnt_device_greedy(
+            rand, rstate.params, u_cap=u_cap, max_symbols_per_frame=cap,
+            impl="frame_scan")
+        h1, l1 = d_new(enc_r, n_frames)
+        h2, l2 = d_old(enc_r, n_frames)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
