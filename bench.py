@@ -299,8 +299,20 @@ def main() -> None:
         return useful / k_dt / 1e12
 
     k_tflops = kernel_sweep("sum")
-    k_mfu = k_tflops / PEAK_TFLOPS_BF16
     k_tflops_max = kernel_sweep("max")
+    # Sanity guard (round-3, VERDICT item 4): max-mode's epilogue is strictly
+    # cheaper than sum-mode's logsumexp, so a slower max-mode reading can only
+    # mean the tunnel degraded between the two sweeps (BENCH_r02 shipped a 37x
+    # contradiction this way). Re-measure both once; if the inversion
+    # persists, flag it in the JSON instead of shipping it silently.
+    kernel_flags = []
+    if k_tflops_max < k_tflops:
+        kernel_flags.append("max_lt_sum_first_pass_remeasured")
+        k_tflops = max(k_tflops, kernel_sweep("sum"))
+        k_tflops_max = max(k_tflops_max, kernel_sweep("max"))
+        if k_tflops_max < k_tflops:
+            kernel_flags.append("max_lt_sum_after_remeasure_tunnel_suspect")
+    k_mfu = k_tflops / PEAK_TFLOPS_BF16
 
     print(
         json.dumps(
@@ -327,6 +339,7 @@ def main() -> None:
                 "gmm_kernel_mfu": round(k_mfu, 4),
                 "gmm_kernel_tflops_max_mode": round(k_tflops_max, 1),
                 "gmm_kernel_mfu_max_mode": round(k_tflops_max / PEAK_TFLOPS_BF16, 4),
+                "gmm_kernel_flags": kernel_flags,
                 "peak_tflops_bf16": PEAK_TFLOPS_BF16,
             }
         )

@@ -51,6 +51,9 @@ def main() -> None:
                         "(host backtrace cost is part of serving)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke runs; numbers invalid)")
+    p.add_argument("--out", default=None,
+                   help="output JSON filename under benchmarks/ "
+                        "(default results_serve.json)")
     p.add_argument("--skip-ctc", action="store_true",
                    help="skip the neural-CTC engine row")
     p.add_argument("--skip-rnnt", action="store_true",
@@ -324,7 +327,9 @@ def main() -> None:
                 "finalize) and periodic partial backtraces included; "
                 "sliding CMVN (streaming-compatible)",
     }
-    with open(OUT, "w") as f:
+    out_path = (os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             args.out) if args.out else OUT)
+    with open(out_path, "w") as f:
         json.dump(row, f, indent=1)
     print(json.dumps(row))
 
