@@ -147,10 +147,15 @@ def main() -> None:
                               acoustic_scale=dcfg.acoustic_scale).path
 
     def make_hybrid(model, params):
+        # jitted logits closure: production consumers (cli/eval.py) never
+        # call model.apply eagerly — an eager apply dispatches every op
+        # through the ~30 ms tunnel and measures dispatch, not the model
+        # (round-3 finding; the eager ctc_conformer row read 20x low)
+        logits_fn = jax.jit(lambda feats, nf: model.apply(params, feats, nf))
+
         def run(w, ns, fe):
             feats, nf = fe(w, ns)
-            logits = model.apply(params, feats, nf)
-            ll = posteriors_to_loglik(logits, log_priors)
+            ll = posteriors_to_loglik(logits_fn(feats, nf), log_priors)
             return vit.viterbi(ll, graphs, nf,
                                acoustic_scale=dcfg.acoustic_scale).path
         return run
@@ -159,17 +164,23 @@ def main() -> None:
     ctc_params = ctc_model.init(
         jax.random.key(2), jnp.zeros((2, 8, fcfg.feat_dim)), jnp.asarray([8, 8]))
 
+    _ctc_stock = jax.jit(
+        lambda feats, nf: ctc_model.apply(ctc_params, feats, nf))
+
     def run_ctc(w, ns, fe):
-        # device: encoder logits (host blank-collapse counted in run_all)
+        # stock XLA-scan encoder, jitted (host blank-collapse in run_all)
         feats, nf = fe(w, ns)
-        return ctc_model.apply(ctc_params, feats, nf), nf
+        return _ctc_stock(feats, nf), nf
+
+    from mogasr.am.lstm_pallas import make_pallas_lstm_logits
+
+    _ctc_pallas = make_pallas_lstm_logits(ctc_params)
 
     def run_ctc_pallas(w, ns, fe):
-        # the promoted production encoder path (use_pallas_lstm routing)
-        from mogasr.am.lstm_pallas import lstm_am_apply_pallas
-
+        # the promoted production encoder path (use_pallas_lstm routing),
+        # through the same jitted closure quantize.py/eval.py use
         feats, nf = fe(w, ns)
-        return lstm_am_apply_pallas(ctc_params, feats, nf), nf
+        return _ctc_pallas(feats, nf), nf
 
     def run_rnnt(w, ns, fe):
         from mogasr.am.rnnt import rnnt_encode
@@ -204,18 +215,42 @@ def main() -> None:
     conf_params = conf_model.init(
         jax.random.key(4), jnp.zeros((2, 8, fcfg.feat_dim)), jnp.asarray([8, 8]))
 
+    from mogasr.am.ctc import make_ctc_logits_fn
+
+    _conf_logits = make_ctc_logits_fn(conf_model, conf_params)
+
     def run_ctc_conformer(w, ns, fe):
-        # production route (make_ctc_logits_fn): decode at the encoder's
-        # native 25 Hz rate — greedy collapse is frame-rate invariant, so
-        # hypotheses are identical to the upsampled path (tested) at 4x
-        # fewer argmax/collapse frames
+        # the EXACT production route (make_ctc_logits_fn): one jitted
+        # closure decoding at the encoder's native 25 Hz rate — greedy
+        # collapse is frame-rate invariant, so hypotheses are identical
+        # to the upsampled path (tested)
         feats, nf = fe(w, ns)
-        return conf_model.apply(conf_params, feats, nf, method="subsampled")
+        return _conf_logits(feats, nf)
+
+    _conf_up = jax.jit(
+        lambda feats, nf: conf_model.apply(conf_params, feats, nf))
 
     def run_ctc_conformer_up(w, ns, fe):
         # pre-round-3 path (repeat-upsampled to 100 Hz) kept as the A/B row
         feats, nf = fe(w, ns)
-        return conf_model.apply(conf_params, feats, nf), nf
+        return _conf_up(feats, nf), nf
+
+    # ctc_conformer_bf16: the make_bf16_logits recipe (params cast once,
+    # XLA constant-folds; activations follow input dtype) at the native
+    # 25 Hz rate, jitted like every production route
+    from mogasr.am.quantize import cast_float_leaves
+
+    conf_p16 = cast_float_leaves(conf_params, jnp.bfloat16)
+
+    @jax.jit
+    def _conf_bf16(feats, nf):
+        lg, nd = conf_model.apply(
+            conf_p16, feats.astype(jnp.bfloat16), nf, method="subsampled")
+        return lg.astype(jnp.float32), nd
+
+    def run_ctc_conformer_bf16(w, ns, fe):
+        feats, nf = fe(w, ns)
+        return _conf_bf16(feats, nf)
 
     # lstm_prefused: SAME LstmAm checkpoint evaluated by the hoisted-GEMM
     # forward (mogasr.am.fast_lstm) — input projection of all frames as one
@@ -223,10 +258,12 @@ def main() -> None:
     from mogasr.am.fast_lstm import lstm_am_apply_prefused
 
     def make_hybrid_prefused(params):
+        logits_fn = jax.jit(
+            lambda feats, nf: lstm_am_apply_prefused(params, feats, nf))
+
         def run(w, ns, fe):
             feats, nf = fe(w, ns)
-            logits = lstm_am_apply_prefused(params, feats, nf)
-            ll = posteriors_to_loglik(logits, log_priors)
+            ll = posteriors_to_loglik(logits_fn(feats, nf), log_priors)
             return vit.viterbi(ll, graphs, nf,
                                acoustic_scale=dcfg.acoustic_scale).path
         return run
@@ -238,10 +275,12 @@ def main() -> None:
     from mogasr.am.lstm_pallas import lstm_am_apply_pallas
 
     def make_hybrid_pallas(params, dt="float32"):
+        logits_fn = jax.jit(lambda feats, nf: lstm_am_apply_pallas(
+            params, feats, nf, compute_dtype=dt))
+
         def run(w, ns, fe):
             feats, nf = fe(w, ns)
-            logits = lstm_am_apply_pallas(params, feats, nf, compute_dtype=dt)
-            ll = posteriors_to_loglik(logits, log_priors)
+            ll = posteriors_to_loglik(logits_fn(feats, nf), log_priors)
             return vit.viterbi(ll, graphs, nf,
                                acoustic_scale=dcfg.acoustic_scale).path
         return run
@@ -275,6 +314,7 @@ def main() -> None:
         ("ctc_pallas", run_ctc_pallas, "collapse"),
         ("ctc_conformer", run_ctc_conformer, "collapse"),
         ("ctc_conformer_up", run_ctc_conformer_up, "collapse"),
+        ("ctc_conformer_bf16", run_ctc_conformer_bf16, "collapse"),
         ("rnnt", run_rnnt, None),
         ("rnnt_scan", run_rnnt_scan, None),
         ("aed", run_aed, None),

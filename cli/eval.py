@@ -195,8 +195,8 @@ def main() -> None:
             from mogasr.am.ctc import make_ctc_logits_fn
 
             # carries the production routing: Conformer decodes at its
-            # native 25 Hz rate, LstmAm takes the Pallas recurrence on a
-            # single-device TPU (multi-device stays on the XLA scan)
+            # native 25 Hz rate; LstmAm follows the use_pallas_lstm gate
+            # (demoted round 3 — stock jitted scan everywhere)
             _ctc_logits = make_ctc_logits_fn(nn_model, nn_params)
 
             def decode_units(feats, n_frames, fb):

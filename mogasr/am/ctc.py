@@ -619,8 +619,8 @@ def make_ctc_logits_fn(model, params):
       (``method="subsampled"``) — greedy collapse is frame-rate invariant,
       so hypotheses are identical to the full-rate contract while the
       decode stream shrinks 4x (round-2 VERDICT item 5);
-    - ``LstmAm`` routes through the promoted Pallas recurrence on a
-      single-device TPU (see ``use_pallas_lstm``);
+    - ``LstmAm`` follows the ``use_pallas_lstm`` gate (DEMOTED round 3:
+      the stock jitted XLA scan won the fair A/B — see that docstring);
     - everything else takes the stock forward at the input frame rate.
 
     ``n_dec`` is the per-utterance valid length IN DECODE FRAMES — greedy
@@ -657,7 +657,7 @@ def make_ctc_scorer(model, params):
 
     from mogasr.am.lstm_pallas import lstm_am_apply_pallas, use_pallas_lstm
 
-    pallas = use_pallas_lstm(model)  # promoted on-chip (see use_pallas_lstm)
+    pallas = use_pallas_lstm(model)  # routing gate (demoted round 3)
 
     @jax.jit
     def score(feats, n_frames):

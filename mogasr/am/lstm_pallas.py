@@ -173,24 +173,24 @@ def lstm_am_apply_pallas(
 
 
 def use_pallas_lstm(model) -> bool:
-    """Production routing gate (promoted round 2): offline LstmAm logits on
-    the real chip run the VMEM-resident recurrence kernel — the on-chip A/B
-    (bench_families) measured 21 utt/s (stock XLA scan, f32 weights spill
-    VMEM) vs 1874 (this kernel), far past the >1.2x promotion gate, at
-    tested float-tolerance equality.  CPU keeps the stock scan (interpret-
-    mode Pallas is slower); streaming/stateful paths keep LstmAmStream.
+    """Production routing gate — DEMOTED round 3: the stock jitted XLA
+    scan is production for LstmAm logits everywhere.
 
-    SINGLE-DEVICE ONLY (round-2 advisor finding): consumers such as
-    cli/eval.py shard feats over the ('data',) mesh, and a bare
-    ``pl.pallas_call`` inside jit has no GSPMD partitioning rule — on a
-    multi-chip mesh it would either fail to compile or force a full
-    all-gather per call.  Until the kernel is wrapped in ``shard_map``
-    over the data axis, multi-device processes keep the stock XLA scan
-    (which partitions fine).  ``__graft_entry__.dryrun_multichip``
-    asserts this gate stays off on an 8-device mesh."""
-    from mogasr.am.neural import LstmAm
-
-    return type(model) is LstmAm and _on_tpu() and jax.device_count() == 1
+    The round-2 promotion rested on a 21-vs-1874 utt/s A/B that turned
+    out to be EAGER-vs-jitted (the stock row called ``model.apply``
+    outside jit and measured per-op tunnel dispatch, not the scan — see
+    TPU_NOTES "Eager model.apply in the bench harness").  The fair
+    jitted-vs-jitted A/B on the chip (results_families.json, 3
+    interleaved windows, h=512 hybrid rows) reads stock 2722 vs Pallas
+    2437 utt/s — the STOCK scan is 1.12x faster, so under the repo's own
+    >1.2x promotion gate the kernel loses by default-wins-ties, and by
+    measurement besides.  The kernel, its jitted closure
+    (``make_pallas_lstm_logits``) and its exactness tests stay in-tree
+    as the A/B row and as the starting point for a shard_map-wrapped
+    multi-device variant; every production consumer routes through this
+    gate, so the demotion is one source of truth."""
+    del model
+    return False
 
 
 def make_pallas_lstm_logits(params, compute_dtype: str = "float32"):

@@ -191,10 +191,12 @@ class ConformerAm(nn.Module):
     AED's — one code path, mogasr.am.aed.ConformerEncoder) + output head,
     repeat-upsampled back to the INPUT frame rate so every consumer
     (CTC loss, per-frame CE, scorers, graph decode) sees the standard
-    [B, T, n_pdfs] contract. The attention/conv GEMMs run at T/4 — the
-    MXU-friendly encoder (TPU_NOTES: ~25x the LSTM families' decode
-    throughput at matched size). Offline only (no chunked stream variant
-    here; use the streaming AED for that)."""
+    [B, T, n_pdfs] contract. The attention/conv GEMMs run at T/4 — an
+    MXU-friendly encoder (jitted A/B at matched size: 686 vs 644 utt/s
+    against the LSTM encoder, results_ctc_jit_ab.json; the earlier
+    "~25x" reading was an eager-harness artifact, see TPU_NOTES round 3).
+    Offline only (no chunked stream variant here; use the streaming AED
+    for that)."""
 
     n_pdfs: int
     hidden: int = 256

@@ -292,13 +292,10 @@ def make_quantized_logits(model, params, precision: str):
     """Dispatch: precision in {"float32", "bfloat16", "int8"} -> jitted
     (feats, n_frames) -> f32 logits closure."""
     if precision == "float32":
-        # Promoted round 2 (bench_families on-chip A/B, >1.2x gate):
-        # the stock XLA-scan LstmAm forward measured 21 utt/s against the
-        # Pallas VMEM-resident recurrence's 1874 (f32 weights spill VMEM
-        # under the scan; the kernel keeps only w_rec resident per layer).
-        # Float-tolerance exactness vs the stock cell is tested on ragged
-        # batches (tests/test_lstm_pallas.py); CPU stays on the stock path
-        # (interpret-mode Pallas is slower there).
+        # use_pallas_lstm gate (DEMOTED round 3): the round-2 21-vs-1874
+        # A/B was eager-vs-jitted and void; the fair jitted A/B reads
+        # stock 2722 vs Pallas 2437 utt/s, so the gate is off and this
+        # takes the stock jitted closure below (see the gate's docstring).
         from mogasr.am.lstm_pallas import (
             make_pallas_lstm_logits, use_pallas_lstm,
         )

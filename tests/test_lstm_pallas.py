@@ -117,18 +117,14 @@ def test_rnnt_encoder_subtree_matches_stock_encode():
                                np.where(mask, ref, 0.0), rtol=1e-5, atol=1e-5)
 
 
-def test_routing_gate_requires_single_device(monkeypatch):
-    """use_pallas_lstm must stay off on multi-device processes: a bare
-    pallas_call has no GSPMD partitioning rule, so sharded consumers
-    (cli/eval.py data mesh) would fail to compile or all-gather per call
-    (round-2 advisor finding)."""
+def test_routing_gate_demoted_everywhere(monkeypatch):
+    """use_pallas_lstm is DEMOTED (round 3): the stock jitted XLA scan won
+    the fair jitted-vs-jitted A/B (2722 vs 2437 utt/s), so the gate must
+    be off on every backend/device-count combination — the round-2
+    promotion A/B was eager-vs-jitted and void (TPU_NOTES round 3)."""
     model = LstmAm(n_pdfs=5, hidden=11, layers=1)
-    monkeypatch.setattr(LP, "_on_tpu", lambda: True)
-    monkeypatch.setattr(LP.jax, "device_count", lambda: 1)
-    assert LP.use_pallas_lstm(model)
-    monkeypatch.setattr(LP.jax, "device_count", lambda: 8)
-    assert not LP.use_pallas_lstm(model)
-    # and never on CPU regardless of device count
-    monkeypatch.setattr(LP, "_on_tpu", lambda: False)
-    monkeypatch.setattr(LP.jax, "device_count", lambda: 1)
-    assert not LP.use_pallas_lstm(model)
+    for on_tpu in (True, False):
+        for n_dev in (1, 8):
+            monkeypatch.setattr(LP, "_on_tpu", lambda v=on_tpu: v)
+            monkeypatch.setattr(LP.jax, "device_count", lambda v=n_dev: v)
+            assert not LP.use_pallas_lstm(model)

@@ -212,3 +212,47 @@ def test_quantized_lstm_checkpoint_roundtrip(tmp_path):
     Q.save_quantized(path, qp)
     got = np.asarray(Q.lstm_apply_int8(Q.load_quantized(path), feats, nf))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_conformer_bf16_subsampled_decisions_match_f32():
+    """Shipping gate for the round-3 `ctc_conformer_bf16` bench row: bf16
+    params/activations at the native 25 Hz rate must agree with the f32
+    subsampled route on >= 99% of frame decisions AND produce equal greedy
+    CTC hypotheses on a trained frame classifier (the same behavioral gate
+    the mlp/lstm bf16 promotions shipped under)."""
+    from mogasr.am.ctc import ctc_greedy_decode
+
+    rng = np.random.default_rng(11)
+    n_pdfs = 6
+    B, T, D = 8, 24, 8
+    # labels constant within each 4-frame group: the conformer's 4x
+    # subsample + repeat-upsample makes its output piecewise-constant, so
+    # per-frame random labels would cap trainable accuracy at ~40%
+    labels = np.repeat(
+        rng.integers(0, n_pdfs, (B, T // 4)), 4, axis=1).astype(np.int32)
+    centers = rng.standard_normal((n_pdfs, D)).astype(np.float32) * 2.0
+    feats = jnp.asarray(
+        centers[labels] + 0.3 * rng.standard_normal((B, T, D)), jnp.float32)
+    n_frames = jnp.asarray(np.full(B, T, np.int32))
+    tcfg = TrainConfig(nn_arch="conformer", nn_hidden=32, nn_layers=1,
+                       lr=5e-3, num_nn_steps=220)
+    model = build_model("conformer", n_pdfs, tcfg)
+    state = init_train_state(model, tcfg, D, jax.random.key(2))
+    step = make_train_step(model, tcfg)
+    jl = jnp.asarray(labels)
+    for _ in range(tcfg.num_nn_steps):
+        state, m = step(state, feats, n_frames, jl)
+    # the behavioral gate is only meaningful on a CONVERGED classifier
+    # (near-uniform logits make argmax agreement a coin flip)
+    assert float(m["frame_acc"]) > 0.9, float(m["frame_acc"])
+    params = state.params
+
+    f32, n_sub = model.apply(params, feats, n_frames, method="subsampled")
+    p16 = Q.cast_float_leaves(params, jnp.bfloat16)
+    b16, n_sub2 = model.apply(
+        p16, feats.astype(jnp.bfloat16), n_frames, method="subsampled")
+    b16 = b16.astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(n_sub), np.asarray(n_sub2))
+    agree = float(jnp.mean(jnp.argmax(f32, -1) == jnp.argmax(b16, -1)))
+    assert agree >= 0.99, agree
+    assert ctc_greedy_decode(b16, n_sub) == ctc_greedy_decode(f32, n_sub)
