@@ -535,3 +535,23 @@ def test_make_ctc_logits_fn_full_rate_for_lstm():
     np.testing.assert_array_equal(np.asarray(nd), np.asarray(n_frames))
     ref = np.asarray(model.apply(params, feats, n_frames))
     np.testing.assert_allclose(np.asarray(lg), ref, atol=1e-6)
+
+
+def test_vectorized_greedy_collapse_equals_loop_oracle():
+    """ctc_greedy_decode's vectorized collapse must equal the per-row
+    collapse_ctc loop exactly, across ragged lengths, leading/trailing
+    blanks, repeats across blank gaps, and zero-length rows."""
+    rng = np.random.default_rng(7)
+    B, T, V = 16, 41, 5
+    logits = jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32)
+    nf = np.asarray([T, 0, 1, 2] + list(rng.integers(1, T + 1, B - 4)))
+    got = C.ctc_greedy_decode(logits, jnp.asarray(nf))
+    frames = np.asarray(jnp.argmax(logits, -1))
+    want = [C.collapse_ctc(frames[b, : nf[b]], V - 1) for b in range(B)]
+    assert got == want
+
+    pairs = C.ctc_greedy_decode_with_frames(logits, jnp.asarray(nf))
+    assert [[u for u, _t in row] for row in pairs] == want
+    for row, n in zip(pairs, nf):
+        assert all(0 <= t < n for _u, t in row)
+        assert [t for _u, t in row] == sorted(t for _u, t in row)
