@@ -62,6 +62,11 @@ def main() -> None:
                    help="skip the chunked-AED engine row")
     p.add_argument("--aed-chunk", type=int, default=8,
                    help="AED chunk_frames (tick = 4*chunk feature frames)")
+    p.add_argument("--history", choices=["device", "host", "both"],
+                   default="both",
+                   help="GMM-engine backpointer history: device-resident "
+                        "(production) vs host chunk lists; 'both' interleaves "
+                        "epochs for a fair A/B (TPU_NOTES round-3 protocol)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -138,30 +143,51 @@ def main() -> None:
                 eng.partials(sids)
         for sid in sids:
             eng.end(sid)
-        for sid in sids:
-            eng.run_to_drain(sid)
+        while not all(eng.drained(sid) for sid in sids):
+            eng.tick()
+        if hasattr(eng, "finalize_many"):
+            eng.finalize_many(sids)   # one backtrace dispatch for all slots
+        else:
+            for sid in sids:
+                eng.finalize(sid)
         return eng.frames_decoded
 
-    eng = BatchedSessionEngine(graph, score_fn, fcfg, dcfg,
-                               capacity=args.capacity,
-                               tick_frames=args.tick_frames)
+    # session length bound for the device-resident history (+drain margin)
+    hist_frames = (n_tick + 8) * args.tick_frames
+    modes = (["device", "host"] if args.history == "both"
+             else [args.history])
+    engines = {}
+    for mode in modes:
+        engines[mode] = BatchedSessionEngine(
+            graph, score_fn, fcfg, dcfg, capacity=args.capacity,
+            tick_frames=args.tick_frames, history=mode,
+            max_frames=hist_frames,
+        )
+    eng = engines[modes[0]]
     print(f"warmup (compiles: spectral [{args.capacity * args.tick_frames},"
           f"{fcfg.frame_length}], score [{args.capacity},{args.tick_frames},"
           f"{D}] on {S}x{K}, viterbi J={eng.J}) ...", flush=True)
-    t0 = time.perf_counter()
-    run_epoch(eng)
-    print(f"  warmup epoch: {time.perf_counter() - t0:.1f} s", flush=True)
-
-    epoch_rates = []
-    for e in range(args.epochs):
-        base = eng.frames_decoded
+    for mode, e_ in engines.items():
         t0 = time.perf_counter()
-        total = run_epoch(eng)
-        dt = time.perf_counter() - t0
-        frames = total - base
-        epoch_rates.append(frames / dt)
-        print(f"  epoch {e}: {frames} frames / {dt:.2f} s = "
-              f"{frames / dt:.0f} frames/s", flush=True)
+        run_epoch(e_)
+        print(f"  warmup epoch [{mode}]: {time.perf_counter() - t0:.1f} s",
+              flush=True)
+
+    # interleaved epochs across history modes (TPU_NOTES round-3 protocol:
+    # tunnel drift hits all rows alike)
+    mode_rates = {mode: [] for mode in modes}
+    for e in range(args.epochs):
+        for mode, e_ in engines.items():
+            base = e_.frames_decoded
+            t0 = time.perf_counter()
+            total = run_epoch(e_)
+            dt = time.perf_counter() - t0
+            frames = total - base
+            mode_rates[mode].append(frames / dt)
+            print(f"  epoch {e} [{mode}]: {frames} frames / {dt:.2f} s = "
+                  f"{frames / dt:.0f} frames/s", flush=True)
+    prod_mode = "device" if "device" in mode_rates else modes[0]
+    epoch_rates = mode_rates[prod_mode]
     eng_fps = statistics.median(epoch_rates)
     frames_per_rt_stream = sr / hop  # 100 frames per second of audio
     eng_streams = eng_fps / frames_per_rt_stream
@@ -316,6 +342,10 @@ def main() -> None:
         "naive_streams_realtime": round(naive_streams, 2),
         "speedup": round(eng_streams / naive_streams, 1),
         "engine_frames_per_sec": round(eng_fps, 1),
+        "engine_history": prod_mode,
+        "engine_history_ab": {
+            m: [round(r, 1) for r in rs] for m, rs in mode_rates.items()
+        },
         "epoch_frames_per_sec": [round(r, 1) for r in epoch_rates],
         "capacity": args.capacity,
         "tick_frames": args.tick_frames,

@@ -259,6 +259,14 @@ def main() -> None:
                         "serving mode (mogasr.serving.engine)")
     p.add_argument("--engine-capacity", type=int, default=16,
                    help="engine slot count (= max concurrent sessions)")
+    p.add_argument("--engine-history", choices=["device", "host"],
+                   default="device",
+                   help="GMM engine backpointer history: device-resident "
+                        "(bounded sessions, no per-tick host pull) or host "
+                        "chunk lists (unbounded sessions)")
+    p.add_argument("--engine-max-frames", type=int, default=3000,
+                   help="session length bound with --engine-history device "
+                        "(frames; 3000 = 30 s at the 10 ms hop)")
     p.add_argument("--tick-frames", type=int, default=24,
                    help="frames advanced per session per engine tick")
     p.add_argument("--ctc", action="store_true",
@@ -607,6 +615,8 @@ def main() -> None:
         eng = BatchedSessionEngine(
             graph, lambda feats: score_batch(feats, gmm), fcfg, dcfg,
             capacity=args.engine_capacity, tick_frames=args.tick_frames,
+            history=args.engine_history,
+            max_frames=args.engine_max_frames,
         )
         _run_engine_loop(args, eng, fcfg, logger)
         return

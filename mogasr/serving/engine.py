@@ -294,6 +294,83 @@ def _reset_viterbi(delta: jax.Array, started: jax.Array, mask: jax.Array):
     return delta, started
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _hist_append(
+    bp_hist: jax.Array,    # [Tmax, B, J] uint8 (donated, updated in place)
+    exit_hist: jax.Array,  # [Tmax, B] int32 (donated)
+    bps: jax.Array,        # [F, B, J] this tick's backpointer codes
+    exit_args: jax.Array,  # [F, B] this tick's loop-exit argmaxes
+    offs: jax.Array,       # [B] int32: each slot's frame count BEFORE the tick
+    n_valid: jax.Array,    # [B] int32: valid frames this tick
+):
+    """Scatter one tick's backpointers into the device-resident history.
+
+    Slots advance raggedly, so frame f of the tick lands at per-slot row
+    ``offs[b] + f``; invalid (f >= n_valid[b]) positions get an out-of-range
+    row index and ``mode="drop"`` discards them. The whole write is ~F*B*J
+    bytes of HBM traffic — the point is that NOTHING is pulled to the host
+    (the host pull of this [F, B, J] stream was the binding constraint of
+    the GMM engine at capacity 64, docs/TPU_NOTES.md round-3 serving)."""
+    F, B = exit_args.shape
+    t_max = bp_hist.shape[0]
+    f = jnp.arange(F, dtype=jnp.int32)
+    t_idx = offs[None, :] + f[:, None]                          # [F, B]
+    t_idx = jnp.where(f[:, None] < n_valid[None, :], t_idx, t_max)
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :], (F, B))
+    bp_hist = bp_hist.at[t_idx, b_idx, :].set(bps, mode="drop")
+    exit_hist = exit_hist.at[t_idx, b_idx].set(
+        exit_args.astype(exit_hist.dtype), mode="drop"
+    )
+    return bp_hist, exit_hist
+
+
+def _hist_backtrace(bp_hist, exit_hist, n_frames, j_last):
+    """Batched reverse walk of the device-resident history.
+
+    Same bp-code semantics as the host `_slot_backtrace` / decoder.online
+    backtrace (0 stay, 1 from j-1, 3 from j-2, 2 enter-from-loop via the
+    frame's exit argmax); equality with the host walk is pinned by the
+    engine-vs-dedicated tests run in history="device" mode. Returns
+    (path [B, Tmax] int32 with -1 past n, entered [B, Tmax] bool)."""
+    t_total = bp_hist.shape[0]
+
+    def back_step(j, t):
+        bp_t = jax.lax.dynamic_index_in_dim(bp_hist, t, 0, keepdims=False)
+        ex_t = jax.lax.dynamic_index_in_dim(exit_hist, t, 0, keepdims=False)
+        j_cur = jnp.where(t == n_frames - 1, j_last, j)
+        b = jnp.take_along_axis(bp_t, j_cur[:, None], axis=1)[:, 0]
+        mid = (t >= 1) & (t <= n_frames - 1)
+        j_prev = jnp.where(
+            b == 0, j_cur,
+            jnp.where(b == 1, j_cur - 1,
+                      jnp.where(b == 3, j_cur - 2, ex_t)),
+        )
+        path_t = jnp.where(t < n_frames, j_cur, -1)
+        entered_t = jnp.where(mid, b == 2, (t == 0) & (n_frames > 0))
+        return jnp.where(mid, j_prev, j_cur), (path_t, entered_t)
+
+    ts = jnp.arange(t_total - 1, -1, -1, dtype=jnp.int32)
+    _, (path_rev, entered_rev) = jax.lax.scan(
+        back_step, jnp.zeros_like(j_last), ts
+    )
+    return path_rev[::-1].T, entered_rev[::-1].T
+
+
+@jax.jit
+def _bt_partial(bp_hist, exit_hist, n_frames, delta):
+    """Backtrace every slot from its best-so-far state (one dispatch for
+    ALL sessions' partials)."""
+    j_last = jnp.argmax(delta, axis=1).astype(jnp.int32)
+    return _hist_backtrace(bp_hist, exit_hist, n_frames, j_last)
+
+
+@jax.jit
+def _bt_final(bp_hist, exit_hist, n_frames, delta, final_logp):
+    """Backtrace from the final-state-weighted best (exact finalize)."""
+    j_last = jnp.argmax(delta + final_logp, axis=1).astype(jnp.int32)
+    return _hist_backtrace(bp_hist, exit_hist, n_frames, j_last)
+
+
 class BatchedSessionEngine(_BaseSlotEngine):
     """Slot-batched streaming recognizer, GMM/hybrid family.
 
@@ -315,13 +392,27 @@ class BatchedSessionEngine(_BaseSlotEngine):
         beam: float = 0.0,
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
+        history: str = "device",
+        max_frames: int = 3000,
     ):
+        """history="device" (default) keeps the backpointer stream in HBM
+        ([max_frames, B, J] uint8, scatter-appended per tick) and backtraces
+        with a batched reverse scan on device — the host never sees the
+        [F, B, J] stream, which was the engine's measured binding constraint
+        at capacity 64 (docs/TPU_NOTES.md). Sessions are then bounded at
+        max_frames frames (default 30 s at 10 ms hop). history="host" keeps
+        the round-2 per-slot host chunk lists: unbounded sessions, one
+        [F, B, J] pull + O(n) python backtrace per partial."""
         super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
         dcfg = dcfg or DecodeConfig()
+        if history not in ("device", "host"):
+            raise ValueError(f"history must be 'device' or 'host': {history}")
         self.graph = graph
         self.score_fn = score_fn
         self.acoustic_scale = float(dcfg.acoustic_scale)
         self.beam = float(beam)
+        self.history = history
+        self.max_frames = int(max_frames)
         B = self.capacity
         self.graphs = {
             k: jnp.asarray(v) for k, v in gr.batch_graphs([graph] * B).items()
@@ -329,15 +420,26 @@ class BatchedSessionEngine(_BaseSlotEngine):
         self.J = int(self.graphs["emit_id"].shape[1])
         self.delta = jnp.full((B, self.J), NEG_INF)
         self.started = jnp.zeros((B,), bool)
-        # per-slot backpointer histories, indexed by slot row
+        if history == "device":
+            self.bp_dev = jnp.zeros((self.max_frames, B, self.J), jnp.uint8)
+            self.exit_dev = jnp.zeros((self.max_frames, B), jnp.int32)
+        # per-slot backpointer histories, indexed by slot row (host mode)
         self._bp_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
         self._exit_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
 
     # -- hooks --
 
     def _init_slot(self, b: int) -> None:
+        # device-mode history needs no reset: a reused slot rewrites rows
+        # 0..n-1 in order and the backtrace reads only t < n
         self._bp_hist[b] = []
         self._exit_hist[b] = []
+
+    def _n_frames_vec(self) -> np.ndarray:
+        return np.array(
+            [s.n_frames if s is not None else 0 for s in self.slots],
+            np.int32,
+        )
 
     def _apply_resets(self, mask: np.ndarray) -> None:
         self.delta, self.started = _reset_viterbi(
@@ -350,9 +452,23 @@ class BatchedSessionEngine(_BaseSlotEngine):
             self.delta, self.started, scores, jnp.asarray(n_valid),
             self.graphs, self.acoustic_scale, self.beam,
         )
+        if self.history == "device":
+            offs = self._n_frames_vec()
+            if int((offs + n_valid).max()) > self.max_frames:
+                raise RuntimeError(
+                    f"a session exceeded max_frames={self.max_frames}; raise "
+                    "max_frames or construct with history='host'"
+                )
+            self.bp_dev, self.exit_dev = _hist_append(
+                self.bp_dev, self.exit_dev, bps, exit_args,
+                jnp.asarray(offs), jnp.asarray(n_valid),
+            )
+            return True  # all state stays on device; nothing to absorb
         return bps, exit_args
 
     def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
+        if self.history == "device":
+            return
         bps, exit_args = handle
         bps_np = np.asarray(bps)          # [F, B, J] — the tick's sync
         exits_np = np.asarray(exit_args)  # [F, B]
@@ -405,23 +521,52 @@ class BatchedSessionEngine(_BaseSlotEngine):
 
         return path_words(self.graph, path, entered)
 
+    def _device_backtrace_all(self, final: bool):
+        """One dispatch: backtrace EVERY slot on device; pull [B, Tmax]."""
+        n = jnp.asarray(self._n_frames_vec())
+        if final:
+            path, entered = _bt_final(
+                self.bp_dev, self.exit_dev, n, self.delta,
+                self.graphs["final_logp"],
+            )
+        else:
+            path, entered = _bt_partial(
+                self.bp_dev, self.exit_dev, n, self.delta
+            )
+        return np.asarray(path), np.asarray(entered)
+
     def partial(self, sid, delta_np: Optional[np.ndarray] = None) -> List[str]:
-        """Best-so-far hypothesis. Pass ``delta_np = np.asarray(engine.delta)``
-        when emitting partials for many sessions to pay one device pull."""
+        """Best-so-far hypothesis. In host mode, pass ``delta_np =
+        np.asarray(engine.delta)`` when emitting partials for many sessions
+        to pay one device pull (device mode: use partials())."""
         b = self._sid_to_slot[sid]
         s = self.slots[b]
         if s.n_frames == 0:
             return []
+        if self.history == "device":
+            path, entered = self._device_backtrace_all(final=False)
+            return self._words_of(path[b, : s.n_frames],
+                                  entered[b, : s.n_frames])
         row = (delta_np[b] if delta_np is not None
                else np.asarray(self.delta[b]))
         path, entered = self._slot_backtrace(b, s.n_frames, int(row.argmax()))
         return self._words_of(path, entered)
 
     def partials(self, sids) -> Dict[object, list]:
-        """Partials for many sessions with ONE [B, J] delta pull."""
+        """Partials for many sessions with ONE device dispatch (device mode)
+        or ONE [B, J] delta pull (host mode)."""
         sids = list(sids)
         if not sids:
             return {}
+        if self.history == "device":
+            path, entered = self._device_backtrace_all(final=False)
+            out: Dict[object, list] = {}
+            for sid in sids:
+                b = self._sid_to_slot[sid]
+                n = self.slots[b].n_frames
+                out[sid] = (self._words_of(path[b, :n], entered[b, :n])
+                            if n else [])
+            return out
         deltas = np.asarray(self.delta)
         return {sid: self.partial(sid, delta_np=deltas) for sid in sids}
 
@@ -434,6 +579,10 @@ class BatchedSessionEngine(_BaseSlotEngine):
         audio_s = s.samples / self.fcfg.sample_rate
         if s.n_frames == 0:
             words: List[str] = []
+        elif self.history == "device":
+            path, entered = self._device_backtrace_all(final=True)
+            words = self._words_of(path[b, : s.n_frames],
+                                   entered[b, : s.n_frames])
         else:
             final = (np.asarray(self.delta[b])
                      + np.asarray(self.graphs["final_logp"][b]))
@@ -442,6 +591,25 @@ class BatchedSessionEngine(_BaseSlotEngine):
             words = self._words_of(path, entered)
         self._release(sid)
         return words, audio_s
+
+    def finalize_many(self, sids) -> Dict[object, Tuple[List[str], float]]:
+        """Finalize MANY drained sessions with ONE device backtrace dispatch
+        (device mode; host mode just loops). Frees their slots."""
+        sids = [sid for sid in sids if sid in self._sid_to_slot]
+        if self.history != "device" or not sids:
+            return {sid: self.finalize(sid) for sid in sids}
+        path, entered = self._device_backtrace_all(final=True)
+        out: Dict[object, Tuple[List[str], float]] = {}
+        for sid in sids:
+            b = self._sid_to_slot[sid]
+            s = self.slots[b]
+            assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+            audio_s = s.samples / self.fcfg.sample_rate
+            n = s.n_frames
+            words = self._words_of(path[b, :n], entered[b, :n]) if n else []
+            self._release(sid)
+            out[sid] = (words, audio_s)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -64,16 +64,19 @@ def _dedicated(graph, gmm, fcfg, dcfg, wave, chunk=3000):
     return _words_of(graph, path[0], entered[0])
 
 
-def test_engine_matches_dedicated_sessions(setup):
-    """5 sessions through a capacity-4 engine (the 5th reuses a freed slot),
-    staggered starts, ragged chunk sizes — every final transcript equals the
-    dedicated per-session pipeline's."""
+@pytest.mark.parametrize("history", ["host", "device"])
+def test_engine_matches_dedicated_sessions(setup, history):
+    """5 sessions through a capacity-4 engine (the 5th reuses a freed slot —
+    in device mode that also proves a reused slot's stale history rows are
+    harmless), staggered starts, ragged chunk sizes — every final transcript
+    equals the dedicated per-session pipeline's."""
     graph, gmm, fcfg, dcfg, score_fn, utts = setup
     want = {u.utt_id: _dedicated(graph, gmm, fcfg, dcfg, u.wave)
             for u in utts}
 
     eng = BatchedSessionEngine(
-        graph, score_fn, fcfg, dcfg, capacity=4, tick_frames=16
+        graph, score_fn, fcfg, dcfg, capacity=4, tick_frames=16,
+        history=history, max_frames=512,
     )
     rng = np.random.default_rng(3)
     pending = list(utts)
@@ -111,10 +114,12 @@ def test_engine_matches_dedicated_sessions(setup):
     assert got == want
 
 
-def test_engine_partial_and_empty_session(setup):
+@pytest.mark.parametrize("history", ["host", "device"])
+def test_engine_partial_and_empty_session(setup, history):
     graph, gmm, fcfg, dcfg, score_fn, utts = setup
     eng = BatchedSessionEngine(
-        graph, score_fn, fcfg, dcfg, capacity=2, tick_frames=16
+        graph, score_fn, fcfg, dcfg, capacity=2, tick_frames=16,
+        history=history, max_frames=512,
     )
     u = utts[0]
     assert eng.start("s")
@@ -123,8 +128,11 @@ def test_engine_partial_and_empty_session(setup):
     eng.tick()
     eng.tick()
     # partial is well-formed mid-stream (list of vocab words)
-    part = eng.partial("s", delta_np=np.asarray(eng.delta))
+    part = eng.partial(
+        "s", delta_np=None if history == "device" else np.asarray(eng.delta)
+    )
     assert isinstance(part, list)
+    assert eng.partials(["s", "empty"]) == {"s": part, "empty": []}
     eng.feed("s", u.wave[8000:])
     eng.end("s")
     eng.end("empty")
@@ -134,6 +142,73 @@ def test_engine_partial_and_empty_session(setup):
     assert ew == [] and audio_s == 0.0
     # capacity freed: a new session can start in the reused slots
     assert eng.start("again") and eng.n_live == 1
+
+
+def test_engine_device_history_matches_host_partials_and_finals(setup):
+    """Same feeding schedule through a host-history and a device-history
+    engine: every rate-limited partial AND every final transcript must be
+    identical — the device backtrace is a bit-exact re-implementation of
+    the host chunk-list walk. Also covers finalize_many and the max_frames
+    overflow guard."""
+    graph, gmm, fcfg, dcfg, score_fn, utts = setup
+    engs = {
+        h: BatchedSessionEngine(
+            graph, score_fn, fcfg, dcfg, capacity=4, tick_frames=16,
+            history=h, max_frames=512,
+        )
+        for h in ("host", "device")
+    }
+    use = utts[:4]
+    for u in use:
+        for e in engs.values():
+            assert e.start(u.utt_id)
+    rng = np.random.default_rng(11)
+    cursors = {u.utt_id: 0 for u in use}
+    tick_i = 0
+    while True:
+        fed = False
+        for u in use:
+            off = cursors[u.utt_id]
+            if off >= len(u.wave):
+                continue
+            n = int(rng.integers(1000, 4000))
+            for e in engs.values():
+                e.feed(u.utt_id, u.wave[off: off + n])
+            cursors[u.utt_id] = off + n
+            fed = True
+        if not fed:
+            break
+        for e in engs.values():
+            e.tick()
+        tick_i += 1
+        if tick_i % 3 == 0:
+            sids = [u.utt_id for u in use]
+            assert (engs["device"].partials(sids)
+                    == engs["host"].partials(sids))
+    for u in use:
+        for e in engs.values():
+            e.end(u.utt_id)
+    while not all(engs["device"].drained(u.utt_id) for u in use):
+        for e in engs.values():
+            e.tick()
+    while not all(engs["host"].drained(u.utt_id) for u in use):
+        engs["host"].tick()
+    got_dev = engs["device"].finalize_many([u.utt_id for u in use])
+    got_host = {u.utt_id: engs["host"].finalize(u.utt_id) for u in use}
+    assert got_dev == got_host
+
+
+def test_engine_device_history_overflow_guard(setup):
+    graph, gmm, fcfg, dcfg, score_fn, utts = setup
+    eng = BatchedSessionEngine(
+        graph, score_fn, fcfg, dcfg, capacity=1, tick_frames=8,
+        history="device", max_frames=8,
+    )
+    assert eng.start("s")
+    eng.feed("s", utts[0].wave[:16000])  # ~100 frames >> max_frames=8
+    with pytest.raises(RuntimeError, match="max_frames"):
+        for _ in range(40):  # frames trickle through the spectral stage
+            eng.tick()
 
 
 def test_engine_rejects_duplicate_and_overflow(setup):
