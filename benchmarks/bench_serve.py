@@ -62,6 +62,11 @@ def main() -> None:
                    help="skip the chunked-AED engine row")
     p.add_argument("--aed-chunk", type=int, default=8,
                    help="AED chunk_frames (tick = 4*chunk feature frames)")
+    p.add_argument("--rnnt-impl",
+                   choices=["frame_scan", "label_loop", "both"],
+                   default="frame_scan",
+                   help="RNN-T engine chunk-greedy impl; 'both' interleaves "
+                        "epochs and adjudicates the >1.2x gate in the row")
     p.add_argument("--history", choices=["device", "host", "both"],
                    default="both",
                    help="GMM-engine backpointer history: device-resident "
@@ -251,6 +256,7 @@ def main() -> None:
         ctc_row = {
             "streams_realtime": round(ctc_fps / (sr / hop), 1),
             "frames_per_sec": round(ctc_fps, 1),
+            "epochs": [round(r, 1) for r in rates],
             "model": f"lstm h=512 L=2 V={V} greedy",
         }
 
@@ -268,27 +274,48 @@ def main() -> None:
             rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(1)
         ).params
 
-        def make_rnnt_engine():
+        def make_rnnt_engine(impl):
             return BatchedRnntEngine(
                 rnnt_model, rnnt_params, fcfg,
                 capacity=args.capacity, tick_frames=args.tick_frames,
+                greedy_impl=impl,
             )
 
-        reng = make_rnnt_engine()
+        impls = (["frame_scan", "label_loop"] if args.rnnt_impl == "both"
+                 else [args.rnnt_impl])
+        rengs = {impl: make_rnnt_engine(impl) for impl in impls}
         print("warmup rnnt engine ...", flush=True)
-        run_epoch(reng)
-        rates = []
-        for e in range(args.epochs):
-            base = reng.frames_decoded
+        for impl, reng in rengs.items():
             t0 = time.perf_counter()
-            total = run_epoch(reng)
-            dt = time.perf_counter() - t0
-            rates.append((total - base) / dt)
-            print(f"  rnnt epoch {e}: {rates[-1]:.0f} frames/s", flush=True)
-        rnnt_fps = statistics.median(rates)
+            run_epoch(reng)
+            print(f"  warmup [{impl}]: {time.perf_counter() - t0:.1f} s",
+                  flush=True)
+        impl_rates = {impl: [] for impl in impls}
+        for e in range(args.epochs):
+            for impl, reng in rengs.items():
+                base = reng.frames_decoded
+                t0 = time.perf_counter()
+                total = run_epoch(reng)
+                dt = time.perf_counter() - t0
+                impl_rates[impl].append((total - base) / dt)
+                print(f"  rnnt epoch {e} [{impl}]: "
+                      f"{impl_rates[impl][-1]:.0f} frames/s", flush=True)
+        if args.rnnt_impl == "both":
+            med = {i: statistics.median(rs) for i, rs in impl_rates.items()}
+            # the >1.2x promotion gate, adjudicated inside the artifact
+            prod_impl = ("label_loop"
+                         if med["label_loop"] >= 1.2 * med["frame_scan"]
+                         else "frame_scan")
+        else:
+            prod_impl = impls[0]
+        rnnt_fps = statistics.median(impl_rates[prod_impl])
         rnnt_row = {
             "streams_realtime": round(rnnt_fps / (sr / hop), 1),
             "frames_per_sec": round(rnnt_fps, 1),
+            "greedy_impl": prod_impl,
+            "greedy_impl_ab": {
+                i: [round(r, 1) for r in rs] for i, rs in impl_rates.items()
+            },
             "model": f"lstm-enc h=512 L=2 V={V_RNNT} device-greedy",
         }
 
@@ -329,6 +356,7 @@ def main() -> None:
         aed_row = {
             "streams_realtime": round(aed_fps / (sr / hop), 1),
             "frames_per_sec": round(aed_fps, 1),
+            "epochs": [round(r, 1) for r in rates],
             "model": (f"conformer d=256 L={aed_tcfg.nn_layers} V={V_AED} "
                       f"chunk={args.aed_chunk} (finals incl.)"),
         }

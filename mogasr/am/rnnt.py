@@ -684,6 +684,83 @@ def _device_greedy_chunk_fn(model: RnntModel, u_cap: int, max_symbols_per_frame:
     return init_state, consume
 
 
+@functools.lru_cache(maxsize=32)
+def _label_loop_chunk_fn(model: RnntModel, u_cap: int, max_symbols_per_frame: int):
+    """Chunk-resumable LABEL-LOOP greedy: `_device_greedy_chunk_fn`'s exact
+    contract ((init_state, consume), state = (carry, pred, hyp, lens)) with
+    `_label_loop_greedy_fn`'s sequential structure inside each chunk.
+
+    The frame scan serializes Tc x max_symbols_per_frame tiny joint+
+    prediction steps per chunk (~96 sequential kernels at the serving tick
+    of 24 frames); here the sequential depth per chunk is the chunk's max
+    EMISSION count (typically a handful), each round one batched
+    [B*Tc, Hj] x [Hj, V] MXU GEMM. Resumability is free: the carried state
+    is exactly the frame scan's, the frame cursor restarts at 0 each chunk
+    (frames never span chunks), and the per-frame symbol cap resets with
+    it — so chunked label-loop == chunked frame-scan == offline greedy
+    (tested: test_rnnt_label_loop_chunked_equals_frame_scan)."""
+    step_cls = (
+        RnntPredictionStep if model.pred_arch == "lstm"
+        else RnntPredictionStatelessStep
+    )
+    pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
+    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
+    blank = model.n_labels
+    sos = model.n_labels
+    cap = int(max_symbols_per_frame)
+    init_state, _ = _device_greedy_chunk_fn(model, u_cap, cap)
+
+    @jax.jit
+    def consume(params, state, enc_chunk, n_valid):
+        pred_params = {"params": params["params"]["prediction"]}
+        joint_params = {"params": params["params"]["joint"]}
+        carry0, pred0, hyp0, lens0 = state
+        B, Tc, _ = enc_chunk.shape
+        n = n_valid.astype(jnp.int32)
+        e_proj = joint_def.apply(joint_params, enc_chunk,
+                                 method=RnntJoint.project_enc)  # [B, Tc, Hj]
+        cols = jnp.arange(u_cap)[None, :]
+        idxT = jnp.arange(Tc)[None, :]
+        t0 = jnp.zeros((B,), jnp.int32)
+        syms0 = jnp.zeros((B,), jnp.int32)
+
+        def cond(st):
+            t, syms, carry, pred, hyp, lens = st
+            return jnp.any((t < n) & (lens < u_cap))
+
+        def body(st):
+            t, syms, carry, pred, hyp, lens = st
+            logits = joint_def.apply(
+                joint_params, e_proj, pred,
+                method=RnntJoint.logits_vs_frames)               # [B, Tc, V]
+            best = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, Tc]
+            at_cap = (idxT == t[:, None]) & (syms[:, None] >= cap)
+            cand = ((best != blank) & (idxT >= t[:, None])
+                    & (idxT < n[:, None]) & ~at_cap)
+            has = jnp.any(cand, axis=1)
+            f = jnp.argmax(cand, axis=1).astype(jnp.int32)  # first True
+            active = (t < n) & (lens < u_cap)
+            emit = active & has
+            label_f = jnp.take_along_axis(best, f[:, None], axis=1)[:, 0]
+            label = jnp.where(emit, label_f, sos)
+            new_carry, new_pred = pred_step_def.apply(pred_params, label, carry)
+            carry = jax.tree.map(
+                lambda nw, o: jnp.where(emit[:, None], nw, o), new_carry, carry)
+            pred = jnp.where(emit[:, None], new_pred, pred)
+            slot = emit[:, None] & (cols == lens[:, None])
+            hyp = jnp.where(slot, label[:, None], hyp)
+            lens = lens + emit.astype(jnp.int32)
+            syms = jnp.where(emit, jnp.where(f == t, syms + 1, 1), syms)
+            t = jnp.where(emit, f, jnp.where(active, n, t))
+            return (t, syms, carry, pred, hyp, lens)
+
+        st = jax.lax.while_loop(
+            cond, body, (t0, syms0, carry0, pred0, hyp0, lens0))
+        return st[2], st[3], st[4], st[5]
+
+    return init_state, consume
+
+
 def make_rnnt_stream_shared(
     model: RnntModel,
     params,
@@ -699,10 +776,23 @@ def make_rnnt_stream_shared(
     then reuses the same compiled encoder step and greedy scan.
     """
     enc_step, _ = make_rnnt_stream_encoder(model, params, 1, feat_dim)
-    init_state, consume = _device_greedy_chunk_fn(
+    init_state, consume = _chunk_greedy_fn(
         model, int(u_cap), int(max_symbols_per_frame)
     )
     return enc_step, init_state, consume
+
+
+def _chunk_greedy_fn(model: RnntModel, u_cap: int, cap: int,
+                     impl: str = "frame_scan"):
+    """Chunk-resumable greedy factory: impl in {frame_scan, label_loop},
+    identical (init_state, consume) contract and identical hypotheses
+    (tested); label_loop trades redundant MXU FLOPs for ~Tc/E sequential
+    depth per chunk."""
+    if impl == "label_loop":
+        return _label_loop_chunk_fn(model, u_cap, cap)
+    if impl != "frame_scan":
+        raise ValueError(f"unknown chunk greedy impl {impl!r}")
+    return _device_greedy_chunk_fn(model, u_cap, cap)
 
 
 class RnntDeviceStream:
@@ -714,14 +804,14 @@ class RnntDeviceStream:
 
     def __init__(self, model: RnntModel, params, batch: int, feat_dim: int,
                  u_cap: int = 200, max_symbols_per_frame: int = 4,
-                 shared=None):
+                 shared=None, impl: str = "frame_scan"):
         self.params = params
         if shared is None:
             self.enc_step, self.enc_carries = make_rnnt_stream_encoder(
                 model, params, batch, feat_dim
             )
-            init_state, self.consume_fn = _device_greedy_chunk_fn(
-                model, int(u_cap), int(max_symbols_per_frame)
+            init_state, self.consume_fn = _chunk_greedy_fn(
+                model, int(u_cap), int(max_symbols_per_frame), impl
             )
         else:
             self.enc_step, init_state, self.consume_fn = shared

@@ -751,10 +751,11 @@ class BatchedRnntEngine(_BaseSlotEngine):
         max_symbols_per_frame: int = 4,
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
+        greedy_impl: str = "frame_scan",
     ):
         super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
         from mogasr.am.neural import LstmAmStream
-        from mogasr.am.rnnt import _device_greedy_chunk_fn, _rnnt_stream_carries
+        from mogasr.am.rnnt import _chunk_greedy_fn, _rnnt_stream_carries
 
         assert model.encoder_arch == "lstm", "streaming needs the lstm encoder"
         B = self.capacity
@@ -778,8 +779,8 @@ class BatchedRnntEngine(_BaseSlotEngine):
 
         self._enc_step = _enc_step
         u_cap = self.tick_frames * int(max_symbols_per_frame)
-        init_state, self._consume = _device_greedy_chunk_fn(
-            model, u_cap, int(max_symbols_per_frame)
+        init_state, self._consume = _chunk_greedy_fn(
+            model, u_cap, int(max_symbols_per_frame), greedy_impl
         )
         self.dec_state = init_state(params, B)
         # pristine rows (SOS-stepped carry/pred, empty buffer) for slot reset

@@ -405,3 +405,48 @@ def test_rnnt_label_loop_equals_frame_scan(trained_unit_rnnt):
         h2, l2 = d_old(enc_r, n_frames)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_rnnt_label_loop_chunked_equals_frame_scan(trained_unit_rnnt):
+    """The chunk-resumable label loop (the serving-engine tick shape) must
+    equal the chunk-resumable frame scan state-for-state across ragged
+    chunk boundaries: same carried prediction state, same hypothesis
+    buffer, same lengths after EVERY chunk — on a trained lstm-pred model
+    and a cap-binding random stateless-pred model."""
+    import jax.numpy as jnp
+
+    model, params, feats, n_frames, seqs = trained_unit_rnnt
+    rand = R.RnntModel(n_labels=5, enc_hidden=16, enc_layers=1,
+                       pred_hidden=8, joint_hidden=16, pred_arch="stateless")
+    cfg = TrainConfig()
+    rstate = R.init_rnnt_train_state(
+        rand, cfg, feats.shape[-1], 4, jax.random.key(9))
+
+    for mdl, prm, u_cap, cap in ((model, params, 50, 4),
+                                 (rand, rstate.params, 12, 2)):
+        enc = R.rnnt_encode(mdl, prm, feats, n_frames)
+        B, T, _ = enc.shape
+        init_fs, consume_fs = R._chunk_greedy_fn(mdl, u_cap, cap, "frame_scan")
+        init_ll, consume_ll = R._chunk_greedy_fn(mdl, u_cap, cap, "label_loop")
+        st_fs = init_fs(prm, B)
+        st_ll = init_ll(prm, B)
+        rng = np.random.default_rng(5)
+        t = 0
+        while t < T:
+            tc = int(rng.integers(3, 9))
+            chunk = enc[:, t: t + tc]
+            # ragged validity: each row has its own frame budget left
+            nv = np.clip(np.asarray(n_frames) - t, 0, chunk.shape[1])
+            st_fs = consume_fs(prm, st_fs, chunk, jnp.asarray(nv))
+            st_ll = consume_ll(prm, st_ll, chunk, jnp.asarray(nv))
+            for a, b in zip(jax.tree.leaves(st_fs), jax.tree.leaves(st_ll)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=0)
+            t += tc
+        # and the chunked result equals the offline greedy
+        off = R.make_rnnt_device_greedy(
+            mdl, prm, u_cap=u_cap, max_symbols_per_frame=cap,
+            impl="frame_scan")
+        h_off, l_off = off(enc, n_frames)
+        np.testing.assert_array_equal(np.asarray(st_ll[3]), np.asarray(l_off))
+        np.testing.assert_array_equal(np.asarray(st_ll[2]), np.asarray(h_off))

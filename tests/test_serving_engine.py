@@ -425,11 +425,13 @@ def _tiny_rnnt(seed=0, emit_bias=True):
     return fcfg, model, params
 
 
-def test_rnnt_engine_matches_dedicated_streams():
+@pytest.mark.parametrize("greedy_impl", ["frame_scan", "label_loop"])
+def test_rnnt_engine_matches_dedicated_streams(greedy_impl):
     """RNN-T family: 3 sessions through a capacity-2 BatchedRnntEngine
     (slot reuse resets encoder carries AND prediction state), ragged ticks —
     finals equal the dedicated per-session RnntDeviceStream pipeline, and
-    symbols survive the per-tick hypothesis harvest."""
+    symbols survive the per-tick hypothesis harvest. Parametrized over the
+    chunk-greedy impl: the label loop must be a drop-in."""
     from mogasr.am.rnnt import RnntDeviceStream
     from mogasr.serving.engine import BatchedRnntEngine
 
@@ -453,7 +455,8 @@ def test_rnnt_engine_matches_dedicated_streams():
     want = {u.utt_id: dedicated(u.wave) for u in utts}
     assert any(want.values()), "emit bias should produce symbols"
 
-    eng = BatchedRnntEngine(model, params, fcfg, capacity=2, tick_frames=16)
+    eng = BatchedRnntEngine(model, params, fcfg, capacity=2, tick_frames=16,
+                            greedy_impl=greedy_impl)
     rng = np.random.default_rng(11)
     pending = list(utts)
     cursors, ended, got, partial_seen = {}, set(), {}, False
