@@ -139,7 +139,13 @@ def main() -> None:
             tied, insertion_penalty=dcfg.word_insertion_penalty)
         S, K, D = gmm.means.shape
         gmm_desc = f"{S}x{K}x{D} trained tied-triphone (heldout WER in 'wer')"
-        bcfg = BatchConfig(batch_size=64, bucket_boundaries=(250, 350, 450, 600))
+        # batch 256: the round-3 interleaved batch-scale A/B
+        # (benchmarks/results_batch_scale.json) measured 64->128 = 1.41x and
+        # 128->256 = 1.12x on this exact pipeline — the [B, J] Viterbi scan
+        # steps are latency-bound at small B, and fewer, fatter dispatches
+        # also cut tunnel jitter (window spread 1592-2109 at B=64 vs
+        # 2900-3084 at B=256).
+        bcfg = BatchConfig(batch_size=256, bucket_boundaries=(250, 350, 450, 600))
     else:
         fcfg = FrontendConfig()
         dcfg = DecodeConfig(acoustic_scale=0.1)
