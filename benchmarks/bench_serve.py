@@ -67,6 +67,12 @@ def main() -> None:
                    default="frame_scan",
                    help="RNN-T engine chunk-greedy impl; 'both' interleaves "
                         "epochs and adjudicates the >1.2x gate in the row")
+    p.add_argument("--aed-final", choices=["many", "loop", "both"],
+                   default="many",
+                   help="AED drain finalization: 'many' = one batched "
+                        "attention-beam dispatch per T-bucket "
+                        "(finalize_many), 'loop' = per-session batch-1 "
+                        "finals, 'both' interleaves and adjudicates")
     p.add_argument("--history", choices=["device", "host", "both"],
                    default="both",
                    help="GMM-engine backpointer history: device-resident "
@@ -136,7 +142,7 @@ def main() -> None:
                      .astype(np.float32))
 
     # ---------------- engine epochs ----------------
-    def run_epoch(eng) -> int:
+    def run_epoch(eng, batched_final: bool = True) -> int:
         sids = [f"s{e}" for e in range(args.capacity)]
         for sid in sids:
             assert eng.start(sid)
@@ -150,8 +156,8 @@ def main() -> None:
             eng.end(sid)
         while not all(eng.drained(sid) for sid in sids):
             eng.tick()
-        if hasattr(eng, "finalize_many"):
-            eng.finalize_many(sids)   # one backtrace dispatch for all slots
+        if batched_final and hasattr(eng, "finalize_many"):
+            eng.finalize_many(sids)   # one final dispatch for all slots
         else:
             for sid in sids:
                 eng.finalize(sid)
@@ -341,22 +347,38 @@ def main() -> None:
                 beam=4, ctc_weight=0.3,
             )
 
-        aeng = make_aed_engine()
+        finals = (["many", "loop"] if args.aed_final == "both"
+                  else [args.aed_final])
+        aengs = {fm: make_aed_engine() for fm in finals}
         print("warmup aed engine ...", flush=True)
-        run_epoch(aeng)
-        rates = []
+        for fm, aeng in aengs.items():
+            run_epoch(aeng, batched_final=(fm == "many"))
+        final_rates = {fm: [] for fm in finals}
         for e in range(args.epochs):
-            base = aeng.frames_decoded
-            t0 = time.perf_counter()
-            total = run_epoch(aeng)
-            dt = time.perf_counter() - t0
-            rates.append((total - base) / dt)
-            print(f"  aed epoch {e}: {rates[-1]:.0f} frames/s", flush=True)
-        aed_fps = statistics.median(rates)
+            for fm, aeng in aengs.items():
+                base = aeng.frames_decoded
+                t0 = time.perf_counter()
+                total = run_epoch(aeng, batched_final=(fm == "many"))
+                dt = time.perf_counter() - t0
+                final_rates[fm].append((total - base) / dt)
+                print(f"  aed epoch {e} [{fm}]: "
+                      f"{final_rates[fm][-1]:.0f} frames/s", flush=True)
+        if args.aed_final == "both":
+            med = {f_: statistics.median(rs) for f_, rs in final_rates.items()}
+            prod_final = ("many" if med["many"] >= 1.2 * med["loop"]
+                          else "loop")
+        else:
+            prod_final = finals[0]
+        aed_fps = statistics.median(final_rates[prod_final])
         aed_row = {
             "streams_realtime": round(aed_fps / (sr / hop), 1),
             "frames_per_sec": round(aed_fps, 1),
-            "epochs": [round(r, 1) for r in rates],
+            "epochs": [round(r, 1) for r in final_rates[prod_final]],
+            "final_mode": prod_final,
+            "final_mode_ab": {
+                f_: [round(r, 1) for r in rs]
+                for f_, rs in final_rates.items()
+            },
             "model": (f"conformer d=256 L={aed_tcfg.nn_layers} V={V_AED} "
                       f"chunk={args.aed_chunk} (finals incl.)"),
         }

@@ -988,6 +988,56 @@ class BatchedAedEngine(_BaseSlotEngine):
         self._release(sid)
         return units, audio_s
 
+    def finalize_many(self, sids) -> Dict[object, Tuple[List[int], float]]:
+        """Finalize MANY drained sessions with one batched attention-beam
+        dispatch per T-bucket instead of a batch-1 chain per session.
+
+        Sessions whose padded histories share a `final_bucket` ceiling are
+        stacked into one [N_bucket, Tb, D] call of the SAME cached decoder
+        (jit retraces per batch shape; N is rounded up to a power of two
+        with nframes=1 dummy rows so compile variants stay bounded by
+        T-buckets x log2(capacity)). Beam rows are independent, so the
+        hypotheses equal per-session ``finalize`` — exactly on CPU,
+        decision-equivalent on TPU (batch-shape tiling noise,
+        docs/TPU_NOTES.md). At epoch drain in benchmarks/bench_serve.py
+        this turns capacity-many sequential final chains into a handful."""
+        sids = [sid for sid in sids if sid in self._sid_to_slot]
+        out: Dict[object, Tuple[List[int], float]] = {}
+        groups: Dict[int, list] = {}
+        for sid in sids:
+            b = self._sid_to_slot[sid]
+            s = self.slots[b]
+            assert self.drained(sid), "finalize before drained()"
+            audio_s = s.samples / self.fcfg.sample_rate
+            parts = self._feats_hist[b] + ([s.feat_q] if len(s.feat_q) else [])
+            fa = (np.concatenate(parts, axis=0) if parts
+                  else np.zeros((0, self.fcfg.feat_dim), np.float32))
+            if fa.shape[0] == 0:
+                out[sid] = ([], audio_s)
+                self._decoders[b] = None
+                self._feats_hist[b] = []
+                self._release(sid)
+                continue
+            Tb = -(-fa.shape[0] // self.final_bucket) * self.final_bucket
+            groups.setdefault(Tb, []).append((sid, b, fa, audio_s))
+        for Tb, items in groups.items():
+            nb = 1 << (len(items) - 1).bit_length()
+            padded = np.zeros((nb, Tb, self.fcfg.feat_dim), np.float32)
+            nf = np.ones((nb,), np.int32)  # dummy rows: 1 zero frame
+            for i, (_sid, _b, fa, _a) in enumerate(items):
+                padded[i, : fa.shape[0]] = fa
+                nf[i] = fa.shape[0]
+            toks, n_toks, _ = self._final_decoder(Tb)(
+                jnp.asarray(padded), jnp.asarray(nf)
+            )
+            toks, n_toks = np.asarray(toks), np.asarray(n_toks)
+            for i, (sid, b, _fa, audio_s) in enumerate(items):
+                out[sid] = (list(map(int, toks[i, : n_toks[i]])), audio_s)
+                self._decoders[b] = None
+                self._feats_hist[b] = []
+                self._release(sid)
+        return out
+
 
 def aed_final_max_tokens(t_frames: int) -> int:
     """Shared finalization token cap (engine AND per-session serve use the

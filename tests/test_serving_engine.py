@@ -614,3 +614,62 @@ def test_aed_engine_matches_dedicated_sessions():
     for sid, (p_want, f_want) in want.items():
         assert got_part[sid] == p_want, sid
         assert got[sid] == f_want, sid
+
+
+def test_aed_engine_finalize_many_matches_finalize():
+    """finalize_many (one batched attention-beam dispatch per T-bucket,
+    power-of-two batch padding with dummy rows) returns exactly what
+    per-session finalize returns: two identically-fed engines, one drained
+    via finalize, the other via one finalize_many call — same units, same
+    audio seconds. Includes an empty session (started + ended, no audio)
+    and a short session forcing a second T-bucket (final_bucket=64)."""
+    import jax
+
+    from mogasr.am import aed as A
+    from mogasr.config import TrainConfig
+    from mogasr.serving.engine import BatchedAedEngine
+
+    fcfg = FrontendConfig(cmvn="sliding", cmvn_window=300)
+    tcfg = TrainConfig(nn_hidden=16, nn_layers=1)
+    model = A.build_aed_model(5, tcfg, chunk_frames=2, left_chunks=1)
+    params = A.init_aed_train_state(
+        model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)
+    ).params
+    utts = make_corpus(2, words_per_utt=(2, 3), seed=7)
+    waves = {
+        "a": utts[0].wave,
+        "b": utts[1].wave,
+        "short": utts[0].wave[: 6400],   # ~0.4 s -> smaller T-bucket
+        "empty": np.zeros((0,), np.float32),
+    }
+
+    def feed_all(eng):
+        for sid, w in waves.items():
+            assert eng.start(sid)
+            if len(w):
+                eng.feed(sid, w)
+            eng.end(sid)
+        for _ in range(200):
+            if all(eng.drained(sid) for sid in waves):
+                break
+            eng.tick()
+        else:
+            raise AssertionError("engines did not drain")
+
+    eng_a = BatchedAedEngine(model, params, fcfg, capacity=4, beam=3,
+                             ctc_weight=0.3, final_bucket=64)
+    feed_all(eng_a)
+    want = {sid: eng_a.finalize(sid) for sid in waves}
+
+    eng_b = BatchedAedEngine(model, params, fcfg, capacity=4, beam=3,
+                             ctc_weight=0.3, final_bucket=64)
+    feed_all(eng_b)
+    got = eng_b.finalize_many(list(waves))
+
+    assert set(got) == set(want)
+    for sid in waves:
+        assert got[sid][0] == want[sid][0], sid
+        assert abs(got[sid][1] - want[sid][1]) < 1e-9, sid
+    assert want["empty"][0] == []
+    # slots actually freed by finalize_many
+    assert eng_b.n_live == 0
