@@ -104,6 +104,14 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
     def emit(obj):
         print(json.dumps(obj), flush=True)
 
+    def emit_overflows():
+        # A session that hit the engine's per-session frame cap keeps its
+        # slot (finalizable, hypothesis truncated at the cap) but the
+        # client must hear that further audio is being dropped.
+        for sid in getattr(eng, "take_overflow_events", list)():
+            emit({"session": sid, "error": "session exceeded the engine "
+                  "frame cap; hypothesis truncated — end the session"})
+
     endpointers: dict = {}   # sid -> StreamingEndpointer
     ep_rule: dict = {}       # sid -> rule name once fired
 
@@ -189,6 +197,7 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
             else:
                 emit({"session": sid, "error": f"unknown type {typ!r}"})
         eng.tick()
+        emit_overflows()
         if fed:
             # de-dup, keep order; skip any ended in the same batch
             sids = [s for s in dict.fromkeys(fed) if eng.has(s)]
@@ -217,6 +226,7 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
                     ending.remove(sid)
             if ending:
                 eng.tick()
+                emit_overflows()
         if shutdown:
             return
 

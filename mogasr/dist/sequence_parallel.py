@@ -87,6 +87,13 @@ def make_sp_feature_tail(mesh: Mesh, delta_order: int = 2, window: int = 2,
 
     def body(base, n_frames):
         B, Tl, D = base.shape
+        if Tl < window:
+            # A shard shorter than the halo window would ship a truncated
+            # halo and the clipped gathers below would silently clamp VALID
+            # frames' indices (wrong deltas, no error). Fail at trace time.
+            raise ValueError(
+                f"sequence-parallel shard length {Tl} < delta window "
+                f"{window}: use fewer 'seq' shards or longer T")
         idx = jax.lax.axis_index("seq")
         off = idx * Tl
         feats = [base]

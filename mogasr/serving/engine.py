@@ -71,6 +71,7 @@ class _Slot:
         self.samples = 0
         self.finishing = False   # end() called: flush tail when frames drain
         self.flushed = False     # finalize_absorbed() has run
+        self.overflowed = False  # hit the engine's per-session frame cap
 
 
 class _BaseSlotEngine:
@@ -96,6 +97,7 @@ class _BaseSlotEngine:
         self.slots: List[Optional[_Slot]] = [None] * self.capacity
         self._sid_to_slot: Dict[object, int] = {}
         self._reset_pending = np.zeros(self.capacity, bool)
+        self._overflow_events: List[object] = []
         self.ticks = 0
         self.frames_decoded = 0
 
@@ -158,6 +160,18 @@ class _BaseSlotEngine:
         s = self.slots[self._sid_to_slot[sid]]
         return s.flushed and len(s.feat_q) == 0
 
+    def overflowed(self, sid) -> bool:
+        """True once sid hit the engine's per-session frame cap: its
+        hypothesis is truncated at the cap (frames beyond it were dropped,
+        the session itself stays healthy and finalizable)."""
+        return self.slots[self._sid_to_slot[sid]].overflowed
+
+    def take_overflow_events(self) -> List[object]:
+        """Sids that NEWLY overflowed since the last call (for the server
+        loop to emit per-session error events)."""
+        out, self._overflow_events = self._overflow_events, []
+        return out
+
     def _release(self, sid) -> _Slot:
         b = self._sid_to_slot.pop(sid)
         s = self.slots[b]
@@ -186,6 +200,14 @@ class _BaseSlotEngine:
         """Frames to consume from a slot's feature queue this tick (the AED
         family overrides this: chunks are atomic)."""
         return min(available, self.tick_frames)
+
+    def _slot_frame_cap(self) -> Optional[int]:
+        """Per-session decoded-frame bound, or None for unbounded. A family
+        with bounded device history (BatchedSessionEngine history='device')
+        returns its max_frames; tick() then truncates the offending session
+        at the cap instead of raising out of the shared dispatch — one
+        overlong client must never take down every other session."""
+        return None
 
     def _init_slot(self, b: int) -> None:
         """Per-slot decode state for a new session (host side)."""
@@ -221,12 +243,28 @@ class _BaseSlotEngine:
         # first tick after start) should not zero B*F*D floats for nothing
         feats = None
         n_valid = np.zeros(B, np.int32)
+        cap = self._slot_frame_cap()
         for b, s in enumerate(self.slots):
             if s is None or len(s.feat_q) == 0:
                 continue
+            n = self._take(len(s.feat_q))
+            if cap is not None and s.n_frames + n > cap:
+                # Truncate at the cap BEFORE dispatching (ADVICE r3): the
+                # session's hypothesis freezes at cap frames, excess queued
+                # features are dropped so it still drains and finalizes,
+                # and every other session is untouched.
+                n = max(0, cap - s.n_frames)
+                s.feat_q = s.feat_q[:n]
+                if not s.overflowed:
+                    s.overflowed = True
+                    for sid, bb in self._sid_to_slot.items():
+                        if bb == b:
+                            self._overflow_events.append(sid)
+                            break
+                if n == 0:
+                    continue
             if feats is None:
                 feats = np.zeros((B, F, D), np.float32)
-            n = self._take(len(s.feat_q))
             feats[b, :n] = s.feat_q[:n]
             n_valid[b] = n
         if self._reset_pending.any():
@@ -423,6 +461,10 @@ class BatchedSessionEngine(_BaseSlotEngine):
         if history == "device":
             self.bp_dev = jnp.zeros((self.max_frames, B, self.J), jnp.uint8)
             self.exit_dev = jnp.zeros((self.max_frames, B), jnp.int32)
+        # (tick, final) -> backtrace result: device state only mutates in
+        # tick(), so callers looping partial(sid) between ticks pay ONE
+        # [max_frames, B, J] backtrace dispatch, not capacity-many
+        self._bt_cache: Dict[Tuple[int, bool], tuple] = {}
         # per-slot backpointer histories, indexed by slot row (host mode)
         self._bp_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
         self._exit_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
@@ -446,6 +488,12 @@ class BatchedSessionEngine(_BaseSlotEngine):
             self.delta, self.started, jnp.asarray(mask)
         )
 
+    def _slot_frame_cap(self) -> Optional[int]:
+        # Device history is a [max_frames, B, J] ring-less buffer: tick()
+        # truncates any session at the cap (overflowed flag + event) so the
+        # shared dispatch below can never be asked to write past it.
+        return self.max_frames if self.history == "device" else None
+
     def _dispatch_decode(self, feats: np.ndarray, n_valid: np.ndarray):
         scores = self.score_fn(jnp.asarray(feats))
         self.delta, self.started, bps, exit_args = _chunk_step(
@@ -454,11 +502,9 @@ class BatchedSessionEngine(_BaseSlotEngine):
         )
         if self.history == "device":
             offs = self._n_frames_vec()
-            if int((offs + n_valid).max()) > self.max_frames:
-                raise RuntimeError(
-                    f"a session exceeded max_frames={self.max_frames}; raise "
-                    "max_frames or construct with history='host'"
-                )
+            assert int((offs + n_valid).max()) <= self.max_frames, (
+                "tick()'s _slot_frame_cap truncation should make this "
+                "unreachable")
             self.bp_dev, self.exit_dev = _hist_append(
                 self.bp_dev, self.exit_dev, bps, exit_args,
                 jnp.asarray(offs), jnp.asarray(n_valid),
@@ -522,7 +568,12 @@ class BatchedSessionEngine(_BaseSlotEngine):
         return path_words(self.graph, path, entered)
 
     def _device_backtrace_all(self, final: bool):
-        """One dispatch: backtrace EVERY slot on device; pull [B, Tmax]."""
+        """One dispatch: backtrace EVERY slot on device; pull [B, Tmax].
+        Cached per (tick, final): delta/bp_dev only change inside tick()."""
+        key = (self.ticks, final)
+        hit = self._bt_cache.get(key)
+        if hit is not None:
+            return hit
         n = jnp.asarray(self._n_frames_vec())
         if final:
             path, entered = _bt_final(
@@ -533,7 +584,11 @@ class BatchedSessionEngine(_BaseSlotEngine):
             path, entered = _bt_partial(
                 self.bp_dev, self.exit_dev, n, self.delta
             )
-        return np.asarray(path), np.asarray(entered)
+        res = (np.asarray(path), np.asarray(entered))
+        if next(iter(self._bt_cache), (self.ticks,))[0] != self.ticks:
+            self._bt_cache.clear()   # drop stale tick's entries
+        self._bt_cache[key] = res
+        return res
 
     def partial(self, sid, delta_np: Optional[np.ndarray] = None) -> List[str]:
         """Best-so-far hypothesis. In host mode, pass ``delta_np =

@@ -91,3 +91,13 @@ def test_sp_score_step_sharded_logits(mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
     assert "seq" in str(got.sharding.spec)
+
+
+def test_sp_shard_shorter_than_window_fails_loudly(mesh):
+    """A time shard shorter than the delta window cannot ship a full halo;
+    the clipped gathers would silently clamp VALID frames (round-3 ADVICE).
+    Must raise at trace time, not produce wrong deltas."""
+    tail = make_sp_feature_tail(mesh, window=2)
+    base = jnp.zeros((1, 8, 4), jnp.float32)   # Tl = 8/8 = 1 < window
+    with pytest.raises(ValueError, match="delta window"):
+        tail(base, jnp.asarray([8], jnp.int32))

@@ -198,17 +198,84 @@ def test_engine_device_history_matches_host_partials_and_finals(setup):
     assert got_dev == got_host
 
 
-def test_engine_device_history_overflow_guard(setup):
+def test_engine_device_overflow_truncates_not_crashes(setup):
+    """A session exceeding max_frames (device history) must NOT take the
+    engine down (round-3 ADVICE): it is truncated at the cap — flagged via
+    overflowed()/take_overflow_events(), still drainable and finalizable
+    with the hypothesis of its first max_frames frames — while co-resident
+    sessions finish untouched."""
     graph, gmm, fcfg, dcfg, score_fn, utts = setup
+    long_u = utts[0]
+    short_wave = utts[1].wave[:6000]   # ~35 frames: stays under the cap
+    cap = 78  # NOT a multiple of tick_frames: exercises mid-chunk truncation
+
+    # dedicated reference for the truncated session: identical streaming
+    # features, decode only the first `cap` frames
+    fe = StreamingFrontend(fcfg)
+    parts = [fe.process(long_u.wave), fe.finalize()]
+    fa = np.concatenate([p for p in parts if p.size], axis=0)[:cap]
+    graphs = {k: jnp.asarray(v) for k, v in gr.batch_graphs([graph]).items()}
+    dec = OnlineDecoder(graphs, acoustic_scale=dcfg.acoustic_scale)
+    dec.process(pipe.score_batch(jnp.asarray(fa[None]), gmm),
+                np.asarray([fa.shape[0]]))
+    path, entered, _ = dec.finalize()
+    want_long = _words_of(graph, path[0], entered[0])
+    want_short = _dedicated(graph, gmm, fcfg, dcfg, short_wave)
+
     eng = BatchedSessionEngine(
-        graph, score_fn, fcfg, dcfg, capacity=1, tick_frames=8,
-        history="device", max_frames=8,
+        graph, score_fn, fcfg, dcfg, capacity=2, tick_frames=8,
+        history="device", max_frames=cap,
     )
-    assert eng.start("s")
-    eng.feed("s", utts[0].wave[:16000])  # ~100 frames >> max_frames=8
-    with pytest.raises(RuntimeError, match="max_frames"):
-        for _ in range(40):  # frames trickle through the spectral stage
-            eng.tick()
+    assert eng.start("long") and eng.start("short")
+    eng.feed("long", long_u.wave)
+    eng.feed("short", short_wave)
+    eng.end("long")
+    eng.end("short")
+    for _ in range(200):
+        if eng.drained("long") and eng.drained("short"):
+            break
+        eng.tick()
+    assert eng.drained("long") and eng.drained("short")
+    assert eng.overflowed("long") and not eng.overflowed("short")
+    assert eng.take_overflow_events() == ["long"]
+    assert eng.take_overflow_events() == []   # reported once
+    words_long, _ = eng.finalize("long")
+    words_short, _ = eng.finalize("short")
+    assert words_long == want_long
+    assert words_short == want_short
+
+
+def test_engine_device_backtrace_cached_per_tick(setup, monkeypatch):
+    """Looping partial(sid) between ticks must cost ONE backtrace dispatch
+    (round-3 ADVICE): the per-(tick, final) cache serves repeat calls, and a
+    new tick invalidates it."""
+    import mogasr.serving.engine as E
+
+    graph, gmm, fcfg, dcfg, score_fn, utts = setup
+    calls = {"n": 0}
+    orig = E._bt_partial
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(E, "_bt_partial", counting)
+    eng = BatchedSessionEngine(
+        graph, score_fn, fcfg, dcfg, capacity=2, tick_frames=8,
+        history="device", max_frames=256,
+    )
+    assert eng.start("a") and eng.start("b")
+    eng.feed("a", utts[0].wave[:8000])
+    eng.feed("b", utts[1].wave[:8000])
+    for _ in range(6):
+        eng.tick()
+    p_a, p_b = eng.partial("a"), eng.partial("b")
+    assert calls["n"] == 1                       # second call was cached
+    assert eng.partials(["a", "b"]) == {"a": p_a, "b": p_b}
+    assert calls["n"] == 1
+    eng.tick()
+    eng.partial("a")
+    assert calls["n"] == 2                       # new tick -> recompute
 
 
 def test_engine_rejects_duplicate_and_overflow(setup):
