@@ -1,0 +1,114 @@
+"""Run the full test suite to completion in sharded pytest processes.
+
+Why this exists (VERDICT r3, missing #1): a single-process `pytest tests/ -q`
+run reproducibly segfaults (exit 139) inside XLA CPU compilation
+(`backend_compile_and_load`) at ~82% progress, during
+`test_serving_engine.py::test_aed_engine_matches_dedicated_sessions` —
+with >100 GB RAM free, and with the same test passing in a fresh process.
+The crash is a suite-context artifact of accumulated XLA compiler state
+(hundreds of distinct CPU executables JIT-compiled into one process), not of
+any test's content.  Until the upstream compiler issue is gone, the canonical
+full-suite invocation is:
+
+    /opt/venv/bin/python tests/run_all.py
+
+which partitions the test files into a few alphabetical shards, runs each in
+a fresh interpreter (so no shard accumulates enough compiler state to hit the
+crash), and aggregates pass/fail counts.  Exit code 0 iff every shard's
+pytest exited 0.
+
+Cost model: each shard pays jax import (~10 s) plus rebuilding the
+session-scoped fixtures its files use (`trained_system`/`mini_system`,
+~20-40 s each), so shard count is kept low (default 4).  Use --shards to
+override, -k/-x are forwarded to every shard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import subprocess
+import sys
+import time
+
+SUMMARY_RE = re.compile(
+    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
+)
+
+
+def shard_files(files: list[str], n: int) -> list[list[str]]:
+    """Contiguous alphabetical shards, balanced by file count."""
+    shards: list[list[str]] = [[] for _ in range(n)]
+    base, rem = divmod(len(files), n)
+    i = 0
+    for s in range(n):
+        take = base + (1 if s < rem else 0)
+        shards[s] = files[i : i + take]
+        i += take
+    return [s for s in shards if s]
+
+
+def parse_counts(tail: str) -> dict[str, int]:
+    counts = {"passed": 0, "failed": 0, "skipped": 0, "error": 0}
+    for line in reversed(tail.splitlines()):
+        if ("passed" in line or "failed" in line) and ("=" in line or "in " in line):
+            for n, key in re.findall(r"(\d+) (passed|failed|skipped|error)", line):
+                counts[key] += int(n)
+            break
+    return counts
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("-k", default=None, help="forwarded to pytest")
+    ap.add_argument("-x", action="store_true", help="forwarded to pytest")
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    files = sorted(
+        os.path.relpath(f, repo) for f in glob.glob(os.path.join(here, "test_*.py"))
+    )
+    shards = shard_files(files, args.shards)
+
+    totals = {"passed": 0, "failed": 0, "skipped": 0, "error": 0}
+    failed_shards: list[int] = []
+    t0 = time.time()
+    for i, shard in enumerate(shards):
+        cmd = [sys.executable, "-m", "pytest", "-q", *shard]
+        if args.k:
+            cmd += ["-k", args.k]
+        if args.x:
+            cmd += ["-x"]
+        print(f"[shard {i + 1}/{len(shards)}] {len(shard)} files "
+              f"({shard[0]} .. {shard[-1]})", flush=True)
+        proc = subprocess.run(cmd, cwd=repo, capture_output=True, text=True)
+        tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
+        counts = parse_counts(tail)
+        for k in totals:
+            totals[k] += counts[k]
+        status = "ok" if proc.returncode == 0 else f"EXIT {proc.returncode}"
+        print(f"[shard {i + 1}] {status}: {counts['passed']} passed, "
+              f"{counts['failed']} failed, {counts['skipped']} skipped "
+              f"({time.time() - t0:.0f}s elapsed)", flush=True)
+        if proc.returncode != 0:
+            failed_shards.append(i + 1)
+            print(tail, flush=True)
+        if args.x and proc.returncode != 0:
+            break
+
+    print(f"\nTOTAL: {totals['passed']} passed, {totals['failed']} failed, "
+          f"{totals['skipped']} skipped across {len(shards)} shards "
+          f"in {time.time() - t0:.0f}s")
+    if failed_shards:
+        print(f"FAILED shards: {failed_shards}")
+        return 1
+    print("ALL SHARDS GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
