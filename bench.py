@@ -25,6 +25,7 @@ Prints ONE JSON line.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import statistics
@@ -73,6 +74,7 @@ def _cpu_baseline(utts, fcfg, score_np, viterbi_cpu, total_frames, n_utts):
     n_slices = 4
     reps = 3
     per_frame_costs = []
+    raw_per_frame_us = []
     for u in utts[:n_slices]:
         wave_slice = u.wave[: (cpu_frames - 1) * fcfg.frame_shift + fcfg.frame_length]
 
@@ -90,12 +92,23 @@ def _cpu_baseline(utts, fcfg, score_np, viterbi_cpu, total_frames, n_utts):
             one()
             times.append(time.perf_counter() - t0)
         per_frame_costs.append(statistics.median(times) / nf)
+        raw_per_frame_us.append([round(1e6 * t / nf, 2) for t in times])
     per_frame = statistics.median(per_frame_costs)
     cpu_total = per_frame * total_frames
+    # Spread (round-3 VERDICT item 8): the per-slice medians' min/max give a
+    # conservative interval on the extrapolated CPU utt/s — the protocol's
+    # only free variable is which slice's per-frame cost represents the
+    # corpus, so the slice spread IS the protocol uncertainty.
+    ci = [
+        round(n_utts / (max(per_frame_costs) * total_frames), 4),
+        round(n_utts / (min(per_frame_costs) * total_frames), 4),
+    ]
     return n_utts / cpu_total, {
         "slices": n_slices, "frames_per_slice": cpu_frames, "reps": reps,
         "estimator": "median-of-reps then median-of-slices, frame-extrapolated",
-    }
+        "raw_per_frame_us": raw_per_frame_us,
+        "slice_per_frame_us": [round(1e6 * c, 2) for c in per_frame_costs],
+    }, ci
 
 
 def main() -> None:
@@ -256,10 +269,31 @@ def main() -> None:
     w_np, mu_np, var_np = (np.asarray(gmm.weights), np.asarray(gmm.means),
                            np.asarray(gmm.vars))
     total_frames = sum(fcfg.num_frames(len(u.wave)) for u in utts)
-    cpu_utts_per_sec, cpu_protocol = _cpu_baseline(
+    cpu_utts_per_sec, cpu_protocol, cpu_ci = _cpu_baseline(
         utts, fcfg, lambda f: gmm_loglik_np_gemm(f, w_np, mu_np, var_np),
         cpu_viterbi, total_frames, n_utts,
     )
+    # Drift flag (round-3 VERDICT item 8): the r2→r3 CPU denominator moved
+    # 1.7x under a "pinned" protocol with no code change — pure host-load /
+    # BLAS-threading noise. Compare against the newest committed BENCH_r*.json
+    # and flag >20% swings so vs_baseline changes are visibly protocol noise.
+    cpu_drift = None
+    prior = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prior:
+        try:
+            with open(prior[-1]) as f:
+                prev = json.load(f).get("cpu_utts_per_sec")
+            if prev and abs(cpu_utts_per_sec - prev) / prev > 0.20:
+                cpu_drift = {
+                    "prev_round_cpu_utts_per_sec": prev,
+                    "ratio": round(cpu_utts_per_sec / prev, 2),
+                    "note": "CPU denominator moved >20% between rounds under "
+                            "the pinned protocol; treat the vs_baseline swing "
+                            "as host-measurement noise, not a system change",
+                }
+        except (json.JSONDecodeError, OSError):
+            pass
 
     # ---- GMM-kernel steady-state sweep at the BASELINE configs[1] scoring
     # scale (1000 states x 256 comps), many dispatches + one sync.
@@ -339,6 +373,8 @@ def main() -> None:
                 "passes_per_window": passes,
                 "audio_seconds": round(audio_seconds, 1),
                 "cpu_utts_per_sec": round(cpu_utts_per_sec, 4),
+                "cpu_ci": cpu_ci,
+                "cpu_drift_flag": cpu_drift,
                 "cpu_protocol": cpu_protocol,
                 "gmm_kernel_scale": f"{S0}x{K0}x{D0}",
                 "gmm_kernel_tflops_useful": round(k_tflops, 1),
