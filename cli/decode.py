@@ -41,7 +41,9 @@ def main() -> None:
                         "--gmm-ckpt/--lexicon/--num-*")
     p.add_argument("--num-states", type=int, default=0)
     p.add_argument("--num-components", type=int, default=8)
-    p.add_argument("--am", default="gmm", choices=["gmm", "mlp", "lstm", "blstm", "tdnn", "conformer"],
+    p.add_argument("--am", default="gmm",
+                   choices=["gmm", "mlp", "lstm", "blstm", "tdnn",
+                            "conformer", "moe"],
                    help="acoustic model: GMM or a trained neural classifier")
     p.add_argument("--nn-ckpt", help="orbax NN checkpoint dir (from train_nn)")
     p.add_argument("--ctc", action="store_true",
@@ -127,6 +129,8 @@ def main() -> None:
                         "epilogue and Viterbi stay f32 in every mode")
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
+    p.add_argument("--nn-experts", type=int, default=4,
+                   help="with --am moe: expert count — must match training")
     p.add_argument("--mode", default="word", choices=["word", "phone"])
     p.add_argument("--bigram-lm", action="store_true",
                    help="decode with a bigram word LM estimated from the "
@@ -292,7 +296,8 @@ def main() -> None:
         if not args.nn_ckpt:
             raise SystemExit("--nn-ckpt is required with --am mlp/lstm")
         tcfg = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
-                           nn_layers=args.nn_layers)
+                           nn_layers=args.nn_layers,
+                           nn_experts=args.nn_experts)
         if args.aed:
             import numpy as _np
 

@@ -79,7 +79,8 @@ def main() -> None:
                         "(train_nn --rnnt-pruned-band): tree has the "
                         "factored simple_am/simple_lm heads")
     p.add_argument("--am", default="gmm",
-                   choices=["gmm", "mlp", "lstm", "blstm", "tdnn", "conformer"],
+                   choices=["gmm", "mlp", "lstm", "blstm", "tdnn",
+                            "conformer", "moe"],
                    help="acoustic model for the standard word-loop sweep: "
                         "gmm (default) or a trained HYBRID frame classifier "
                         "(needs --nn-ckpt; incompatible with --bundle and the "
@@ -100,6 +101,8 @@ def main() -> None:
                    choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
     p.add_argument("--nn-hidden", type=int, default=512)
     p.add_argument("--nn-layers", type=int, default=3)
+    p.add_argument("--nn-experts", type=int, default=4,
+                   help="with --am moe: expert count — must match training")
     p.add_argument("--streaming", action="store_true",
                    help="extract features through the chunked streaming front "
                         "end (BASELINE config[4]) instead of the offline batch path")
@@ -269,7 +272,8 @@ def main() -> None:
             from mogasr.utils.checkpoint import restore_checkpoint
 
             tcfg_h = TrainConfig(nn_arch=args.am, nn_hidden=args.nn_hidden,
-                                 nn_layers=args.nn_layers)
+                                 nn_layers=args.nn_layers,
+                                 nn_experts=args.nn_experts)
             nn_model_h = build_model(args.am, topo.n_pdfs, tcfg_h)
             template_h = {
                 "params": init_train_state(

@@ -41,9 +41,15 @@ def main() -> None:
     add_corpus_args(p)
     add_run_args(p)
     add_augment_args(p)
-    p.add_argument("--arch", default="mlp", choices=["mlp", "lstm", "blstm", "tdnn", "conformer"])
+    p.add_argument("--arch", default="mlp",
+                   choices=["mlp", "lstm", "blstm", "tdnn", "conformer", "moe"])
     p.add_argument("--hidden", type=int, default=512)
     p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--experts", type=int, default=4,
+                   help="with --arch moe: number of top-1-routed FFN experts "
+                        "(CE objective; decode with --am moe --nn-experts; "
+                        "expert-parallel over an ('expert',) mesh via "
+                        "mogasr.dist.expert_parallel)")
     p.add_argument("--steps", type=int, default=500)  # must be >= 1
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--spec-augment", action="store_true",
@@ -140,6 +146,11 @@ def main() -> None:
     args = p.parse_args()
     if args.steps < 1:
         raise SystemExit("--steps must be >= 1")
+    if args.arch == "moe" and args.objective != "ce":
+        raise SystemExit(
+            "--arch moe supports --objective ce (the hybrid CE path collects "
+            "the MoE load-balance aux loss; the CTC/RNN-T/AED/MPC steps "
+            "would silently drop it)")
 
     import jax
     import jax.numpy as jnp
@@ -345,7 +356,7 @@ def main() -> None:
 
     tcfg = TrainConfig(
         nn_arch=args.arch, nn_hidden=args.hidden, nn_layers=args.layers,
-        lr=args.lr, num_nn_steps=args.steps,
+        nn_experts=args.experts, lr=args.lr, num_nn_steps=args.steps,
     )
     model = build_model(args.arch, topo.n_pdfs, tcfg)
     state = init_train_state(model, tcfg, fcfg.feat_dim + ivec_rank,

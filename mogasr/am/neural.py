@@ -233,6 +233,92 @@ class ConformerAm(nn.Module):
         return self.head(enc), n_out
 
 
+def moe_block_dense(
+    x: jax.Array,        # [N, H] tokens
+    Wr: jax.Array,       # [H, E] router
+    W1: jax.Array,       # [E, H, F]
+    b1: jax.Array,       # [E, F]
+    W2: jax.Array,       # [E, F, H]
+    b2: jax.Array,       # [E, H]
+    valid: jax.Array,    # [N] bool — load-balance loss counts valid tokens only
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-1-routed MoE FFN, dense single-device execution: every token is
+    computed through every expert and the routed one selected (E-fold FLOPs
+    but zero dynamism — the XLA-friendly form at single-chip scale). The
+    expert-parallel twin (mogasr.dist.expert_parallel.make_moe_am_ep_train_step)
+    executes the SAME parameters with all_to_all dispatch over an
+    ('expert',) mesh and is equality-tested against this.
+
+    Returns (y [N, H], load_balance_loss scalar) — the Switch-style balance
+    term E * sum_e mean(gate_prob_e) * mean(route_frac_e) over valid tokens.
+    """
+    n_exp = Wr.shape[1]
+    scores = x @ Wr                                        # [N, E]
+    probs = jax.nn.softmax(scores, axis=-1)
+    e = jnp.argmax(scores, axis=-1)                        # [N]
+    gate = jnp.take_along_axis(probs, e[:, None], axis=-1)[:, 0]
+    ys = jnp.einsum("nh,ehf->nef", x, W1) + b1[None]
+    ys = jnp.einsum("nef,efh->neh", jax.nn.relu(ys), W2) + b2[None]
+    y = gate[:, None] * ys[jnp.arange(x.shape[0]), e]      # [N, H]
+    vw = valid.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(vw), 1.0)
+    me = jnp.sum(probs * vw[:, None], axis=0) / n_valid
+    onehot = jax.nn.one_hot(e, n_exp, dtype=jnp.float32)
+    ce = jnp.sum(onehot * vw[:, None], axis=0) / n_valid
+    lb = n_exp * jnp.sum(me * ce)
+    return y, lb
+
+
+class MoeAm(nn.Module):
+    """Mixture-of-experts frame classifier: spliced context -> input
+    projection -> ``layers`` pre-LN residual MoE FFN blocks (top-1 routing)
+    -> head. The production expert-parallel architecture: per-expert FFN
+    stacks shard over an ('expert',) mesh with all_to_all token dispatch
+    (mogasr.dist.expert_parallel), while this dense form serves single-chip
+    training and all decode/scoring paths unchanged.
+
+    Load-balance losses are sown into the "losses" collection; the training
+    step (make_train_step) applies with mutable=["losses"] and adds
+    ``cfg.moe_lb_weight`` times their sum. Plain ``apply`` (scorers,
+    decoders) silently drops them — sow is a no-op when the collection is
+    immutable — so every existing consumer of [B, T, n_pdfs] logits works.
+    """
+
+    n_pdfs: int
+    hidden: int = 512
+    layers: int = 2
+    context: int = 4
+    n_experts: int = 4
+    ffn: int = 0  # 0 -> 2 * hidden
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
+        B, T, _ = feats.shape
+        ffn = self.ffn or 2 * self.hidden
+        x = splice_frames(feats, n_frames, self.context)
+        x = nn.Dense(self.hidden, name="in_proj")(x)       # [B, T, H]
+        valid = (jnp.arange(T)[None, :] < n_frames[:, None]).reshape(-1)
+        s_h = 1.0 / np.sqrt(self.hidden)
+        s_f = 1.0 / np.sqrt(ffn)
+        for l in range(self.layers):
+            h = nn.LayerNorm(name=f"ln_{l}")(x).reshape(B * T, self.hidden)
+            Wr = self.param(f"Wr_{l}", nn.initializers.normal(s_h),
+                            (self.hidden, self.n_experts))
+            W1 = self.param(f"W1_{l}", nn.initializers.normal(s_h),
+                            (self.n_experts, self.hidden, ffn))
+            b1 = self.param(f"b1_{l}", nn.initializers.zeros,
+                            (self.n_experts, ffn))
+            W2 = self.param(f"W2_{l}", nn.initializers.normal(s_f),
+                            (self.n_experts, ffn, self.hidden))
+            b2 = self.param(f"b2_{l}", nn.initializers.zeros,
+                            (self.n_experts, self.hidden))
+            y, lb = moe_block_dense(h, Wr, W1, b1, W2, b2, valid)
+            self.sow("losses", f"moe_lb_{l}", lb)
+            x = x + y.reshape(B, T, self.hidden)
+        x = nn.LayerNorm(name="ln_out")(x)
+        return nn.Dense(self.n_pdfs, name="head")(x)
+
+
 def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
     if arch == "conformer":
         return ConformerAm(
@@ -246,6 +332,12 @@ def build_model(arch: str, n_pdfs: int, cfg: TrainConfig) -> nn.Module:
         return BlstmAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=max(cfg.nn_layers - 1, 1))
     if arch == "tdnn":
         return TdnnAm(n_pdfs=n_pdfs, hidden=cfg.nn_hidden, layers=cfg.nn_layers)
+    if arch == "moe":
+        return MoeAm(
+            n_pdfs=n_pdfs, hidden=cfg.nn_hidden,
+            layers=max(cfg.nn_layers - 1, 1), context=cfg.nn_context,
+            n_experts=cfg.nn_experts, ffn=cfg.moe_ffn,
+        )
     raise ValueError(f"unknown arch {arch!r}")
 
 

@@ -41,7 +41,10 @@ def init_train_state(
     model, cfg: TrainConfig, feat_dim: int, key: jax.Array
 ) -> TrainState:
     dummy = jnp.zeros((2, 8, feat_dim), jnp.float32)
-    params = model.init(key, dummy, jnp.asarray([8, 8]))
+    # keep only the "params" collection: init also returns any collections
+    # sown during the trace (MoeAm's "losses"), which must not enter the
+    # trainable tree / optimizer state / checkpoint template
+    params = {"params": model.init(key, dummy, jnp.asarray([8, 8]))["params"]}
     opt = make_optimizer(cfg)
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
@@ -65,14 +68,22 @@ def make_train_step(model, cfg: TrainConfig, spec_augment: bool = False):
             feats_in = feats
 
         def loss_fn(params):
-            logits = model.apply(params, feats_in, n_frames)
-            return frame_ce_loss(logits, labels)
+            # mutable=["losses"] collects aux losses modules sow (MoeAm's
+            # load-balance terms); archs that sow nothing yield an empty
+            # dict, so this is one code path for every architecture.
+            logits, mut = model.apply(
+                params, feats_in, n_frames, mutable=["losses"])
+            ce, acc = frame_ce_loss(logits, labels)
+            aux = sum(jax.tree_util.tree_leaves(mut.get("losses", {})),
+                      start=jnp.zeros(()))
+            return ce + cfg.moe_lb_weight * aux, (ce, acc)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (ce, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), {
-            "loss": loss,
+            "loss": ce,
             "frame_acc": acc,
         }
 

@@ -140,6 +140,11 @@ class TrainConfig:
     nn_hidden: int = 512
     nn_layers: int = 3
     nn_context: int = 4  # frames of left/right context for the MLP splice
+    # MoE (arch="moe"): top-1-routed expert FFN blocks; expert-parallel over
+    # an ('expert',) mesh in mogasr.dist.expert_parallel
+    nn_experts: int = 4
+    moe_ffn: int = 0  # expert FFN width; 0 -> 2 * nn_hidden
+    moe_lb_weight: float = 0.01  # Switch-style load-balance aux loss weight
     lr: float = 1e-3
     weight_decay: float = 1e-5
     batch_frames: int = 8192

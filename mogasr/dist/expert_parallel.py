@@ -28,6 +28,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -137,6 +138,197 @@ def make_moe_forward(mesh: Mesh, capacity: int):
                       params["bo"], x)
 
     return forward
+
+
+# ---------------------------------------------------------------------------
+# Production MoeAm expert parallelism (round-4 graduation, VERDICT r3 item 7):
+# the SAME flax parameter tree that mogasr.am.neural.MoeAm trains densely on
+# one chip executes here with all_to_all token dispatch over an ('expert',)
+# mesh — one expert's FFN stack per device, router/projections replicated —
+# and the full production train step (optax AdamW from make_optimizer, frame
+# CE + load-balance aux) runs jitted over the mesh. Equality vs the dense
+# module is tested at full capacity (tests/test_expert_parallel.py) and the
+# step is exercised by __graft_entry__.dryrun_multichip.
+# ---------------------------------------------------------------------------
+
+
+def _ln(x, p, eps=1e-6):
+    """flax nn.LayerNorm (fast-variance form) as a pure function."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    mu2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    var = jnp.maximum(mu2 - mu * mu, 0.0)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def moe_am_param_specs(params) -> object:
+    """PartitionSpec tree for a MoeAm param pytree: per-expert FFN stacks
+    (W1_l/b1_l/W2_l/b2_l, expert-major axis 0) shard over 'expert'; router,
+    projections, and norms replicate."""
+    def spec_of(path, _leaf):
+        name = str(path[-2].key if len(path) >= 2 else "")
+        leafname = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        for n in (name, leafname):
+            if any(n.startswith(pfx) for pfx in ("W1_", "b1_", "W2_", "b2_")):
+                return P("expert")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def shard_moe_am_params(params, mesh: Mesh):
+    """device_put a dense-trained MoeAm param tree onto the EP mesh."""
+    specs = moe_am_param_specs(params)
+    return jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)), params, specs)
+
+
+def _ep_moe_block(x, Wr, W1, b1, W2, b2, valid, capacity: int):
+    """One top-1 MoE FFN block on local tokens x [n, H], local expert
+    weights W1 [1, H, F] (this device's expert), replicated router Wr.
+    Mirrors mogasr.am.neural.moe_block_dense token-for-token when no token
+    overflows ``capacity``; overflowed tokens combine with weight exactly 0
+    (Switch drop rule). Returns (y [n, H], load_balance_loss replicated)."""
+    n_exp = Wr.shape[1]
+    n, H = x.shape
+    scores = x @ Wr
+    probs = jax.nn.softmax(scores, axis=-1)
+    e = jnp.argmax(scores, axis=-1)
+    gate = jnp.take_along_axis(probs, e[:, None], axis=-1)[:, 0]
+    onehot = jax.nn.one_hot(e, n_exp, dtype=jnp.int32)
+    rank = jnp.cumsum(onehot, axis=0) - onehot
+    r = jnp.take_along_axis(rank, e[:, None], axis=-1)[:, 0]
+    keep = r < capacity
+    slot = jnp.minimum(r, capacity - 1)
+    buf = jnp.zeros((n_exp, capacity, H), x.dtype)
+    buf = buf.at[e, slot].add(jnp.where(keep[:, None], x, 0.0))
+    recv = jax.lax.all_to_all(
+        buf, "expert", split_axis=0, concat_axis=0, tiled=True)
+    y = _expert_ffn(W1[0], b1[0], W2[0], b2[0],
+                    recv.reshape(n_exp * capacity, H))
+    back = jax.lax.all_to_all(
+        y.reshape(n_exp, capacity, H), "expert",
+        split_axis=0, concat_axis=0, tiled=True)
+    out = back[e, slot]
+    out = jnp.where(keep[:, None], gate[:, None] * out, 0.0)
+    # load balance over GLOBAL valid tokens — psum of sums / psum of counts
+    # reproduces the dense module's single-device mean exactly
+    vw = valid.astype(jnp.float32)
+    nv = jnp.maximum(jax.lax.psum(jnp.sum(vw), "expert"), 1.0)
+    me = jax.lax.psum(jnp.sum(probs * vw[:, None], axis=0), "expert") / nv
+    ce = jax.lax.psum(
+        jnp.sum(onehot.astype(jnp.float32) * vw[:, None], axis=0),
+        "expert") / nv
+    lb = n_exp * jnp.sum(me * ce)
+    return out, lb
+
+
+def _moe_am_body(model, params, feats, n_frames, capacity: int):
+    """MoeAm forward on one device's batch shard, inside shard_map. Returns
+    (logits [b, T, P] local, lb_sum replicated, valid [b*T] local)."""
+    from mogasr.am.neural import splice_frames
+
+    p = params["params"]
+    B, T, _ = feats.shape
+    H = model.hidden
+    x = splice_frames(feats, n_frames, model.context)
+    x = x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]
+    valid = (jnp.arange(T)[None, :] < n_frames[:, None]).reshape(-1)
+    lb_sum = jnp.zeros(())
+    for l in range(model.layers):
+        h = _ln(x, p[f"ln_{l}"]).reshape(B * T, H)
+        y, lb = _ep_moe_block(
+            h, p[f"Wr_{l}"], p[f"W1_{l}"], p[f"b1_{l}"],
+            p[f"W2_{l}"], p[f"b2_{l}"], valid, capacity)
+        lb_sum = lb_sum + lb
+        x = x + y.reshape(B, T, H)
+    x = _ln(x, p["ln_out"])
+    logits = x @ p["head"]["kernel"] + p["head"]["bias"]
+    return logits, lb_sum, valid
+
+
+def make_moe_am_ep_forward(model, mesh: Mesh, capacity: int):
+    """Jitted EP forward: (sharded params, feats [B, T, D], n_frames [B]) ->
+    logits [B, T, n_pdfs], batch-sharded over 'expert'. At capacity >=
+    (local tokens) this equals MoeAm.apply exactly (tested)."""
+    if mesh.shape["expert"] != model.n_experts:
+        raise ValueError(
+            f"EP needs one expert per device: mesh has {mesh.shape['expert']} "
+            f"devices, model has {model.n_experts} experts")
+
+    def fwd(params, feats, n_frames):
+        logits, _lb, _v = _moe_am_body(model, params, feats, n_frames, capacity)
+        return logits
+
+    @jax.jit
+    def forward(params, feats, n_frames):
+        mapped = shard_map(
+            fwd, mesh=mesh,
+            in_specs=(moe_am_param_specs(params), P("expert"), P("expert")),
+            out_specs=P("expert"),
+        )
+        return mapped(params, feats, n_frames)
+
+    return forward
+
+
+def make_moe_am_ep_train_step(model, cfg, mesh: Mesh, capacity: int):
+    """The production EP train step: frame CE on forced-alignment labels +
+    cfg.moe_lb_weight * load-balance aux, optax AdamW (the exact optimizer
+    of the dense path, am.train_nn.make_optimizer), gradients flowing
+    through both all_to_all shuffles; expert grads (and their AdamW moments)
+    land expert-sharded. Call with params from shard_moe_am_params and
+    opt_state from ep_opt_init."""
+    from mogasr.am.train_nn import make_optimizer
+
+    if mesh.shape["expert"] != model.n_experts:
+        raise ValueError(
+            f"EP needs one expert per device: mesh has {mesh.shape['expert']} "
+            f"devices, model has {model.n_experts} experts")
+    opt = make_optimizer(cfg)
+
+    def loss_body(params, feats, n_frames, labels):
+        logits, lb_sum, _valid = _moe_am_body(
+            model, params, feats, n_frames, capacity)
+        lv = labels >= 0
+        safe = jnp.maximum(labels, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
+        n = jnp.maximum(jax.lax.psum(jnp.sum(lv), "expert"), 1)
+        ce = jax.lax.psum(jnp.sum(jnp.where(lv, nll, 0.0)), "expert") / n
+        acc = jax.lax.psum(jnp.sum(jnp.where(
+            lv, jnp.argmax(logits, -1) == safe, False)), "expert") / n
+        return ce + cfg.moe_lb_weight * lb_sum, ce, acc
+
+    def run(params, feats, n_frames, labels):
+        mapped = shard_map(
+            loss_body, mesh=mesh,
+            in_specs=(moe_am_param_specs(params), P("expert"),
+                      P("expert"), P("expert")),
+            out_specs=(P(), P(), P()),
+        )
+        return mapped(params, feats, n_frames, labels)
+
+    @jax.jit
+    def step(params, opt_state, feats, n_frames, labels):
+        def loss_fn(p):
+            loss, ce, acc = run(p, feats, n_frames, labels)
+            return loss, (ce, acc)
+
+        (_, (ce, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, opt_state2, {"loss": ce, "frame_acc": acc}
+
+    return step
+
+
+def ep_opt_init(model, cfg, params):
+    """AdamW state for the EP step (moments inherit the params' shardings
+    when initialized under jit on device_put params)."""
+    from mogasr.am.train_nn import make_optimizer
+
+    return jax.jit(make_optimizer(cfg).init)(params)
 
 
 def make_ep_train_step(mesh: Mesh, capacity: int, lr: float = 1e-2,

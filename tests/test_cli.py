@@ -148,6 +148,47 @@ def test_train_nn_then_nn_decode_cli(tmp_path, monkeypatch):
     assert len(lines) == 4
 
 
+def test_train_nn_moe_then_decode_cli(tmp_path, monkeypatch):
+    """--arch moe: the production MoE frame classifier trains through the
+    standard CE path (load-balance aux via the sown 'losses' collection) and
+    decodes through --am moe — the EP-sharded twin of this exact parameter
+    tree is equality-tested in test_expert_parallel.py."""
+    from cli import decode, train_nn
+
+    run_cli(
+        train_nn,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run"),
+         "--arch", "moe", "--hidden", "32", "--layers", "2", "--experts", "2",
+         "--steps", "10", "--bootstrap-iters", "2",
+         "--bootstrap-components", "1"],
+        monkeypatch,
+    )
+    metrics = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    done = [m for m in metrics if m.get("stage") == "train_nn_done"]
+    assert done and done[0]["steps"] == 10
+
+    out = str(tmp_path / "moe_hyp.jsonl")
+    run_cli(
+        decode,
+        ["--synthetic", "4", "--run-dir", str(tmp_path / "run2"),
+         "--am", "moe", "--nn-ckpt", str(tmp_path / "run" / "nn_moe"),
+         "--nn-hidden", "32", "--nn-layers", "2", "--nn-experts", "2",
+         "--out", out],
+        monkeypatch,
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 4
+
+    # moe is scoped to the CE objective — other objectives reject it loudly
+    with pytest.raises(SystemExit, match="moe supports --objective ce"):
+        run_cli(
+            train_nn,
+            ["--synthetic", "2", "--run-dir", str(tmp_path / "g"),
+             "--arch", "moe", "--objective", "ctc", "--steps", "1"],
+            monkeypatch,
+        )
+
+
 def test_eval_cli_hybrid_nn(tmp_path, monkeypatch):
     """eval --am mlp: the hybrid frame classifier through the DP-sharded
     word-loop sweep, at every precision tier."""

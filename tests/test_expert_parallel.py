@@ -90,6 +90,93 @@ def test_ep_train_step_improves_and_shards_grads(mesh):
     assert spec[0] == "expert"
 
 
+# ---------------------------------------------------------------------------
+# Production MoeAm graduation (round 4): --arch moe through build_model /
+# train_nn, EP twin executes the SAME flax param tree over the mesh.
+# ---------------------------------------------------------------------------
+
+
+def _moe_am_setup(seed=0, B=8, T=12, D=13, P_=7):
+    from mogasr.am.neural import build_model
+    from mogasr.am.train_nn import init_train_state
+    from mogasr.config import TrainConfig
+
+    cfg = TrainConfig(nn_arch="moe", nn_hidden=16, nn_layers=2,
+                      nn_context=1, nn_experts=E, num_nn_steps=10)
+    model = build_model("moe", P_, cfg)
+    state = init_train_state(model, cfg, D, jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    n_frames = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)))
+    labels = rng.integers(0, P_, size=(B, T))
+    labels[np.arange(T)[None, :] >= np.asarray(n_frames)[:, None]] = -1
+    return model, cfg, state, feats, n_frames, jnp.asarray(labels)
+
+
+def test_moe_am_dense_trains_and_scores():
+    """build_model('moe') trains under the standard make_train_step (aux
+    load-balance loss collected via the sown 'losses' collection) and plain
+    apply yields decode-ready [B, T, P] logits."""
+    from mogasr.am.train_nn import make_train_step
+
+    model, cfg, state, feats, n_frames, labels = _moe_am_setup()
+    logits = model.apply(state.params, feats, n_frames)
+    assert logits.shape == (8, 12, 7)
+    step = make_train_step(model, cfg)
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, feats, n_frames, labels)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+
+
+def test_moe_am_ep_forward_equals_dense_apply(mesh):
+    from mogasr.dist.expert_parallel import (
+        make_moe_am_ep_forward, shard_moe_am_params,
+    )
+
+    model, _cfg, state, feats, n_frames, _labels = _moe_am_setup(seed=4)
+    want = model.apply(state.params, feats, n_frames)
+    sharded = shard_moe_am_params(state.params, mesh)
+    # local tokens per device = (B/E)*T; capacity that big never drops
+    fwd = make_moe_am_ep_forward(model, mesh, capacity=12)
+    got = fwd(sharded, feats, n_frames)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_am_ep_train_step_matches_dense_step(mesh):
+    """One full production AdamW step: the EP path (CE + lb aux, grads
+    through both all_to_all shuffles, sharded moments) produces the SAME
+    updated parameters as the dense single-device make_train_step."""
+    from mogasr.am.train_nn import make_train_step
+    from mogasr.dist.expert_parallel import (
+        ep_opt_init, make_moe_am_ep_train_step, shard_moe_am_params,
+    )
+
+    model, cfg, state, feats, n_frames, labels = _moe_am_setup(seed=5)
+    step_d = make_train_step(model, cfg)
+    state_d, metrics_d = step_d(state, feats, n_frames, labels)
+
+    sharded = shard_moe_am_params(state.params, mesh)
+    opt_state = ep_opt_init(model, cfg, sharded)
+    step_ep = make_moe_am_ep_train_step(model, cfg, mesh, capacity=12)
+    new_params, _opt2, metrics_ep = step_ep(
+        sharded, opt_state, feats, n_frames, labels)
+
+    np.testing.assert_allclose(float(metrics_ep["loss"]),
+                               float(metrics_d["loss"]), rtol=1e-5)
+    flat_d = jax.tree_util.tree_leaves_with_path(state_d.params)
+    flat_e = dict(jax.tree_util.tree_leaves_with_path(new_params))
+    for path, leaf in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(flat_e[path]), np.asarray(leaf),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path))
+    # expert tensors and their AdamW moments stayed expert-sharded
+    assert new_params["params"]["W1_0"].sharding.spec[0] == "expert"
+
+
 def test_ep_grads_match_dense_reference(mesh):
     """With no drops, EP grads == dense-reference grads (the all_to_all
     transpose is correct for every parameter, router included)."""
