@@ -54,6 +54,10 @@ def main() -> None:
     p.add_argument("--out", default=None,
                    help="output JSON filename under benchmarks/ "
                         "(default results_serve.json)")
+    p.add_argument("--skip-gmm", action="store_true",
+                   help="skip the GMM engine + naive reference (A/B runs "
+                        "focused on one neural engine; the output JSON "
+                        "carries nulls for the GMM fields)")
     p.add_argument("--skip-ctc", action="store_true",
                    help="skip the neural-CTC engine row")
     p.add_argument("--skip-rnnt", action="store_true",
@@ -165,7 +169,8 @@ def main() -> None:
 
     # session length bound for the device-resident history (+drain margin)
     hist_frames = (n_tick + 8) * args.tick_frames
-    modes = (["device", "host"] if args.history == "both"
+    modes = ([] if args.skip_gmm
+             else ["device", "host"] if args.history == "both"
              else [args.history])
     engines = {}
     for mode in modes:
@@ -174,10 +179,13 @@ def main() -> None:
             tick_frames=args.tick_frames, history=mode,
             max_frames=hist_frames,
         )
-    eng = engines[modes[0]]
-    print(f"warmup (compiles: spectral [{args.capacity * args.tick_frames},"
-          f"{fcfg.frame_length}], score [{args.capacity},{args.tick_frames},"
-          f"{D}] on {S}x{K}, viterbi J={eng.J}) ...", flush=True)
+    if engines:
+        eng = engines[modes[0]]
+        print(f"warmup (compiles: spectral "
+              f"[{args.capacity * args.tick_frames},"
+              f"{fcfg.frame_length}], score [{args.capacity},"
+              f"{args.tick_frames},"
+              f"{D}] on {S}x{K}, viterbi J={eng.J}) ...", flush=True)
     for mode, e_ in engines.items():
         t0 = time.perf_counter()
         run_epoch(e_)
@@ -197,33 +205,39 @@ def main() -> None:
             mode_rates[mode].append(frames / dt)
             print(f"  epoch {e} [{mode}]: {frames} frames / {dt:.2f} s = "
                   f"{frames / dt:.0f} frames/s", flush=True)
-    prod_mode = "device" if "device" in mode_rates else modes[0]
-    epoch_rates = mode_rates[prod_mode]
-    eng_fps = statistics.median(epoch_rates)
     frames_per_rt_stream = sr / hop  # 100 frames per second of audio
-    eng_streams = eng_fps / frames_per_rt_stream
+    if engines:
+        prod_mode = "device" if "device" in mode_rates else modes[0]
+        epoch_rates = mode_rates[prod_mode]
+        eng_fps = statistics.median(epoch_rates)
+        eng_streams = eng_fps / frames_per_rt_stream
+    else:
+        prod_mode, epoch_rates, eng_fps, eng_streams = None, [], None, None
 
     # ---------------- naive per-session reference ----------------
-    graphs1 = {k: jnp.asarray(v) for k, v in gr.batch_graphs([graph]).items()}
+    naive_streams = None
+    if not args.skip_gmm:
+        graphs1 = {
+            k: jnp.asarray(v) for k, v in gr.batch_graphs([graph]).items()}
 
-    def naive_chunk_loop(n_chunks: int) -> float:
-        fe = StreamingFrontend(fcfg)
-        dec = OnlineDecoder(graphs1, acoustic_scale=dcfg.acoustic_scale)
-        w = waves[0]
-        t0 = time.perf_counter()
-        for i in range(n_chunks):
-            feats = fe.process(w[i * tick_samples:(i + 1) * tick_samples])
-            if feats.size:
-                dec.process(
-                    pipe.score_batch(jnp.asarray(feats[None]), gmm),
-                    np.asarray([feats.shape[0]]),
-                )
-                np.asarray(dec.delta)   # serve emits a partial per chunk
-        return time.perf_counter() - t0
+        def naive_chunk_loop(n_chunks: int) -> float:
+            fe = StreamingFrontend(fcfg)
+            dec = OnlineDecoder(graphs1, acoustic_scale=dcfg.acoustic_scale)
+            w = waves[0]
+            t0 = time.perf_counter()
+            for i in range(n_chunks):
+                feats = fe.process(w[i * tick_samples:(i + 1) * tick_samples])
+                if feats.size:
+                    dec.process(
+                        pipe.score_batch(jnp.asarray(feats[None]), gmm),
+                        np.asarray([feats.shape[0]]),
+                    )
+                    np.asarray(dec.delta)  # serve emits a partial per chunk
+            return time.perf_counter() - t0
 
-    naive_chunk_loop(4)  # warmup
-    dt = naive_chunk_loop(args.naive_chunks)
-    naive_streams = (args.naive_chunks * tick_samples / sr) / dt
+        naive_chunk_loop(4)  # warmup
+        dt = naive_chunk_loop(args.naive_chunks)
+        naive_streams = (args.naive_chunks * tick_samples / sr) / dt
 
     # ---------------- neural CTC engine (production-size LSTM) ----------
     ctc_row = None
@@ -388,10 +402,13 @@ def main() -> None:
         "ctc_engine": ctc_row,
         "rnnt_engine": rnnt_row,
         "aed_engine": aed_row,
-        "engine_streams_realtime": round(eng_streams, 1),
-        "naive_streams_realtime": round(naive_streams, 2),
-        "speedup": round(eng_streams / naive_streams, 1),
-        "engine_frames_per_sec": round(eng_fps, 1),
+        "engine_streams_realtime": (round(eng_streams, 1)
+                                    if eng_streams else None),
+        "naive_streams_realtime": (round(naive_streams, 2)
+                                   if naive_streams else None),
+        "speedup": (round(eng_streams / naive_streams, 1)
+                    if eng_streams and naive_streams else None),
+        "engine_frames_per_sec": round(eng_fps, 1) if eng_fps else None,
         "engine_history": prod_mode,
         "engine_history_ab": {
             m: [round(r, 1) for r in rs] for m, rs in mode_rates.items()

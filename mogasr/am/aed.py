@@ -681,17 +681,27 @@ def make_aed_decoder(
     length_penalty: float = 0.0,
     return_all: bool = False,
     fusion: Optional[jax.Array] = None,
+    early_exit: bool = True,
 ):
     """Jitted batched beam search: (feats, n_frames) -> (tokens [B, U_max],
     n_tokens [B], scores [B]).
 
-    One `lax.scan` over U_max decode steps; each step recomputes the causal
-    decoder over the full [B*K, U_max] token buffer and reads position u
-    (see module docstring for why recompute beats KV caches here).
-    Finished beams propagate unchanged (only eos, at zero cost). With
-    ctc_weight > 0 the final K hypotheses are rescored with the encoder's
-    CTC head: score = (1 - w) * att + w * log p_ctc (joint decoding,
-    rescoring flavor). length_penalty > 0 divides scores by
+    One decode loop over at most U_max steps; each step recomputes the
+    causal decoder over the full [B*K, U_max] token buffer and reads
+    position u (see module docstring for why recompute beats KV caches
+    here). Finished beams propagate unchanged (only eos, at zero cost).
+    ``early_exit`` (default) runs the loop as a `lax.while_loop` that stops
+    once EVERY beam of every row has emitted eos — bitwise-identical
+    hypotheses (post-finish steps are no-ops by construction: eos-only
+    expansion at unchanged scores), but the serving finals' token budget
+    (aed_final_max_tokens: U_max = 2 + T/4, a worst-case cap ~5-10x a real
+    transcript) stops costing its worst case; the engine's drain
+    finalization was the capacity-realtime bottleneck (round-3 VERDICT
+    item 3). ``early_exit=False`` keeps the fixed `lax.scan` (the A/B
+    reference; also what MWER fine-tuning differentiates through).
+    With ctc_weight > 0 the final K hypotheses are rescored with the
+    encoder's CTC head: score = (1 - w) * att + w * log p_ctc (joint
+    decoding, rescoring flavor). length_penalty > 0 divides scores by
     (n_tokens + 1)^penalty at the final ranking."""
     K, U = beam, max_tokens
     sos, eos, V = model.sos, model.eos, model.vocab
@@ -749,9 +759,24 @@ def make_aed_decoder(
             fin = jnp.take_along_axis(fin, src, axis=1) | (tok == eos)
             return (toks, top, fin), None
 
-        (toks, scores, fin), _ = jax.lax.scan(
-            step, (toks0, scores0, fin0), jnp.arange(U)
-        )
+        if early_exit:
+            def cond(carry):
+                _toks, _scores, fin_c, u = carry
+                return (u < U) & ~jnp.all(fin_c)
+
+            def body(carry):
+                toks_c, scores_c, fin_c, u = carry
+                (toks_c, scores_c, fin_c), _ = step(
+                    (toks_c, scores_c, fin_c), u)
+                return (toks_c, scores_c, fin_c, u + 1)
+
+            toks, scores, fin, _ = jax.lax.while_loop(
+                cond, body, (toks0, scores0, fin0, jnp.asarray(0, jnp.int32))
+            )
+        else:
+            (toks, scores, fin), _ = jax.lax.scan(
+                step, (toks0, scores0, fin0), jnp.arange(U)
+            )
         is_eos = toks == eos
         n_toks = jnp.where(
             is_eos.any(axis=-1), is_eos.argmax(axis=-1), U

@@ -928,6 +928,7 @@ class BatchedAedEngine(_BaseSlotEngine):
         final_bucket: int = 256,
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
+        final_early_exit: bool = True,
     ):
         from mogasr.am import aed as A
 
@@ -939,6 +940,10 @@ class BatchedAedEngine(_BaseSlotEngine):
         self.beam = int(beam)
         self.ctc_weight = float(ctc_weight)
         self.final_bucket = int(final_bucket)
+        # finals stop once every beam hits eos (identical hypotheses,
+        # tested) instead of paying the worst-case token budget
+        # aed_final_max_tokens(T)=2+T/4; False = the fixed-scan A/B arm
+        self.final_early_exit = bool(final_early_exit)
         B = self.capacity
         self.enc_state = A.aed_stream_init(model, B, fcfg.feat_dim)
         self._state0 = jax.tree_util.tree_map(jnp.copy, self.enc_state)
@@ -1014,6 +1019,7 @@ class BatchedAedEngine(_BaseSlotEngine):
                 self.model, self.params, beam=self.beam,
                 max_tokens=aed_final_max_tokens(t_bucket),
                 ctc_weight=self.ctc_weight,
+                early_exit=self.final_early_exit,
             )
             self._final_decoders[t_bucket] = dec
         return dec

@@ -166,6 +166,28 @@ def test_beam1_equals_stepwise_greedy():
         np.testing.assert_array_equal(toks[b, :n], buf[b, :n])
 
 
+def test_early_exit_beam_equals_full_scan():
+    """The while_loop early-exit decoder (default — the serving finals'
+    worst-case token budget must not cost its worst case) returns bitwise
+    the same hypotheses, counts, and scores as the fixed-length scan, with
+    a generous token budget so the exit path actually triggers."""
+    m = _tiny_model()
+    feats, n_frames, _, _, _ = _unit_task(seed=9, B=3)
+    params = m.init(
+        jax.random.key(2), feats, n_frames, jnp.zeros((3, 7), jnp.int32)
+    )
+    for kw in ({}, {"ctc_weight": 0.3}, {"return_all": True},
+               {"length_penalty": 0.5}):
+        d_fast = aed.make_aed_decoder(
+            m, params, beam=3, max_tokens=24, early_exit=True, **kw)
+        d_ref = aed.make_aed_decoder(
+            m, params, beam=3, max_tokens=24, early_exit=False, **kw)
+        fast = jax.tree.map(np.asarray, d_fast(feats, n_frames))
+        ref = jax.tree.map(np.asarray, d_ref(feats, n_frames))
+        for a, b in zip(fast, ref):
+            np.testing.assert_array_equal(a, b, err_msg=str(kw))
+
+
 def test_aed_train_step_spec_augment():
     """SpecAugment in the AED step: runs, finite loss, updates params, and
     masking actually changes the loss vs the clean step."""
