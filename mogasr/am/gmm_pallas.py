@@ -81,8 +81,31 @@ def _gmm_kernel_int8(
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
+def _chunk_expsum(scores, cmax, exp_dtype):
+    """sum_kk exp(scores[kk] - cmax), elementwise over the [TM, TS] tile.
+
+    exp_dtype=bfloat16 runs the transcendental passes (the dominant VPU cost
+    of sum mode: ~0.8 pass-units vs ~0.2 for max/add, TPU_NOTES round 4) in
+    bf16 with an f32 accumulator. Safe by construction: inputs are <= 0, so
+    exp outputs lie in [0, 1] where bf16's 8-bit mantissa gives ~2^-8
+    relative error per term — two orders below the bf16 GEMM's own error on
+    the scores themselves (~0.4 absolute at |score|~100), so the bf16
+    compute path's decode decisions are unchanged (tested)."""
+    if exp_dtype == jnp.bfloat16:
+        csum = jnp.exp((scores[0] - cmax).astype(jnp.bfloat16)).astype(
+            jnp.float32)
+        for kk in range(1, len(scores)):
+            csum = csum + jnp.exp(
+                (scores[kk] - cmax).astype(jnp.bfloat16)).astype(jnp.float32)
+        return csum
+    csum = jnp.exp(scores[0] - cmax)
+    for kk in range(1, len(scores)):
+        csum = csum + jnp.exp(scores[kk] - cmax)
+    return csum
+
+
 def _gmm_kernel_wide(
-    x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision, mode: str = "sum"
+    x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, ts: int, precision, mode: str = "sum", exp_dtype=jnp.float32
 ):
     """Wide-dot variant: ONE [TM, r] x [r, kc*TS] MXU dot per grid step
     (components of the state tile laid out as contiguous column groups),
@@ -117,9 +140,7 @@ def _gmm_kernel_wide(
 
         return
 
-    csum = jnp.exp(scores[0] - cmax)
-    for kk in range(1, kc):
-        csum = csum + jnp.exp(scores[kk] - cmax)
+    csum = _chunk_expsum(scores, cmax, exp_dtype)
     m_old = m_scr[:]
     m_new = jnp.maximum(m_old, cmax)
     s_scr[:] = s_scr[:] * jnp.exp(m_old - m_new) + csum * jnp.exp(cmax - m_new)
@@ -130,7 +151,7 @@ def _gmm_kernel_wide(
         out_ref[:] = m_scr[:] + jnp.log(s_scr[:])
 
 
-def _gmm_kernel(x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision, mode: str = "sum"):
+def _gmm_kernel(x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, precision, mode: str = "sum", exp_dtype=jnp.float32):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -168,9 +189,7 @@ def _gmm_kernel(x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, pre
 
         return
 
-    csum = jnp.exp(scores[0] - cmax)
-    for kk in range(1, kc):
-        csum = csum + jnp.exp(scores[kk] - cmax)
+    csum = _chunk_expsum(scores, cmax, exp_dtype)
 
     m_old = m_scr[:]
     m_new = jnp.maximum(m_old, cmax)
@@ -186,7 +205,7 @@ def _gmm_kernel(x_ref, ab_ref, out_ref, m_scr, s_scr, *, kc: int, n_kc: int, pre
     jax.jit,
     static_argnames=(
         "n_states", "n_comp", "tile_m", "tile_s", "kc", "compute_dtype",
-        "interpret", "layout", "mode",
+        "interpret", "layout", "mode", "exp_dtype",
     ),
 )
 def _gmm_loglik_pallas_impl(
@@ -202,6 +221,7 @@ def _gmm_loglik_pallas_impl(
     interpret: bool,
     layout: str = "chunked",   # chunked (kc small dots) | wide (one wide dot)
     mode: str = "sum",         # sum (exact logsumexp) | max (Viterbi approx)
+    exp_dtype: str = "float32",  # sum-mode epilogue transcendental dtype
 ) -> jax.Array:
     n, two_d = x2.shape
     r = _round_up(two_d + 2, 128)  # +2: ones-lanes that carry c (float paths)
@@ -286,6 +306,7 @@ def _gmm_loglik_pallas_impl(
             functools.partial(
                 _gmm_kernel_wide, kc=kc, n_kc=n_kc, ts=tile_s,
                 precision=precision, mode=mode,
+                exp_dtype=jnp.dtype(exp_dtype).type,
             ),
             in_specs=[
                 x_spec,
@@ -303,7 +324,9 @@ def _gmm_loglik_pallas_impl(
         )(x2p, abp, cp, sx, sab)
     else:
         out = pl.pallas_call(
-            functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc, precision=precision, mode=mode),
+            functools.partial(_gmm_kernel, kc=kc, n_kc=n_kc,
+                              precision=precision, mode=mode,
+                              exp_dtype=jnp.dtype(exp_dtype).type),
             in_specs=[x_spec, ab_spec],
             **common,
         )(x2p, abp)
@@ -328,6 +351,7 @@ def gmm_loglik_pallas(
     interpret: Optional[bool] = None,
     layout: str = "chunked",
     mode: str = "sum",
+    exp_dtype: str = "float32",
 ) -> jax.Array:
     """score(features) -> loglik: [N, D] x GmmSet -> [N, S].
 
@@ -335,6 +359,9 @@ def gmm_loglik_pallas(
     kernel on TPU, interpreter mode elsewhere (tests). layout="wide" issues
     one [TM, r] x [r, kc*TS] dot per grid step instead of kc small dots
     (bitwise-identical results at equal kc; A/B-able through bench.py).
+    exp_dtype="bfloat16" runs sum-mode's transcendental epilogue passes in
+    bf16 (f32 accumulation) — the throughput option for the bf16 compute
+    path; the f32 parity path keeps f32 everywhere.
     """
     S, K, D = gmm.means.shape
     kc = min(kc, K)
@@ -342,11 +369,13 @@ def gmm_loglik_pallas(
         interpret = not _on_tpu()
     if mode == "max" and compute_dtype == "int8":
         raise NotImplementedError("mode='max' supports float32/bfloat16 only")
+    if exp_dtype != "float32" and compute_dtype == "int8":
+        raise NotImplementedError("exp_dtype applies to float32/bfloat16 only")
     ab_t, c_t = transposed_natural_params(gmm)
     x2 = quadratic_features(x)
     return _gmm_loglik_pallas_impl(
         x2, ab_t, c_t, S, K, tile_m, tile_s, kc, compute_dtype, interpret,
-        layout=layout, mode=mode,
+        layout=layout, mode=mode, exp_dtype=exp_dtype,
     )
 
 

@@ -131,6 +131,23 @@ def test_pallas_wide_layout_matches_chunked():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_bf16_exp_epilogue_close_and_decision_safe(small_gmm, x):
+    """exp_dtype='bfloat16' (sum-mode transcendentals in bf16, f32
+    accumulator): error is bounded by the bf16 term error on values in
+    [0, 1] — well under the bf16 GEMM's own score error — and state
+    decisions are preserved."""
+    ref = G.gmm_loglik_np(x, *map(np.asarray, small_gmm))
+    got = np.asarray(gmm_loglik_pallas(
+        jnp.asarray(x), small_gmm, tile_m=8, exp_dtype="bfloat16"))
+    # per-term relative error ~2^-8 -> logsumexp absolute error ~4e-3
+    assert np.abs(got - ref).max() < 2e-2
+    assert (got.argmax(1) == ref.argmax(1)).mean() > 0.99
+    got_wide = np.asarray(gmm_loglik_pallas(
+        jnp.asarray(x), small_gmm, tile_m=8, tile_s=8, kc=4,
+        layout="wide", exp_dtype="bfloat16"))
+    assert np.abs(got_wide - ref).max() < 2e-2
+
+
 def test_max_mode_scoring(small_gmm, x):
     """mode='max' (Viterbi approximation): XLA and Pallas agree; the value is
     a lower bound on the exact logsumexp within log K nats."""
