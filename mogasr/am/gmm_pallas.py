@@ -344,9 +344,9 @@ def transposed_natural_params(gmm: GmmSet, var_floor: float = 1e-3):
 def gmm_loglik_pallas(
     x: jax.Array,
     gmm: GmmSet,
-    tile_m: int = 512,
-    tile_s: int = 256,
-    kc: int = 16,
+    tile_m: Optional[int] = None,
+    tile_s: Optional[int] = None,
+    kc: Optional[int] = None,
     compute_dtype: str = "float32",
     interpret: Optional[bool] = None,
     layout: str = "chunked",
@@ -360,10 +360,22 @@ def gmm_loglik_pallas(
     one [TM, r] x [r, kc*TS] dot per grid step instead of kc small dots
     (bitwise-identical results at equal kc; A/B-able through bench.py).
     exp_dtype="bfloat16" runs sum-mode's transcendental epilogue passes in
-    bf16 (f32 accumulation) — the throughput option for the bf16 compute
-    path; the f32 parity path keeps f32 everywhere.
+    bf16 (f32 accumulation) — measured SLOWER on v5e (casts cost more than
+    bf16 saves; TPU_NOTES round 4), kept as the recorded A/B arm.
+
+    Default tiles are mode-dependent (round-4 sweep, TPU_NOTES): the bf16
+    sum path (VPU-epilogue-bound, 3-4 passes/dot) wants narrow [*, 128]
+    output tiles with small component chunks — 80.1 vs 71.7 TF/s against
+    the old (512, 256, 16) shape — while max-mode (1 pass/dot) and the
+    unswept f32/int8 paths keep (512, 256, 16).
     """
     S, K, D = gmm.means.shape
+    if tile_m is None:
+        tile_m = 512
+    if tile_s is None:
+        tile_s = 128 if (mode == "sum" and compute_dtype == "bfloat16") else 256
+    if kc is None:
+        kc = 8 if (mode == "sum" and compute_dtype == "bfloat16") else 16
     kc = min(kc, K)
     if interpret is None:
         interpret = not _on_tpu()
