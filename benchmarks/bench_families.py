@@ -445,25 +445,25 @@ def main() -> None:
               flush=True)
 
     # rnnt_beam: the monotonic RNN-T beam (the biasing / shallow-fusion
-    # quality path, mogasr.am.rnnt.rnnt_beam_decode). Per-utterance Python
-    # loop with several jitted dispatches per frame, so through THIS box's
-    # ~30 ms tunnel it is dispatch-floor-bound, not compute-bound — measured
-    # honestly on a small subset and annotated; deployment (no tunnel) would
-    # sit near the dispatch-free joint/pred costs.
+    # quality path) via rnnt_beam_decode_batch — ONE fused
+    # prediction->joint->log_softmax dispatch per expansion round for the
+    # whole batch (identical hypotheses to the per-utterance reference,
+    # tested). Still one synchronized dispatch per (frame, round), so the
+    # ~30 ms tunnel floor bounds it well below deployment; measured on one
+    # batch and annotated.
     if fam_filter is None or "rnnt_beam" in fam_filter:
-        from mogasr.am.rnnt import rnnt_beam_decode
+        from mogasr.am.rnnt import rnnt_beam_decode_batch
 
         w, ns, fe = prepared[0]
         feats, nf = fe(w, ns)
-        n_rb = min(4, feats.shape[0])
-        rnnt_beam_decode(rnnt_model, rnnt_params, feats[:1], nf[:1],
-                         beam_size=4)  # compile + warm
+        n_rb = feats.shape[0]
+        rnnt_beam_decode_batch(rnnt_model, rnnt_params,
+                               feats, nf, beam_size=4)  # compile + warm
         t0 = time.perf_counter()
-        for i in range(n_rb):
-            rnnt_beam_decode(rnnt_model, rnnt_params,
-                             feats[i : i + 1], nf[i : i + 1], beam_size=4)
+        rnnt_beam_decode_batch(rnnt_model, rnnt_params, feats, nf,
+                               beam_size=4)
         dt = time.perf_counter() - t0
-        rb_audio = float(np.asarray(nf)[:n_rb].sum()) * fcfg.frame_shift \
+        rb_audio = float(np.asarray(nf).sum()) * fcfg.frame_shift \
             / fcfg.sample_rate
         rows.append({
             "family": "rnnt_beam",
@@ -471,11 +471,12 @@ def main() -> None:
             "beam": 4,
             "utts_per_sec": round(n_rb / dt, 2),
             "rtf": round(dt / rb_audio, 6),
-            "note": "per-utterance host beam loop; tunnel dispatch-bound "
-                    "(~30 ms/dispatch, TPU_NOTES) — subset measurement",
+            "note": "batched monotonic beam; one dispatch per (frame, "
+                    "round): tunnel dispatch floor dominates (TPU_NOTES) "
+                    "— single-batch measurement",
         })
         print(f"  rnnt_beam: {rows[-1]['utts_per_sec']} utt/s over "
-              f"{n_rb} utts (dispatch-bound) [{time.time()-t_start:.0f}s]",
+              f"{n_rb} utts (batched beam) [{time.time()-t_start:.0f}s]",
               flush=True)
 
     out = {

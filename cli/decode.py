@@ -421,15 +421,29 @@ def main() -> None:
                 else:
                     rnnt_ext = rnnt_exts[0] if rnnt_exts else None
 
-                def scorer(fb, _m=model, _p=ck["params"]):
-                    return [
-                        rnnt_beam_decode(
-                            _m, _p, fb.feats[b : b + 1],
-                            fb.n_frames[b : b + 1],
-                            beam_size=args.rnnt_beam, ext_score=rnnt_ext,
-                        )[0][1]
-                        for b in range(fb.size)
-                    ]
+                if rnnt_ext is None:
+                    # no fusion/bias hook: the batched beam (one fused
+                    # dispatch per expansion round for the whole batch,
+                    # identical hypotheses — tested) replaces the
+                    # dispatch-bound per-utterance loop
+                    from mogasr.am.rnnt import rnnt_beam_decode_batch
+
+                    def scorer(fb, _m=model, _p=ck["params"]):
+                        ranked = rnnt_beam_decode_batch(
+                            _m, _p, fb.feats, fb.n_frames,
+                            beam_size=args.rnnt_beam,
+                        )
+                        return [ranked[b][0][1] for b in range(fb.size)]
+                else:
+                    def scorer(fb, _m=model, _p=ck["params"]):
+                        return [
+                            rnnt_beam_decode(
+                                _m, _p, fb.feats[b : b + 1],
+                                fb.n_frames[b : b + 1],
+                                beam_size=args.rnnt_beam, ext_score=rnnt_ext,
+                            )[0][1]
+                            for b in range(fb.size)
+                        ]
             else:
                 def scorer(fb, _m=model, _p=ck["params"]):
                     return rnnt_greedy_decode_device(

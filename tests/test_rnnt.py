@@ -149,6 +149,30 @@ def test_rnnt_beam_decode_matches_greedy_on_peaked(trained_unit_rnnt):
         assert len(set(prefixes)) == len(prefixes)
 
 
+def test_rnnt_beam_batch_equals_per_utterance(trained_unit_rnnt):
+    """rnnt_beam_decode_batch (one fused dispatch per expansion round for
+    the whole batch) returns the SAME ranked (score, seq) lists as the
+    per-utterance reference beam — on the trained model AND a random one
+    (where beams genuinely diverge and merging/pruning matter)."""
+    model, params, feats, n_frames, _seqs = trained_unit_rnnt
+    for m, p in [
+        (model, params),
+        (model, R.init_rnnt_train_state(
+            model, TrainConfig(), feats.shape[-1], 4,
+            jax.random.key(9)).params),
+    ]:
+        got = R.rnnt_beam_decode_batch(
+            m, p, feats, n_frames, beam_size=4, u_cap=40)
+        for b in range(feats.shape[0]):
+            want = R.rnnt_beam_decode(
+                m, p, feats[b:b + 1], n_frames[b:b + 1], beam_size=4,
+                u_cap=40)
+            assert [seq for _, seq in got[b]] == [seq for _, seq in want]
+            np.testing.assert_allclose(
+                [s for s, _ in got[b]], [s for s, _ in want],
+                rtol=1e-5, atol=1e-5)
+
+
 def test_rnnt_device_greedy_equals_host(trained_unit_rnnt):
     """The single-dispatch lax.scan greedy == the host greedy loop exactly,
     on both a trained model and a random one (equal caps)."""
