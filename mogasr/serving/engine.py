@@ -929,6 +929,7 @@ class BatchedAedEngine(_BaseSlotEngine):
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
         final_early_exit: bool = True,
+        defer_absorb: bool = True,
     ):
         from mogasr.am import aed as A
 
@@ -944,6 +945,15 @@ class BatchedAedEngine(_BaseSlotEngine):
         # tested) instead of paying the worst-case token budget
         # aed_final_max_tokens(T)=2+T/4; False = the fixed-scan A/B arm
         self.final_early_exit = bool(final_early_exit)
+        # Deferred absorption (round 4): the per-tick logp pull was HALF the
+        # engine's sync budget (profiled: 216 ms/tick vs 6.6 ms of raw
+        # chunk-step compute — the tick is dispatch/sync-bound, not
+        # compute-bound). Chunk logps stay device-resident and the host
+        # CTC-greedy partial decoders replay them at the next partial()/
+        # finalize() boundary — one block for the whole backlog instead of
+        # one per tick. False = the immediate-pull A/B arm (r3 production).
+        self.defer_absorb = bool(defer_absorb)
+        self._pending: List[tuple] = []
         B = self.capacity
         self.enc_state = A.aed_stream_init(model, B, fcfg.feat_dim)
         self._state0 = jax.tree_util.tree_map(jnp.copy, self.enc_state)
@@ -992,11 +1002,29 @@ class BatchedAedEngine(_BaseSlotEngine):
 
     def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
         logp, feats = handle
-        logp_np = np.asarray(logp)   # [B, chunk_frames, V] — the tick's sync
+        # feature history is host data already; the logp pull is deferred
         for b in range(self.capacity):
             if n_valid[b]:
                 self._feats_hist[b].append(feats[b, : n_valid[b]].copy())
-                self._decoders[b].step(logp_np[b])
+        self._pending.append((logp, n_valid.copy()))
+        if not self.defer_absorb:
+            self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        """Pull every queued chunk logp in one block and replay the host
+        CTC-greedy partial decoders. Called before any consumer of decoder
+        state (partial/finalize); slots are only re-assigned through
+        finalize, which flushes first, so pending rows always belong to the
+        decoders currently installed."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        jax.block_until_ready(pending[-1][0])  # one sync for the backlog
+        for logp, n_valid in pending:
+            logp_np = np.asarray(logp)
+            for b in range(self.capacity):
+                if n_valid[b]:
+                    self._decoders[b].step(logp_np[b])
 
     # -- results --
 
@@ -1007,7 +1035,9 @@ class BatchedAedEngine(_BaseSlotEngine):
         return s.flushed and len(s.feat_q) < self.tick_frames
 
     def partial(self, sid) -> List[int]:
-        """Best-so-far CTC-greedy unit ids (host-only; no device pull)."""
+        """Best-so-far CTC-greedy unit ids (flushes the deferred backlog:
+        one block per partial boundary, not per tick)."""
+        self._flush_pending()
         return list(self._decoders[self._sid_to_slot[sid]].partial())
 
     def _final_decoder(self, t_bucket: int):
@@ -1025,6 +1055,7 @@ class BatchedAedEngine(_BaseSlotEngine):
         return dec
 
     def finalize(self, sid) -> Tuple[List[int], float]:
+        self._flush_pending()
         b = self._sid_to_slot[sid]
         s = self.slots[b]
         assert self.drained(sid), "finalize before drained()"
@@ -1062,6 +1093,7 @@ class BatchedAedEngine(_BaseSlotEngine):
         decision-equivalent on TPU (batch-shape tiling noise,
         docs/TPU_NOTES.md). At epoch drain in benchmarks/bench_serve.py
         this turns capacity-many sequential final chains into a handful."""
+        self._flush_pending()
         sids = [sid for sid in sids if sid in self._sid_to_slot]
         out: Dict[object, Tuple[List[int], float]] = {}
         groups: Dict[int, list] = {}
