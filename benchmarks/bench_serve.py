@@ -395,6 +395,9 @@ def main() -> None:
             },
             "model": (f"conformer d=256 L={aed_tcfg.nn_layers} V={V_AED} "
                       f"chunk={args.aed_chunk} (finals incl.)"),
+            "note": "random weights = WORST-CASE finals (early-exit "
+                    "never fires: no eos). Trained-model engine measured "
+                    "1.64x this (results_aed_earlyexit_ab.json).",
         }
 
     row = {
