@@ -132,6 +132,8 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
         else:
             batches = _read_batches(sys.stdin)
 
+    partial_every = max(int(getattr(args, "partial_every", 1)), 1)
+    tick_i = 0
     for lines in batches:
         fed = []
         ending = []
@@ -197,8 +199,9 @@ def _run_engine_loop(args, eng, fcfg, logger, batches=None, to_text=None):
             else:
                 emit({"session": sid, "error": f"unknown type {typ!r}"})
         eng.tick()
+        tick_i += 1
         emit_overflows()
-        if fed:
+        if fed and tick_i % partial_every == 0:
             # de-dup, keep order; skip any ended in the same batch
             sids = [s for s in dict.fromkeys(fed) if eng.has(s)]
             parts = eng.partials(sids)
@@ -277,6 +280,12 @@ def main() -> None:
     p.add_argument("--engine-max-frames", type=int, default=3000,
                    help="session length bound with --engine-history device "
                         "(frames; 3000 = 30 s at the 10 ms hop)")
+    p.add_argument("--partial-every", type=int, default=1,
+                   help="engine mode: emit partials every N ticks (N>1 "
+                        "lets the AED engine's deferred logp absorption "
+                        "amortize its device sync across N ticks — the "
+                        "round-4 capacity-realtime lever; finals and "
+                        "endpoints are unaffected)")
     p.add_argument("--tick-frames", type=int, default=24,
                    help="frames advanced per session per engine tick")
     p.add_argument("--ctc", action="store_true",
