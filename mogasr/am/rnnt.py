@@ -1126,6 +1126,40 @@ def rnnt_beam_decode(
     return sorted(((s, list(p)) for p, s in beams.items()), key=lambda x: -x[0])
 
 
+_BEAM_BATCH_ROUND_CACHE: Dict[tuple, object] = {}
+
+
+def _beam_batch_round_fn(model: RnntModel):
+    """Cached jitted (pred_params, joint_params, enc, hist, lens, row_b, t)
+    -> log-softmaxed joint [H, V]. Params are ARGUMENTS (not closed over),
+    so the jit cache survives across calls and across parameter updates
+    (MWER fine-tuning decodes against fresh params every step)."""
+    key = (model.n_labels, model.pred_hidden, model.joint_hidden,
+           model.pred_arch)
+    fn = _BEAM_BATCH_ROUND_CACHE.get(key)
+    if fn is not None:
+        return fn
+    pred_cls = (RnntPrediction if model.pred_arch == "lstm"
+                else RnntPredictionStateless)
+    pred_def = pred_cls(model.n_labels, hidden=model.pred_hidden)
+    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
+
+    @jax.jit
+    def round_logp(pred_params, joint_params, enc, hist, lens, row_b, t):
+        out = pred_def.apply(pred_params, hist)            # [H, u_cap+1, Hp]
+        pred_t = jnp.take_along_axis(out, lens[:, None, None], axis=1)[:, 0]
+        enc_rows = enc[row_b, t]                           # [H, He]
+        j = joint_def.apply(
+            joint_params, enc_rows[:, None, :], pred_t[:, None, :]
+        )[:, 0, 0, :]
+        return jax.nn.log_softmax(j, axis=-1)
+
+    if len(_BEAM_BATCH_ROUND_CACHE) > 16:
+        _BEAM_BATCH_ROUND_CACHE.clear()
+    _BEAM_BATCH_ROUND_CACHE[key] = round_logp
+    return round_logp
+
+
 def rnnt_beam_decode_batch(
     model: RnntModel,
     params,
@@ -1155,25 +1189,14 @@ def rnnt_beam_decode_batch(
 
     Returns, per utterance, [(logp, label_seq)] best-first.
     """
-    pred_cls = (RnntPrediction if model.pred_arch == "lstm"
-                else RnntPredictionStateless)
-    pred_def = pred_cls(model.n_labels, hidden=model.pred_hidden)
-    pred_params = {"params": params["params"]["prediction"]}
-    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
-    joint_params = {"params": params["params"]["joint"]}
     blank = model.n_labels
+    round_fn = _beam_batch_round_fn(model)
+    pred_params = {"params": params["params"]["prediction"]}
+    joint_params = {"params": params["params"]["joint"]}
 
-    @jax.jit
     def round_logp(enc, hist, lens, row_b, t):
-        """enc [B, T, He]; hist [H, u_cap]; lens/row_b [H]; t scalar ->
-        log-softmaxed joint [H, V] at each row's utterance/frame."""
-        out = pred_def.apply(pred_params, hist)            # [H, u_cap+1, Hp]
-        pred_t = jnp.take_along_axis(out, lens[:, None, None], axis=1)[:, 0]
-        enc_rows = enc[row_b, t]                           # [H, He]
-        j = joint_def.apply(
-            joint_params, enc_rows[:, None, :], pred_t[:, None, :]
-        )[:, 0, 0, :]
-        return jax.nn.log_softmax(j, axis=-1)
+        return round_fn(pred_params, joint_params, enc, hist, lens, row_b,
+                        jnp.asarray(t, jnp.int32))
 
     enc = rnnt_encode(model, params, feats, n_frames)
     B = feats.shape[0]

@@ -1136,11 +1136,16 @@ def finetune_rnnt_mwer(
             n_h = np.zeros((rows, n_hyps), np.int32)
             h_mask = np.zeros((rows, n_hyps), bool)
             risks = np.zeros((rows, n_hyps), np.float32)
+            # batched beam: one fused dispatch per expansion round for the
+            # whole batch (identical N-best to the per-utterance reference,
+            # tested); params change every step, so the cached round fn
+            # takes them as arguments
+            nbest_all = R.rnnt_beam_decode_batch(
+                model, state.params, fb.feats, fb.n_frames,
+                beam_size=n_hyps, u_cap=u_max,
+            )
             for b in range(fb.size):
-                nbest = R.rnnt_beam_decode(
-                    model, state.params, fb.feats[b : b + 1],
-                    fb.n_frames[b : b + 1], beam_size=n_hyps, u_cap=u_max,
-                )
+                nbest = nbest_all[b]
                 seen = set()
                 for n, (_lp, h) in enumerate(nbest[:n_hyps]):
                     h = tuple(h)
