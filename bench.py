@@ -283,7 +283,10 @@ def main() -> None:
     if prior:
         try:
             with open(prior[-1]) as f:
-                prev = json.load(f).get("cpu_utts_per_sec")
+                doc = json.load(f)
+            # driver-written BENCH_r*.json wraps the bench line under
+            # "parsed"; accept a bare bench dict too
+            prev = (doc.get("parsed") or doc).get("cpu_utts_per_sec")
             if prev and abs(cpu_utts_per_sec - prev) / prev > 0.20:
                 cpu_drift = {
                     "prev_round_cpu_utts_per_sec": prev,
