@@ -120,10 +120,13 @@ def main() -> None:
         params = model.init(
             jax.random.key(0), jnp.zeros((2, 8, fcfg.feat_dim)),
             jnp.asarray([8, 8]))
-        return model, params
+        # keep only the trainable collection (MoeAm's init also returns its
+        # sown "losses")
+        return model, {"params": params["params"]}
 
     mlp_model, mlp_params = nn_scorer("mlp")
     lstm_model, lstm_params = nn_scorer("lstm")
+    moe_model, moe_params = nn_scorer("moe")  # production EP arch (round 4)
     rnnt_model = build_rnnt_model(lex.n_phones, tcfg)
     rnnt_params = init_rnnt_train_state(
         rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(1)).params
@@ -302,6 +305,9 @@ def main() -> None:
         ("gmm", run_gmm, None),
         ("gmm_vit_pallas", run_gmm_vit_pallas, None),
         ("mlp", make_hybrid(mlp_model, mlp_params), None),
+        # moe: the production MoE frame classifier (--arch moe), dense
+        # single-chip execution through the same hybrid decode path
+        ("moe", make_hybrid(moe_model, moe_params), None),
         ("mlp_bf16", make_hybrid_quant(mlp_model, mlp_params, "bfloat16"), None),
         ("mlp_int8", make_hybrid_quant(mlp_model, mlp_params, "int8"), None),
         ("lstm", make_hybrid(lstm_model, lstm_params), None),
