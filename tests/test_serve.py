@@ -181,6 +181,29 @@ def test_serve_engine_demo_session(tmp_path, monkeypatch, capsys):
     assert ts == sorted(ts)
 
 
+def test_serve_engine_partial_every(tmp_path, monkeypatch, capsys):
+    """--partial-every N thins partial emissions to every Nth tick (the
+    deferred-absorption amortization dial) without changing the final."""
+    from cli import serve
+
+    evs = {}
+    for n in (1, 4):
+        run_cli(
+            serve,
+            ["--synthetic-demo-session", "--engine", "--engine-capacity", "4",
+             "--partial-every", str(n),
+             "--run-dir", str(tmp_path / f"run{n}")],
+            monkeypatch,
+        )
+        evs[n] = _events(capsys)
+    p1 = [e for e in evs[1] if "partial" in e]
+    p4 = [e for e in evs[4] if "partial" in e]
+    assert len(p4) < len(p1) and len(p4) >= 1
+    f1 = [e for e in evs[1] if "final" in e]
+    f4 = [e for e in evs[4] if "final" in e]
+    assert len(f1) == len(f4) == 1 and f1[0]["final"] == f4[0]["final"]
+
+
 def test_serve_engine_interleaved_matches_per_session(tmp_path, monkeypatch,
                                                       capsys):
     """Engine mode vs per-session mode on identical interleaved event
