@@ -49,6 +49,9 @@ def main() -> None:
                         "so only a trained model shows the real final "
                         "cost; a trained arm is the honest measurement.")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="output JSON filename under benchmarks/ (default "
+                        "results_aed_earlyexit_ab.json)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -194,7 +197,9 @@ def main() -> None:
                 "emit eos, so its final-time gain here is ~none; trained "
                 "models exit at transcript length (~5-10x fewer steps).",
     }
-    with open(OUT, "w") as f:
+    out_path = (os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             args.out) if args.out else OUT)
+    with open(out_path, "w") as f:
         json.dump(row, f, indent=1)
     print(json.dumps(row))
 
