@@ -189,7 +189,13 @@ def main() -> None:
         "speedup": round(med["deferred"] / med["immediate"], 2),
         "train_steps": args.train_steps,
         "backend": jax.default_backend(),
-        "model": f"conformer d=256 L=4 V={V_AED} chunk={args.aed_chunk}",
+        # record the model's ACTUAL vocab: BPE merge training saturates on
+        # the synthetic corpus's limited symbol inventory (V=99 observed),
+        # well below the V_AED=300 target — the in-session A/B arms share
+        # the model so the ratio is fair, but absolute stream counts are
+        # for the actual vocab, not 300
+        "model": (f"conformer d=256 L=4 V={model.vocab} "
+                  f"chunk={args.aed_chunk}"),
         "note": "identical hypotheses both arms (deferred absorption "
                 "replays the same logps; eos-saturated final steps are "
                 "no-ops — both tested on CPU). NOTE early-exit finals are "
