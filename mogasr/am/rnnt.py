@@ -1225,10 +1225,14 @@ def rnnt_beam_decode_batch(
                 hist[i, : len(p)] = p
                 lens[i] = len(p)
                 row_b[i] = b
+            # float64 host accumulation: the per-utterance reference's
+            # score dicts promote to f64 after the first round (NEP-50:
+            # python-float init + np.f32 logp -> f64), so matching ranked
+            # lists on LONG utterances needs the same precision here
             logp = np.asarray(round_logp(
                 enc, jnp.asarray(hist), jnp.asarray(lens),
-                jnp.asarray(row_b), t))[:H]
-            scores = np.asarray([A[b][p] for b, p in flat], np.float32)
+                jnp.asarray(row_b), t))[:H].astype(np.float64)
+            scores = np.asarray([A[b][p] for b, p in flat], np.float64)
             # blank: finish the frame
             bl = scores + logp[:, blank]
             for i, (b, p) in enumerate(flat):

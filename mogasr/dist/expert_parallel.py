@@ -194,10 +194,16 @@ def _ep_moe_block(x, Wr, W1, b1, W2, b2, valid, capacity: int):
     probs = jax.nn.softmax(scores, axis=-1)
     e = jnp.argmax(scores, axis=-1)
     gate = jnp.take_along_axis(probs, e[:, None], axis=-1)[:, 0]
-    onehot = jax.nn.one_hot(e, n_exp, dtype=jnp.int32)
+    # padding tokens must not consume expert capacity (CLAUDE.md padding
+    # rule): splice-clamped padding duplicates the last valid frame, so an
+    # unmasked rank would fill slots with padding and evict VALID tokens —
+    # making outputs depend on how much bucket padding a batch carries.
+    # Padding is excluded from the rank count AND never kept; its output
+    # row is garbage, exactly like the dense path (loss-masked).
+    onehot = jax.nn.one_hot(e, n_exp, dtype=jnp.int32) * valid[:, None]
     rank = jnp.cumsum(onehot, axis=0) - onehot
     r = jnp.take_along_axis(rank, e[:, None], axis=-1)[:, 0]
-    keep = r < capacity
+    keep = (r < capacity) & valid
     slot = jnp.minimum(r, capacity - 1)
     buf = jnp.zeros((n_exp, capacity, H), x.dtype)
     buf = buf.at[e, slot].add(jnp.where(keep[:, None], x, 0.0))

@@ -33,11 +33,6 @@ import subprocess
 import sys
 import time
 
-SUMMARY_RE = re.compile(
-    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
-)
-
-
 def shard_files(files: list[str], n: int) -> list[list[str]]:
     """Contiguous alphabetical shards, balanced by file count."""
     shards: list[list[str]] = [[] for _ in range(n)]

@@ -132,18 +132,47 @@ def test_moe_am_dense_trains_and_scores():
 
 
 def test_moe_am_ep_forward_equals_dense_apply(mesh):
+    """Valid positions equal the dense apply exactly; padding positions are
+    UNSPECIFIED by contract (EP never dispatches padding tokens so they
+    cannot consume expert capacity — see test below; every consumer masks
+    by n_frames / label mask)."""
     from mogasr.dist.expert_parallel import (
         make_moe_am_ep_forward, shard_moe_am_params,
     )
 
     model, _cfg, state, feats, n_frames, _labels = _moe_am_setup(seed=4)
-    want = model.apply(state.params, feats, n_frames)
+    want = np.asarray(model.apply(state.params, feats, n_frames))
     sharded = shard_moe_am_params(state.params, mesh)
-    # local tokens per device = (B/E)*T; capacity that big never drops
+    # valid tokens per device <= (B/E)*T; capacity that big never drops
     fwd = make_moe_am_ep_forward(model, mesh, capacity=12)
-    got = fwd(sharded, feats, n_frames)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    got = np.asarray(fwd(sharded, feats, n_frames))
+    vmask = (np.arange(feats.shape[1])[None, :]
+             < np.asarray(n_frames)[:, None])
+    np.testing.assert_allclose(got[vmask], want[vmask],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_moe_am_ep_padding_never_consumes_capacity(mesh):
+    """Valid-token outputs are INVARIANT to the amount of batch padding,
+    even at a capacity tight enough that unmasked padding tokens would
+    evict valid ones (splice-clamped padding duplicates the last valid
+    frame and routes identically — the review-found failure mode)."""
+    from mogasr.dist.expert_parallel import (
+        make_moe_am_ep_forward, shard_moe_am_params,
+    )
+
+    model, _cfg, state, feats, n_frames, _labels = _moe_am_setup(
+        seed=6, B=8, T=24)
+    # every row half-valid: 12 valid + 12 padding tokens per device row
+    n_frames = jnp.full((8,), 12, jnp.int32)
+    sharded = shard_moe_am_params(state.params, mesh)
+    fwd = make_moe_am_ep_forward(model, mesh, capacity=12)
+    got_padded = np.asarray(fwd(sharded, feats, n_frames))[:, :12]
+    # same audio, no padding at all
+    fwd12 = make_moe_am_ep_forward(model, mesh, capacity=12)
+    got_tight = np.asarray(
+        fwd12(sharded, feats[:, :12], jnp.full((8,), 12, jnp.int32)))
+    np.testing.assert_allclose(got_padded, got_tight, rtol=2e-5, atol=2e-5)
 
 
 def test_moe_am_ep_train_step_matches_dense_step(mesh):
