@@ -363,19 +363,28 @@ def gmm_loglik_pallas(
     bf16 (f32 accumulation) — measured SLOWER on v5e (casts cost more than
     bf16 saves; TPU_NOTES round 4), kept as the recorded A/B arm.
 
-    Default tiles are mode-dependent (round-4 sweep, TPU_NOTES): the bf16
+    Default tiles are mode-dependent (round-4 sweeps, TPU_NOTES): the bf16
     sum path (VPU-epilogue-bound, 3-4 passes/dot) wants narrow [*, 128]
-    output tiles with small component chunks — 80.1 vs 71.7 TF/s against
-    the old (512, 256, 16) shape — while max-mode (1 pass/dot) and the
-    unswept f32/int8 paths keep (512, 256, 16).
+    output tiles, small component chunks, and the TALLEST frame tile the
+    call's N affords — (2048, 128, 8) measured 89.0 TF/s (45.2% MFU) vs
+    71.7 for the old (512, 256, 16); tile_m adapts down to N so small
+    serving-tick calls don't pay round-up-to-tile padding. Max-mode
+    (1 pass/dot) and the unswept f32/int8 paths keep (512, 256, 16).
     """
     S, K, D = gmm.means.shape
+    n_rows = x.shape[0]
+    fast_sum = mode == "sum" and compute_dtype == "bfloat16"
     if tile_m is None:
-        tile_m = 512
+        if fast_sum and n_rows >= 2048:
+            tile_m = 2048
+        elif fast_sum and n_rows >= 1024:
+            tile_m = 1024
+        else:
+            tile_m = 512
     if tile_s is None:
-        tile_s = 128 if (mode == "sum" and compute_dtype == "bfloat16") else 256
+        tile_s = 128 if fast_sum else 256
     if kc is None:
-        kc = 8 if (mode == "sum" and compute_dtype == "bfloat16") else 16
+        kc = 8 if fast_sum else 16
     kc = min(kc, K)
     if interpret is None:
         interpret = not _on_tpu()
