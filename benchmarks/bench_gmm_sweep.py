@@ -62,7 +62,10 @@ def main() -> None:
 
     variants = list(itertools.product(
         args.modes.split(","), args.layouts.split(","),
-        [int(k) for k in args.kcs.split(",")], args.dtypes.split(","),
+        # "d" = the production default (kc AND tiles resolved per
+        # mode/dtype/size inside gmm_loglik_pallas — round-4 adaptive tiles)
+        [None if k == "d" else int(k) for k in args.kcs.split(",")],
+        args.dtypes.split(","),
     ))
     results = {"scale": f"{S}x{K}x{D}", "frames": N, "rows": []}
     for mode, layout, kc, dtype in variants:
