@@ -1007,7 +1007,10 @@ class BatchedAedEngine(_BaseSlotEngine):
             if n_valid[b]:
                 self._feats_hist[b].append(feats[b, : n_valid[b]].copy())
         self._pending.append((logp, n_valid.copy()))
-        if not self.defer_absorb:
+        # bound the device-resident backlog: a server that rarely asks for
+        # partials must not accumulate [B, chunk, V] logp buffers without
+        # limit (~2.5 MB each at production sizes)
+        if not self.defer_absorb or len(self._pending) >= 64:
             self._flush_pending()
 
     def _flush_pending(self) -> None:
