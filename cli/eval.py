@@ -74,6 +74,12 @@ def main() -> None:
                    help="RNN-T prediction-net arch — must match the ckpt")
     p.add_argument("--rnnt-plain", action="store_true",
                    help="the RNN-T ckpt was trained WITHOUT the aux CTC head")
+    p.add_argument("--rnnt-beam", type=int, default=0, metavar="N",
+                   help="with --rnnt: sweep with the BATCHED monotonic beam "
+                        "(rnnt_beam_decode_batch, identical N-best to the "
+                        "per-utterance reference) instead of device-greedy "
+                        "— the quality-path decode through the same "
+                        "sharding/resume protocol")
     p.add_argument("--rnnt-pruned", action="store_true",
                    help="ckpt trained with the pruned transducer loss "
                         "(train_nn --rnnt-pruned-band): tree has the "
@@ -227,9 +233,18 @@ def main() -> None:
                 restore_checkpoint(args.nn_ckpt, template)["params"], mesh
             )
 
-            def decode_units(feats, n_frames, fb,
-                             _m=nn_model, _p=nn_params):
-                return rnnt_greedy_decode_device(_m, _p, feats, n_frames)
+            if args.rnnt_beam > 0:
+                from mogasr.am.rnnt import rnnt_beam_decode_batch
+
+                def decode_units(feats, n_frames, fb,
+                                 _m=nn_model, _p=nn_params):
+                    ranked = rnnt_beam_decode_batch(
+                        _m, _p, feats, n_frames, beam_size=args.rnnt_beam)
+                    return [r[0][1] if r else [] for r in ranked]
+            else:
+                def decode_units(feats, n_frames, fb,
+                                 _m=nn_model, _p=nn_params):
+                    return rnnt_greedy_decode_device(_m, _p, feats, n_frames)
         else:
             import numpy as _np
 

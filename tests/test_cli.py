@@ -1178,6 +1178,18 @@ def test_eval_cli_rnnt_and_aed(tmp_path, monkeypatch):
     run_cli(eval_cli, args_r, monkeypatch)  # resume is idempotent
     assert open(tmp_path / "evr" / "eval_hyps.jsonl").read() == hyps1
 
+    # quality path: the batched monotonic beam through the same sweep
+    run_cli(eval_cli,
+            ["--synthetic", "4", "--run-dir", str(tmp_path / "evrb"),
+             "--rnnt", "--rnnt-beam", "4",
+             "--bpe", str(tmp_path / "rn" / "bpe.json"),
+             "--nn-ckpt", str(tmp_path / "rn" / "nn_rnnt_lstm"),
+             "--nn-arch", "lstm", "--nn-hidden", "16", "--nn-layers", "2"],
+            monkeypatch)
+    mb = [json.loads(l) for l in open(tmp_path / "evrb" / "metrics.jsonl")]
+    evb = [m for m in mb if m.get("stage") == "eval"]
+    assert evb and evb[0]["utts"] == 4 and "wer" in evb[0]
+
     run_cli(
         train_nn,
         ["--synthetic", "4", "--run-dir", str(tmp_path / "ae"),
