@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import time
 
@@ -278,8 +279,16 @@ def main() -> None:
     # BLAS-threading noise. Compare against the newest committed BENCH_r*.json
     # and flag >20% swings so vs_baseline changes are visibly protocol noise.
     cpu_drift = None
-    prior = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    # Numeric round sort (ADVICE r4): lexical sort breaks for unpadded round
+    # names (BENCH_r4 > BENCH_r10); extract the round number instead.
+    def _round_of(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+    prior = sorted(
+        (p for p in glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+         if _round_of(p) >= 0),
+        key=_round_of)
     if prior:
         try:
             with open(prior[-1]) as f:

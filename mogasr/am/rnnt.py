@@ -1184,8 +1184,14 @@ def rnnt_beam_decode_batch(
     every (prefix, label) child is distinct, so the global top-``beam_size``
     of H x V candidates is contained in the per-row top-``beam_size`` — an
     argpartition per row replaces the reference's full-V Python dict sweep
-    with identical results. LM fusion hooks (``ext_score``) need full-V
-    scoring before pruning; use the per-utterance decoder for that path.
+    with identical results. Taking the per-row top-K BEFORE the done
+    threshold also commutes with the reference's threshold-then-top-K
+    order: the threshold removes a score-suffix of each row's sorted
+    children, so a surviving child ranked > K within its row has >= K
+    better same-row survivors and can never reach the global top-K — no
+    "backfill" candidate outside the per-row top-K can exist (ADVICE r4).
+    LM fusion hooks (``ext_score``) need full-V scoring before pruning;
+    use the per-utterance decoder for that path.
 
     Returns, per utterance, [(logp, label_seq)] best-first.
     """

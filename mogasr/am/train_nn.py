@@ -83,7 +83,12 @@ def make_train_step(model, cfg: TrainConfig, spec_augment: bool = False):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), {
-            "loss": ce,
+            # "loss" = the TOTAL optimized objective (CE + lb-weighted aux);
+            # "ce" isolates the CE term so logs stay comparable across archs
+            # whether or not they sow aux losses (ADVICE r4: reporting the
+            # CE term under the name "loss" silently changed its semantic)
+            "loss": loss,
+            "ce": ce,
             "frame_acc": acc,
         }
 

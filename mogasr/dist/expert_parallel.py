@@ -320,11 +320,14 @@ def make_moe_am_ep_train_step(model, cfg, mesh: Mesh, capacity: int):
             loss, ce, acc = run(p, feats, n_frames, labels)
             return loss, (ce, acc)
 
-        (_, (ce, acc)), grads = jax.value_and_grad(
+        (loss, (ce, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state2 = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, opt_state2, {"loss": ce, "frame_acc": acc}
+        # same metric contract as make_train_step (ADVICE r4): "loss" is the
+        # TOTAL optimized objective, "ce" the CE term alone
+        return new_params, opt_state2, {"loss": loss, "ce": ce,
+                                        "frame_acc": acc}
 
     return step
 

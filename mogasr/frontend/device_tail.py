@@ -139,6 +139,14 @@ def tail_step(cfg: FrontendConfig, state: TailState, new_rows, n_new,
     ``final[b]`` flushes slot b's lookahead tail with end-of-utterance edge
     replication and resets its carry."""
     B = new_rows.shape[0]
+    lag = cfg.delta_order * cfg.delta_window
+    chunk = state.buf.shape[1] - 2 * lag   # tail_init: C = 2*lag + chunk
+    if new_rows.shape[1] > chunk:
+        # the rolling buffer sizes emission for at most `chunk` rows per
+        # step; more would silently drop frames (ADVICE r4)
+        raise ValueError(
+            f"tail_step got {new_rows.shape[1]} rows but the state was "
+            f"initialized for chunks of {chunk}")
     if final is None:
         final = jnp.zeros((B,), bool)
     return _tail_step(
