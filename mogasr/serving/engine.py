@@ -72,6 +72,11 @@ class _Slot:
         self.finishing = False   # end() called: flush tail when frames drain
         self.flushed = False     # finalize_absorbed() has run
         self.overflowed = False  # hit the engine's per-session frame cap
+        # device feature path: integer mirrors of the device tail's
+        # emission rule (base rows absorbed / final rows emitted) — the
+        # host never pulls features, it re-derives the counts
+        self.t_avail = 0
+        self.emitted = 0
 
 
 class _BaseSlotEngine:
@@ -85,6 +90,7 @@ class _BaseSlotEngine:
         tick_frames: int = 24,
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
+        feature_path: str = "host",
     ):
         self.fcfg = fcfg
         self.capacity = int(capacity)
@@ -100,6 +106,70 @@ class _BaseSlotEngine:
         self._overflow_events: List[object] = []
         self.ticks = 0
         self.frames_decoded = 0
+        # feature_path="device" (the serving/bench production arm):
+        # spectral -> delta tail -> CMVN -> feature queue run as ONE fused
+        # async dispatch per tick and decode pops features straight off
+        # the device queue — the host never sees feature rows (the
+        # per-tick spectral pull + per-slot numpy absorb loop was every
+        # engine's measured tick floor, docs/TPU_NOTES.md round-4
+        # profile). Sliding CMVN on device is an f32 tolerance contract
+        # (~1e-4) vs the host f64 path (mogasr/frontend/device_tail.py),
+        # so the LIBRARY default stays "host" — the bit-exact path the
+        # engine-vs-dedicated equality tests pin — and production call
+        # sites opt in explicitly.
+        if feature_path not in ("device", "host"):
+            raise ValueError(
+                f"feature_path must be 'device' or 'host': {feature_path}")
+        if feature_path == "device" and fcfg.cmvn not in (
+                "none", "global", "sliding"):
+            raise ValueError(
+                "feature_path='device' supports cmvn none/global/sliding "
+                f"(got {fcfg.cmvn!r}); use feature_path='host'")
+        self.feature_path = feature_path
+        if feature_path == "device":
+            from mogasr.frontend import device_tail as DT
+
+            B, F = self.capacity, self.tick_frames
+            lag = fcfg.delta_order * fcfg.delta_window
+            self._lag = lag
+            # queue bound: <= F-1 unconsumed rows survive a tick (atomic
+            # AED chunks) + one step emits <= F + lag rows
+            self._q_cap = 2 * F + lag
+            self._ft_state = DT.feat_tail_init(fcfg, B, F)
+            self._qbuf = jnp.zeros((B, self._q_cap, fcfg.feat_dim),
+                                   jnp.float32)
+            self._q_len = np.zeros(B, np.int64)
+            g_mean = (jnp.asarray(cmvn_mean, jnp.float32).reshape(-1)
+                      if cmvn_mean is not None
+                      else jnp.zeros((fcfg.feat_dim,)))
+            g_istd = (jnp.asarray(cmvn_istd, jnp.float32).reshape(-1)
+                      if cmvn_istd is not None
+                      else jnp.ones((fcfg.feat_dim,)))
+            spec = self._spec
+            use_energy = fcfg.use_energy and fcfg.feature_type in (
+                "mfcc", "plp")
+
+            @jax.jit
+            def _feat_step(ft_state, qbuf, frames, nfr, energy, final, qlen):
+                b_, f_, l_ = frames.shape
+                base = spec(frames.reshape(b_ * f_, l_)).reshape(b_, f_, -1)
+                if use_energy:
+                    base = base.at[:, :, 0].set(energy)
+                ft_state, out, n_out = DT._feat_tail_core(
+                    ft_state, base, nfr, final,
+                    delta_order=fcfg.delta_order,
+                    delta_window=fcfg.delta_window,
+                    cmvn=fcfg.cmvn, cmvn_window=fcfg.cmvn_window,
+                    cmvn_norm_var=fcfg.cmvn_norm_var,
+                    cmvn_mean=g_mean, cmvn_istd=g_istd)
+                return ft_state, DT._q_append_core(qbuf, qlen, out, n_out)
+
+            @jax.jit
+            def _q_pop(qbuf, take):
+                return DT._q_pop_core(qbuf, take, F)
+
+            self._feat_step_fn = _feat_step
+            self._q_pop_fn = _q_pop
 
     # ---- session lifecycle ---------------------------------------------
 
@@ -147,18 +217,26 @@ class _BaseSlotEngine:
                 )
 
     def end(self, sid) -> None:
-        """No more audio; tail frames flush as subsequent ticks drain."""
+        """No more audio; tail frames flush as subsequent ticks drain.
+        (Device feature path: the flush itself is a device step, so it
+        happens inside the next tick().)"""
         s = self.slots[self._sid_to_slot[sid]]
         s.finishing = True
-        if len(s.pend_frames) == 0 and not s.flushed:
+        if (self.feature_path == "host" and len(s.pend_frames) == 0
+                and not s.flushed):
             tail = s.fe.finalize_absorbed()
             if tail.shape[0]:
                 s.feat_q = np.concatenate([s.feat_q, tail])
             s.flushed = True
 
+    def _feat_avail(self, b: int) -> int:
+        """Finalized feature rows queued for decode at slot b."""
+        return (int(self._q_len[b]) if self.feature_path == "device"
+                else len(self.slots[b].feat_q))
+
     def drained(self, sid) -> bool:
-        s = self.slots[self._sid_to_slot[sid]]
-        return s.flushed and len(s.feat_q) == 0
+        b = self._sid_to_slot[sid]
+        return self.slots[b].flushed and self._feat_avail(b) == 0
 
     def overflowed(self, sid) -> bool:
         """True once sid hit the engine's per-session frame cap: its
@@ -177,6 +255,10 @@ class _BaseSlotEngine:
         s = self.slots[b]
         self.slots[b] = None
         self._reset_pending[b] = True
+        if self.feature_path == "device":
+            # the device tail/CMVN rows were reset by the final=True flush;
+            # any unconsumed queue rows (AED sub-chunk tail) just expire
+            self._q_len[b] = 0
         return s
 
     def run_to_drain(self, sid):
@@ -233,7 +315,11 @@ class _BaseSlotEngine:
         """Advance every live session: one decode dispatch over all slots'
         finalized features, one spectral dispatch over all slots' pending
         frames. Dispatches are issued before any host pull so the device
-        pipelines them; the host blocks ~once."""
+        pipelines them; the host blocks ~once (host feature path) or not
+        at all (device feature path + device-resident decode state)."""
+        if self.feature_path == "device":
+            self._tick_device()
+            return
         B, F = self.capacity, self.tick_frames
         L, D = self.fcfg.frame_length, self.fcfg.feat_dim
 
@@ -318,6 +404,98 @@ class _BaseSlotEngine:
                     if tail.shape[0]:
                         s.feat_q = np.concatenate([s.feat_q, tail])
                     s.flushed = True
+        self.ticks += 1
+
+    def _tick_device(self) -> None:
+        """Device-feature-path tick: decode pops straight off the device
+        feature queue; the spectral GEMMs, delta tail, CMVN, and queue
+        append run as ONE fused async dispatch. All counts are host
+        integer mirrors of the device emission rule, so nothing here
+        blocks (families that pull decode output per tick still sync in
+        their own _absorb_decode unless they defer)."""
+        B, F = self.capacity, self.tick_frames
+        L = self.fcfg.frame_length
+        cap = self._slot_frame_cap()
+
+        # --- decode stage from features finalized by earlier ticks
+        take = np.zeros(B, np.int32)
+        for b, s in enumerate(self.slots):
+            if s is None or self._q_len[b] == 0:
+                continue
+            n = self._take(int(self._q_len[b]))
+            after = self._q_len[b] - n
+            if cap is not None and s.n_frames + n > cap:
+                # truncate at the cap (see the host-path comment): consume
+                # up to the cap, drop the rest of the queue
+                n = max(0, cap - s.n_frames)
+                after = 0
+                if not s.overflowed:
+                    s.overflowed = True
+                    for sid, bb in self._sid_to_slot.items():
+                        if bb == b:
+                            self._overflow_events.append(sid)
+                            break
+            take[b] = n
+            self._q_len[b] = after
+        if self._reset_pending.any():
+            self._apply_resets(self._reset_pending.copy())
+            self._reset_pending[:] = False
+        handle = None
+        if take.any():
+            feats, self._qbuf = self._q_pop_fn(
+                self._qbuf, jnp.asarray(take))
+            handle = self._dispatch_decode(feats, take)
+
+        # --- spectral + tail + CMVN + queue append (one fused dispatch)
+        nfr = np.zeros(B, np.int32)
+        final = np.zeros(B, bool)
+        emit = np.zeros(B, np.int64)
+        fr = None
+        energy = None
+        for b, s in enumerate(self.slots):
+            if s is None:
+                continue
+            n = min(len(s.pend_frames), F)
+            if n:
+                if fr is None:
+                    fr = np.zeros((B, F, L), np.float32)
+                    energy = np.zeros((B, F), np.float32)
+                fr[b, :n] = s.pend_frames[:n]
+                s.pend_frames = s.pend_frames[n:]
+                if s.pend_energy is not None:
+                    energy[b, :n] = s.pend_energy[:n]
+                    s.pend_energy = s.pend_energy[n:]
+                nfr[b] = n
+            fin = (s.finishing and len(s.pend_frames) == 0 and not s.flushed)
+            if n or fin:
+                s.t_avail += n
+                new_emitted = (s.t_avail if fin
+                               else max(s.t_avail - self._lag, s.emitted))
+                emit[b] = new_emitted - s.emitted
+                s.emitted = new_emitted
+            if fin:
+                final[b] = True
+                s.flushed = True
+        if nfr.any() or final.any():
+            if fr is None:
+                fr = np.zeros((B, F, L), np.float32)
+                energy = np.zeros((B, F), np.float32)
+            self._ft_state, self._qbuf = self._feat_step_fn(
+                self._ft_state, self._qbuf, jnp.asarray(fr),
+                jnp.asarray(nfr), jnp.asarray(energy), jnp.asarray(final),
+                jnp.asarray(self._q_len))
+            self._q_len += emit
+            assert int(self._q_len.max(initial=0)) <= self._q_cap, (
+                "device feature queue overflow — sizing invariant broken")
+
+        # --- decode-stage host bookkeeping (no feature pulls)
+        if handle is not None:
+            self._absorb_decode(handle, take)
+            for b, s in enumerate(self.slots):
+                n = int(take[b])
+                if n:
+                    s.n_frames += n
+                    self.frames_decoded += n
         self.ticks += 1
 
 
@@ -432,6 +610,7 @@ class BatchedSessionEngine(_BaseSlotEngine):
         cmvn_istd: Optional[np.ndarray] = None,
         history: str = "device",
         max_frames: int = 3000,
+        feature_path: str = "host",
     ):
         """history="device" (default) keeps the backpointer stream in HBM
         ([max_frames, B, J] uint8, scatter-appended per tick) and backtraces
@@ -441,7 +620,8 @@ class BatchedSessionEngine(_BaseSlotEngine):
         max_frames frames (default 30 s at 10 ms hop). history="host" keeps
         the round-2 per-slot host chunk lists: unbounded sessions, one
         [F, B, J] pull + O(n) python backtrace per partial."""
-        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
+        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd,
+                         feature_path=feature_path)
         dcfg = dcfg or DecodeConfig()
         if history not in ("device", "host"):
             raise ValueError(f"history must be 'device' or 'host': {history}")
@@ -630,7 +810,7 @@ class BatchedSessionEngine(_BaseSlotEngine):
         All frames must have drained: drive tick() until drained(sid)."""
         b = self._sid_to_slot[sid]
         s = self.slots[b]
-        assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+        assert self.drained(sid), "finalize before drained()"
         audio_s = s.samples / self.fcfg.sample_rate
         if s.n_frames == 0:
             words: List[str] = []
@@ -658,7 +838,7 @@ class BatchedSessionEngine(_BaseSlotEngine):
         for sid in sids:
             b = self._sid_to_slot[sid]
             s = self.slots[b]
-            assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+            assert self.drained(sid), "finalize before drained()"
             audio_s = s.samples / self.fcfg.sample_rate
             n = s.n_frames
             words = self._words_of(path[b, :n], entered[b, :n]) if n else []
@@ -703,11 +883,20 @@ class BatchedCtcEngine(_BaseSlotEngine):
         tick_frames: int = 24,
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
+        feature_path: str = "host",
+        defer_absorb: bool = True,
     ):
-        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
+        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd,
+                         feature_path=feature_path)
         self.make_decoder = make_decoder
         self.carries = init_carries
         self._decoders: List[Optional[object]] = [None] * self.capacity
+        # Deferred absorption (round 5, mirrors the AED engine's round-4
+        # fix): the per-tick [B, F, V] logp pull is a synchronized
+        # dispatch; deferring it to partial()/finalize() boundaries leaves
+        # the tick fully async. False = the immediate-pull A/B arm.
+        self.defer_absorb = bool(defer_absorb)
+        self._pending: List[tuple] = []
 
         @jax.jit
         def _step(carries, feats, n_valid):
@@ -733,22 +922,40 @@ class BatchedCtcEngine(_BaseSlotEngine):
         return logp
 
     def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
-        logp = np.asarray(handle)   # [B, F, V] — the tick's sync
-        for b in range(self.capacity):
-            n = int(n_valid[b])
-            if n:
-                self._decoders[b].step(logp[b, :n])
+        self._pending.append((handle, n_valid.copy()))
+        # bound the device-resident backlog (same rationale as the AED
+        # engine: ~[B, F, V] buffers must not pile up unboundedly)
+        if not self.defer_absorb or len(self._pending) >= 64:
+            self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        """Pull every queued chunk logp in one block and replay the
+        per-slot streaming decoders. Slots are only re-assigned through
+        finalize, which flushes first, so pending rows always belong to
+        the decoders currently installed."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        jax.block_until_ready(pending[-1][0])   # one sync for the backlog
+        for logp, n_valid in pending:
+            logp_np = np.asarray(logp)
+            for b in range(self.capacity):
+                n = int(n_valid[b])
+                if n:
+                    self._decoders[b].step(logp_np[b, :n])
 
     # -- results --
 
     def partial(self, sid) -> List[int]:
-        """Best-so-far unit ids (host-only; no device pull)."""
+        """Best-so-far unit ids (flushes the deferred logp backlog)."""
+        self._flush_pending()
         return list(self._decoders[self._sid_to_slot[sid]].partial())
 
     def finalize(self, sid) -> Tuple[List[int], float]:
+        self._flush_pending()
         b = self._sid_to_slot[sid]
         s = self.slots[b]
-        assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+        assert self.drained(sid), "finalize before drained()"
         audio_s = s.samples / self.fcfg.sample_rate
         units = list(self._decoders[b].finalize())
         self._decoders[b] = None
@@ -807,8 +1014,11 @@ class BatchedRnntEngine(_BaseSlotEngine):
         cmvn_mean: Optional[np.ndarray] = None,
         cmvn_istd: Optional[np.ndarray] = None,
         greedy_impl: str = "frame_scan",
+        feature_path: str = "host",
+        defer_absorb: bool = True,
     ):
-        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd)
+        super().__init__(fcfg, capacity, tick_frames, cmvn_mean, cmvn_istd,
+                         feature_path=feature_path)
         from mogasr.am.neural import LstmAmStream
         from mogasr.am.rnnt import _chunk_greedy_fn, _rnnt_stream_carries
 
@@ -842,6 +1052,11 @@ class BatchedRnntEngine(_BaseSlotEngine):
         self._dec_state0 = jax.tree_util.tree_map(jnp.copy, self.dec_state)
         self._enc_carries0 = jax.tree_util.tree_map(jnp.copy, self.enc_carries)
         self._units: List[List[int]] = [[] for _ in range(B)]
+        # deferred harvest of the per-tick [B, u_cap] hypothesis buffers
+        # (each tick's buffer is a distinct array — the device clear makes
+        # them safe to pull late); same backlog bound as the CTC/AED paths
+        self.defer_absorb = bool(defer_absorb)
+        self._pending: List[tuple] = []
 
     # -- hooks --
 
@@ -865,24 +1080,38 @@ class BatchedRnntEngine(_BaseSlotEngine):
         return hyp, lens
 
     def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
-        hyp, lens = handle
-        hyp_np = np.asarray(hyp)    # [B, u_cap] — the tick's sync
-        lens_np = np.asarray(lens)  # [B]
-        for b in range(self.capacity):
-            n = int(lens_np[b])
-            if n:
-                self._units[b].extend(hyp_np[b, :n].tolist())
+        self._pending.append(handle)
+        if not self.defer_absorb or len(self._pending) >= 64:
+            self._flush_pending()
+
+    def _flush_pending(self) -> None:
+        """Harvest every queued tick's hypothesis buffer in one block.
+        Slot rows are only re-assigned through finalize (which flushes
+        first), so pending buffers always belong to the current _units."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        jax.block_until_ready(pending[-1][0])   # one sync for the backlog
+        for hyp, lens in pending:
+            hyp_np = np.asarray(hyp)    # [B, u_cap]
+            lens_np = np.asarray(lens)  # [B]
+            for b in range(self.capacity):
+                n = int(lens_np[b])
+                if n:
+                    self._units[b].extend(hyp_np[b, :n].tolist())
 
     # -- results --
 
     def partial(self, sid) -> List[int]:
-        """Best-so-far unit ids (host-only; no device pull)."""
+        """Best-so-far unit ids (flushes the deferred harvest backlog)."""
+        self._flush_pending()
         return list(self._units[self._sid_to_slot[sid]])
 
     def finalize(self, sid) -> Tuple[List[int], float]:
+        self._flush_pending()
         b = self._sid_to_slot[sid]
         s = self.slots[b]
-        assert s.flushed and len(s.feat_q) == 0, "finalize before drained()"
+        assert self.drained(sid), "finalize before drained()"
         audio_s = s.samples / self.fcfg.sample_rate
         units = list(self._units[b])
         self._units[b] = []
@@ -930,12 +1159,14 @@ class BatchedAedEngine(_BaseSlotEngine):
         cmvn_istd: Optional[np.ndarray] = None,
         final_early_exit: bool = True,
         defer_absorb: bool = True,
+        feature_path: str = "host",
     ):
         from mogasr.am import aed as A
 
         raw_per = 4 * model.chunk_frames
         assert raw_per > 0, "streaming AED needs chunk_frames > 0"
-        super().__init__(fcfg, capacity, raw_per, cmvn_mean, cmvn_istd)
+        super().__init__(fcfg, capacity, raw_per, cmvn_mean, cmvn_istd,
+                         feature_path=feature_path)
         self.model = model
         self.params = params
         self.beam = int(beam)
@@ -1002,11 +1233,14 @@ class BatchedAedEngine(_BaseSlotEngine):
 
     def _absorb_decode(self, handle, n_valid: np.ndarray) -> None:
         logp, feats = handle
-        # feature history is host data already; the logp pull is deferred
-        for b in range(self.capacity):
-            if n_valid[b]:
-                self._feats_hist[b].append(feats[b, : n_valid[b]].copy())
-        self._pending.append((logp, n_valid.copy()))
+        if self.feature_path == "host":
+            # feature history is host data already; only the logp pull is
+            # deferred
+            for b in range(self.capacity):
+                if n_valid[b]:
+                    self._feats_hist[b].append(feats[b, : n_valid[b]].copy())
+            feats = None
+        self._pending.append((logp, feats, n_valid.copy()))
         # bound the device-resident backlog: a server that rarely asks for
         # partials must not accumulate [B, chunk, V] logp buffers without
         # limit (~2.5 MB each at production sizes)
@@ -1014,28 +1248,41 @@ class BatchedAedEngine(_BaseSlotEngine):
             self._flush_pending()
 
     def _flush_pending(self) -> None:
-        """Pull every queued chunk logp in one block and replay the host
-        CTC-greedy partial decoders. Called before any consumer of decoder
-        state (partial/finalize); slots are only re-assigned through
-        finalize, which flushes first, so pending rows always belong to the
-        decoders currently installed."""
+        """Pull every queued chunk logp (and, on the device feature path,
+        the consumed feature rows for the attention-final history) in one
+        block and replay the host CTC-greedy partial decoders. Called
+        before any consumer of decoder state (partial/finalize); slots are
+        only re-assigned through finalize, which flushes first, so pending
+        rows always belong to the decoders currently installed."""
         if not self._pending:
             return
         pending, self._pending = self._pending, []
         jax.block_until_ready(pending[-1][0])  # one sync for the backlog
-        for logp, n_valid in pending:
+        for logp, feats, n_valid in pending:
             logp_np = np.asarray(logp)
+            feats_np = np.asarray(feats) if feats is not None else None
             for b in range(self.capacity):
                 if n_valid[b]:
                     self._decoders[b].step(logp_np[b])
+                    if feats_np is not None:
+                        self._feats_hist[b].append(
+                            feats_np[b, : n_valid[b]].copy())
 
     # -- results --
 
     def drained(self, sid) -> bool:
         """The sub-chunk feature tail is consumed by the attention final,
         not the streaming stage."""
-        s = self.slots[self._sid_to_slot[sid]]
-        return s.flushed and len(s.feat_q) < self.tick_frames
+        b = self._sid_to_slot[sid]
+        return self.slots[b].flushed and self._feat_avail(b) < self.tick_frames
+
+    def _leftover_rows(self, b: int, s: _Slot) -> List[np.ndarray]:
+        """Emitted-but-unconsumed feature rows (the sub-chunk tail) for the
+        attention final. Device path: one small queue pull per finalize."""
+        if self.feature_path == "device":
+            n = int(self._q_len[b])
+            return [np.asarray(self._qbuf[b, :n])] if n else []
+        return [s.feat_q] if len(s.feat_q) else []
 
     def partial(self, sid) -> List[int]:
         """Best-so-far CTC-greedy unit ids (flushes the deferred backlog:
@@ -1063,7 +1310,7 @@ class BatchedAedEngine(_BaseSlotEngine):
         s = self.slots[b]
         assert self.drained(sid), "finalize before drained()"
         audio_s = s.samples / self.fcfg.sample_rate
-        parts = self._feats_hist[b] + ([s.feat_q] if len(s.feat_q) else [])
+        parts = self._feats_hist[b] + self._leftover_rows(b, s)
         fa = (np.concatenate(parts, axis=0) if parts
               else np.zeros((0, self.fcfg.feat_dim), np.float32))
         T = fa.shape[0]
@@ -1105,7 +1352,7 @@ class BatchedAedEngine(_BaseSlotEngine):
             s = self.slots[b]
             assert self.drained(sid), "finalize before drained()"
             audio_s = s.samples / self.fcfg.sample_rate
-            parts = self._feats_hist[b] + ([s.feat_q] if len(s.feat_q) else [])
+            parts = self._feats_hist[b] + self._leftover_rows(b, s)
             fa = (np.concatenate(parts, axis=0) if parts
                   else np.zeros((0, self.fcfg.feat_dim), np.float32))
             if fa.shape[0] == 0:
