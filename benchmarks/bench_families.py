@@ -169,21 +169,36 @@ def main() -> None:
 
     _ctc_stock = jax.jit(
         lambda feats, nf: ctc_model.apply(ctc_params, feats, nf))
+    # PRODUCTION route (round 5): the greedy argmax is FUSED into the
+    # forward jit — issuing it as a separate post-sync dispatch serialized
+    # two ~30 ms tunnel round-trips per batch, the measured mechanism of
+    # the 4x ctc-vs-lstm family gap (VERDICT r4 item 4; TPU_NOTES round 5)
+    _ctc_stock_frames = jax.jit(
+        lambda feats, nf: (jnp.argmax(
+            ctc_model.apply(ctc_params, feats, nf), -1).astype(jnp.int32),
+            nf))
 
     def run_ctc(w, ns, fe):
-        # stock XLA-scan encoder, jitted (host blank-collapse in run_all)
+        feats, nf = fe(w, ns)
+        return _ctc_stock_frames(feats, nf)
+
+    def run_ctc_unfused(w, ns, fe):
+        # the r2-r4 route (separate argmax dispatch) kept as the A/B arm
         feats, nf = fe(w, ns)
         return _ctc_stock(feats, nf), nf
 
     from mogasr.am.lstm_pallas import make_pallas_lstm_logits
 
     _ctc_pallas = make_pallas_lstm_logits(ctc_params)
+    _ctc_pallas_frames = jax.jit(
+        lambda feats, nf: (jnp.argmax(
+            _ctc_pallas(feats, nf), -1).astype(jnp.int32), nf))
 
     def run_ctc_pallas(w, ns, fe):
         # the promoted production encoder path (use_pallas_lstm routing),
-        # through the same jitted closure quantize.py/eval.py use
+        # argmax fused like the stock row
         feats, nf = fe(w, ns)
-        return _ctc_pallas(feats, nf), nf
+        return _ctc_pallas_frames(feats, nf)
 
     def run_rnnt(w, ns, fe):
         from mogasr.am.rnnt import rnnt_encode
@@ -212,6 +227,21 @@ def main() -> None:
         feats, nf = fe(w, ns)
         return aed_decode(feats, nf)
 
+    # rnnt_beam: the quality-path monotonic beam, now FULLY on device
+    # (round 5): encoder + all expansion rounds + prefix merging + top-K
+    # in one jitted lax.scan per batch — the same dispatch budget as the
+    # greedy rows, so it runs the standard interleaved-window protocol
+    # (the r4 host-orchestrated beam measured 1.0 utt/s, dispatch-bound).
+    from mogasr.am.rnnt import make_rnnt_beam_device
+
+    _rnnt_beam_dev = make_rnnt_beam_device(
+        rnnt_model, rnnt_params, beam_size=4, max_symbols_per_frame=4,
+        u_cap=120)
+
+    def run_rnnt_beam_dev(w, ns, fe):
+        feats, nf = fe(w, ns)
+        return _rnnt_beam_dev(feats, nf)
+
     # ctc_conformer: same CTC decode path with the MXU-friendly ConformerAm
     # encoder (attention+conv GEMMs at T/4) instead of the scan-bound LSTM
     conf_model = build_model("conformer", lex.n_phones + 1, tcfg)
@@ -222,21 +252,40 @@ def main() -> None:
 
     _conf_logits = make_ctc_logits_fn(conf_model, conf_params)
 
+    from mogasr.am.ctc import make_ctc_frames_fn
+
+    _conf_frames = make_ctc_frames_fn(conf_model, conf_params)
+
     def run_ctc_conformer(w, ns, fe):
-        # the EXACT production route (make_ctc_logits_fn): one jitted
-        # closure decoding at the encoder's native 25 Hz rate — greedy
-        # collapse is frame-rate invariant, so hypotheses are identical
-        # to the upsampled path (tested)
+        # the EXACT production route (make_ctc_frames_fn): one jitted
+        # closure decoding at the encoder's native 25 Hz rate with the
+        # argmax fused — greedy collapse is frame-rate invariant, so
+        # hypotheses are identical to the upsampled path (tested)
         feats, nf = fe(w, ns)
-        return _conf_logits(feats, nf)
+        return _conf_frames(feats, nf)
+
+    # quality-path logp closure: log_softmax fused into the same dispatch
+    # (the r4 row paid an EAGER log_softmax dispatch per batch post-sync)
+    @jax.jit
+    def _conf_logp(feats, nf):
+        lg, nd = _conf_logits(feats, nf)
+        return jax.nn.log_softmax(lg, axis=-1), nd
+
+    def run_ctc_beam_logp(w, ns, fe):
+        feats, nf = fe(w, ns)
+        return _conf_logp(feats, nf)
 
     _conf_up = jax.jit(
         lambda feats, nf: conf_model.apply(conf_params, feats, nf))
+    _conf_up_frames = jax.jit(
+        lambda feats, nf: (jnp.argmax(
+            conf_model.apply(conf_params, feats, nf), -1).astype(jnp.int32),
+            nf))
 
     def run_ctc_conformer_up(w, ns, fe):
         # pre-round-3 path (repeat-upsampled to 100 Hz) kept as the A/B row
         feats, nf = fe(w, ns)
-        return _conf_up(feats, nf), nf
+        return _conf_up_frames(feats, nf)
 
     # ctc_conformer_bf16: the make_bf16_logits recipe (params cast once,
     # XLA constant-folds; activations follow input dtype) at the native
@@ -249,7 +298,7 @@ def main() -> None:
     def _conf_bf16(feats, nf):
         lg, nd = conf_model.apply(
             conf_p16, feats.astype(jnp.bfloat16), nf, method="subsampled")
-        return lg.astype(jnp.float32), nd
+        return jnp.argmax(lg, -1).astype(jnp.int32), nd
 
     def run_ctc_conformer_bf16(w, ns, fe):
         feats, nf = fe(w, ns)
@@ -316,39 +365,47 @@ def main() -> None:
         ("lstm_prefused", make_hybrid_prefused(lstm_params), None),
         ("lstm_pallas", make_hybrid_pallas(lstm_params), None),
         ("lstm_pallas_bf16", make_hybrid_pallas(lstm_params, "bfloat16"), None),
-        ("ctc", run_ctc, "collapse"),
-        ("ctc_pallas", run_ctc_pallas, "collapse"),
-        ("ctc_conformer", run_ctc_conformer, "collapse"),
-        ("ctc_conformer_up", run_ctc_conformer_up, "collapse"),
-        ("ctc_conformer_bf16", run_ctc_conformer_bf16, "collapse"),
+        ("ctc", run_ctc, "collapse_frames"),
+        ("ctc_unfused", run_ctc_unfused, "collapse"),
+        ("ctc_pallas", run_ctc_pallas, "collapse_frames"),
+        ("ctc_conformer", run_ctc_conformer, "collapse_frames"),
+        ("ctc_conformer_up", run_ctc_conformer_up, "collapse_frames"),
+        ("ctc_conformer_bf16", run_ctc_conformer_bf16, "collapse_frames"),
         ("rnnt", run_rnnt, None),
         ("rnnt_scan", run_rnnt_scan, None),
+        ("rnnt_beam", run_rnnt_beam_dev, None),
         ("aed", run_aed, None),
         # quality-path decoders (round-3 VERDICT item 9): the accuracy-
         # critical decode modes, timed like every production row.
         # ctc_beam: conformer logits at 25 Hz + native C++ prefix beam
         # (beam 8, mogasr/native/ctc_beam_native.cpp) on host — the
         # LM-fusion-capable CTC path.
-        ("ctc_beam", run_ctc_conformer, "beam"),
+        ("ctc_beam", run_ctc_beam_logp, "beam"),
     ]
 
     fam_filter = (set(args.families.split(",")) if args.families else None)
     selected = [f for f in families
                 if fam_filter is None or f[0] in fam_filter]
 
-    from mogasr.am.ctc import ctc_beam_decode_batch
+    from mogasr.am.ctc import ctc_beam_decode_batch, ctc_collapse_frames
+
+    ctc_blank = lex.n_phones   # every CTC row here: V = n_phones + 1
 
     def make_run_all(fn, host_post):
         def run_all():
             outs = [fn(w, ns, fe) for (w, ns, fe) in prepared]
             jax.block_until_ready(outs)
-            if host_post == "collapse":  # CTC host-side blank collapse
+            if host_post == "collapse_frames":  # fused-argmax rows
+                for frames, nf in outs:
+                    ctc_collapse_frames(
+                        np.asarray(frames), np.asarray(nf), ctc_blank)
+            elif host_post == "collapse":  # CTC host-side blank collapse
                 for logits, nf in outs:
                     ctc_greedy_decode(logits, nf)
             elif host_post == "beam":  # native prefix beam (quality path)
-                for logits, nf in outs:
-                    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
-                    ctc_beam_decode_batch(logp, np.asarray(nf), beam_size=8)
+                for logp, nf in outs:
+                    ctc_beam_decode_batch(
+                        np.asarray(logp), np.asarray(nf), beam_size=8)
             return outs
         return run_all
 
@@ -450,14 +507,11 @@ def main() -> None:
               f"realtime (no lifecycle) [{time.time()-t_start:.0f}s]",
               flush=True)
 
-    # rnnt_beam: the monotonic RNN-T beam (the biasing / shallow-fusion
-    # quality path) via rnnt_beam_decode_batch — ONE fused
-    # prediction->joint->log_softmax dispatch per expansion round for the
-    # whole batch (identical hypotheses to the per-utterance reference,
-    # tested). Still one synchronized dispatch per (frame, round), so the
-    # ~30 ms tunnel floor bounds it well below deployment; measured on one
-    # batch and annotated.
-    if fam_filter is None or "rnnt_beam" in fam_filter:
+    # rnnt_beam_host: the r3-r4 host-orchestrated batched beam kept as the
+    # A/B floor (one synchronized dispatch per (frame, round) — the ~30 ms
+    # tunnel floor bounds it; single-batch measurement, annotated). The
+    # production `rnnt_beam` row above is the on-device scan.
+    if fam_filter is None or "rnnt_beam_host" in fam_filter:
         from mogasr.am.rnnt import rnnt_beam_decode_batch
 
         w, ns, fe = prepared[0]
@@ -472,7 +526,7 @@ def main() -> None:
         rb_audio = float(np.asarray(nf).sum()) * fcfg.frame_shift \
             / fcfg.sample_rate
         rows.append({
-            "family": "rnnt_beam",
+            "family": "rnnt_beam_host",
             "n_utts": n_rb,
             "beam": 4,
             "utts_per_sec": round(n_rb / dt, 2),
@@ -481,7 +535,7 @@ def main() -> None:
                     "round): tunnel dispatch floor dominates (TPU_NOTES) "
                     "— single-batch measurement",
         })
-        print(f"  rnnt_beam: {rows[-1]['utts_per_sec']} utt/s over "
+        print(f"  rnnt_beam_host: {rows[-1]['utts_per_sec']} utt/s over "
               f"{n_rb} utts (batched beam) [{time.time()-t_start:.0f}s]",
               flush=True)
 

@@ -82,7 +82,23 @@ def main() -> None:
                    help="GMM-engine backpointer history: device-resident "
                         "(production) vs host chunk lists; 'both' interleaves "
                         "epochs for a fair A/B (TPU_NOTES round-3 protocol)")
+    p.add_argument("--feature-path", choices=["device", "host", "both"],
+                   default="device",
+                   help="engine feature extraction (round 5): 'device' "
+                        "(production) fuses spectral+delta+CMVN+queue into "
+                        "one async dispatch per tick; 'host' is the r2-r4 "
+                        "per-slot numpy absorb path; 'both' interleaves "
+                        "epochs per engine for the A/B (with --history "
+                        "forced to device so arms differ in ONE variable)")
+    p.add_argument("--defer-absorb", choices=["on", "off", "both"],
+                   default="on",
+                   help="CTC/RNN-T deferred decode absorption (round 5); "
+                        "'both' interleaves for the A/B")
     args = p.parse_args()
+    fp_arms = (["device", "host"] if args.feature_path == "both"
+               else [args.feature_path])
+    defer_arms = ({"on": [True], "off": [False],
+                   "both": [True, False]}[args.defer_absorb])
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     import jax
@@ -169,15 +185,22 @@ def main() -> None:
 
     # session length bound for the device-resident history (+drain margin)
     hist_frames = (n_tick + 8) * args.tick_frames
-    modes = ([] if args.skip_gmm
-             else ["device", "host"] if args.history == "both"
-             else [args.history])
+    if args.skip_gmm:
+        combos = []
+    elif args.feature_path == "both":
+        # vary ONE variable: the feature path, at production history
+        combos = [("device", "device"), ("device", "host")]
+    else:
+        hists = (["device", "host"] if args.history == "both"
+                 else [args.history])
+        combos = [(h, fp_arms[0]) for h in hists]
+    modes = [f"hist={h},feat={f}" for h, f in combos]
     engines = {}
-    for mode in modes:
+    for (h, f), mode in zip(combos, modes):
         engines[mode] = BatchedSessionEngine(
             graph, score_fn, fcfg, dcfg, capacity=args.capacity,
-            tick_frames=args.tick_frames, history=mode,
-            max_frames=hist_frames,
+            tick_frames=args.tick_frames, history=h,
+            max_frames=hist_frames, feature_path=f,
         )
     if engines:
         eng = engines[modes[0]]
@@ -207,7 +230,8 @@ def main() -> None:
                   f"{frames / dt:.0f} frames/s", flush=True)
     frames_per_rt_stream = sr / hop  # 100 frames per second of audio
     if engines:
-        prod_mode = "device" if "device" in mode_rates else modes[0]
+        prod_mode = ("hist=device,feat=device"
+                     if "hist=device,feat=device" in mode_rates else modes[0])
         epoch_rates = mode_rates[prod_mode]
         eng_fps = statistics.median(epoch_rates)
         eng_streams = eng_fps / frames_per_rt_stream
@@ -253,30 +277,40 @@ def main() -> None:
             lstm_stream_init(stream, 1, fcfg.feat_dim),
         )
 
-        def make_ctc_engine():
+        def make_ctc_engine(fp, defer):
             return BatchedCtcEngine(
                 stream, params,
                 lambda: CtcStreamDecoder(blank_id=V - 1, mode="greedy"),
                 lstm_stream_init(stream, args.capacity, fcfg.feat_dim),
                 fcfg, capacity=args.capacity, tick_frames=args.tick_frames,
+                feature_path=fp, defer_absorb=defer,
             )
 
-        ceng = make_ctc_engine()
+        carm = [(fp, d) for fp in fp_arms for d in defer_arms]
+        cengs = {f"feat={fp},defer={int(d)}": make_ctc_engine(fp, d)
+                 for fp, d in carm}
         print("warmup ctc engine ...", flush=True)
-        run_epoch(ceng)
-        rates = []
+        for ceng in cengs.values():
+            run_epoch(ceng)
+        crates = {k: [] for k in cengs}
         for e in range(args.epochs):
-            base = ceng.frames_decoded
-            t0 = time.perf_counter()
-            total = run_epoch(ceng)
-            dt = time.perf_counter() - t0
-            rates.append((total - base) / dt)
-            print(f"  ctc epoch {e}: {rates[-1]:.0f} frames/s", flush=True)
-        ctc_fps = statistics.median(rates)
+            for k, ceng in cengs.items():
+                base = ceng.frames_decoded
+                t0 = time.perf_counter()
+                total = run_epoch(ceng)
+                dt = time.perf_counter() - t0
+                crates[k].append((total - base) / dt)
+                print(f"  ctc epoch {e} [{k}]: {crates[k][-1]:.0f} frames/s",
+                      flush=True)
+        prod_k = next(iter(cengs))   # device/defer-on first = production
+        ctc_fps = statistics.median(crates[prod_k])
         ctc_row = {
             "streams_realtime": round(ctc_fps / (sr / hop), 1),
             "frames_per_sec": round(ctc_fps, 1),
-            "epochs": [round(r, 1) for r in rates],
+            "epochs": [round(r, 1) for r in crates[prod_k]],
+            "arm": prod_k,
+            "arms_ab": {k: [round(r, 1) for r in rs]
+                        for k, rs in crates.items()},
             "model": f"lstm h=512 L=2 V={V} greedy",
         }
 
@@ -294,16 +328,21 @@ def main() -> None:
             rnnt_model, tcfg, fcfg.feat_dim, 4, jax.random.key(1)
         ).params
 
-        def make_rnnt_engine(impl):
+        def make_rnnt_engine(impl, fp, defer):
             return BatchedRnntEngine(
                 rnnt_model, rnnt_params, fcfg,
                 capacity=args.capacity, tick_frames=args.tick_frames,
-                greedy_impl=impl,
+                greedy_impl=impl, feature_path=fp, defer_absorb=defer,
             )
 
         impls = (["frame_scan", "label_loop"] if args.rnnt_impl == "both"
                  else [args.rnnt_impl])
-        rengs = {impl: make_rnnt_engine(impl) for impl in impls}
+        rarm = [(i, fp, d)
+                for i in impls for fp in fp_arms for d in defer_arms]
+        rengs = {(f"{i},feat={fp},defer={int(d)}" if len(rarm) > len(impls)
+                  else i): make_rnnt_engine(i, fp, d)
+                 for i, fp, d in rarm}
+        impls = list(rengs)   # arm labels drive the loops below
         print("warmup rnnt engine ...", flush=True)
         for impl, reng in rengs.items():
             t0 = time.perf_counter()
@@ -355,34 +394,38 @@ def main() -> None:
             aed_model, aed_tcfg, fcfg.feat_dim, 4, jax.random.key(2)
         ).params
 
-        def make_aed_engine():
+        def make_aed_engine(fp):
             return BatchedAedEngine(
                 aed_model, aed_params, fcfg, capacity=args.capacity,
-                beam=4, ctc_weight=0.3,
+                beam=4, ctc_weight=0.3, feature_path=fp,
             )
 
         finals = (["many", "loop"] if args.aed_final == "both"
                   else [args.aed_final])
-        aengs = {fm: make_aed_engine() for fm in finals}
+        aarm = [(fm, fp) for fm in finals for fp in fp_arms]
+        aengs = {(f"{fm},feat={fp}" if len(aarm) > len(finals) else fm):
+                 make_aed_engine(fp) for fm, fp in aarm}
+        _aed_final_of = {k: fm for k, (fm, _fp) in zip(aengs, aarm)}
         print("warmup aed engine ...", flush=True)
-        for fm, aeng in aengs.items():
-            run_epoch(aeng, batched_final=(fm == "many"))
-        final_rates = {fm: [] for fm in finals}
+        for k, aeng in aengs.items():
+            run_epoch(aeng, batched_final=(_aed_final_of[k] == "many"))
+        final_rates = {k: [] for k in aengs}
         for e in range(args.epochs):
-            for fm, aeng in aengs.items():
+            for k, aeng in aengs.items():
                 base = aeng.frames_decoded
                 t0 = time.perf_counter()
-                total = run_epoch(aeng, batched_final=(fm == "many"))
+                total = run_epoch(
+                    aeng, batched_final=(_aed_final_of[k] == "many"))
                 dt = time.perf_counter() - t0
-                final_rates[fm].append((total - base) / dt)
-                print(f"  aed epoch {e} [{fm}]: "
-                      f"{final_rates[fm][-1]:.0f} frames/s", flush=True)
+                final_rates[k].append((total - base) / dt)
+                print(f"  aed epoch {e} [{k}]: "
+                      f"{final_rates[k][-1]:.0f} frames/s", flush=True)
         if args.aed_final == "both":
             med = {f_: statistics.median(rs) for f_, rs in final_rates.items()}
             prod_final = ("many" if med["many"] >= 1.2 * med["loop"]
                           else "loop")
         else:
-            prod_final = finals[0]
+            prod_final = next(iter(aengs))   # device-feat arm first
         aed_fps = statistics.median(final_rates[prod_final])
         aed_row = {
             "streams_realtime": round(aed_fps / (sr / hop), 1),
@@ -420,6 +463,8 @@ def main() -> None:
         "capacity": args.capacity,
         "tick_frames": args.tick_frames,
         "partial_every": args.partial_every,
+        "feature_path": args.feature_path,
+        "defer_absorb": args.defer_absorb,
         "utt_seconds": args.utt_seconds,
         "gmm": f"{S}x{K}x{D}",
         "backend": jax.default_backend(),

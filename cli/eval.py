@@ -188,7 +188,6 @@ def main() -> None:
         tcfg = TrainConfig(nn_arch=args.nn_arch, nn_hidden=args.nn_hidden,
                            nn_layers=args.nn_layers)
         if args.ctc:
-            from mogasr.am.ctc import ctc_greedy_decode
             from mogasr.am.train_nn import build_model, init_train_state
 
             nn_model = build_model(args.nn_arch, bpe.n_units + 1, tcfg)
@@ -201,16 +200,19 @@ def main() -> None:
                 restore_checkpoint(args.nn_ckpt, template)["params"], mesh
             )
 
-            from mogasr.am.ctc import make_ctc_logits_fn
+            from mogasr.am.ctc import ctc_collapse_frames, make_ctc_frames_fn
 
             # carries the production routing: Conformer decodes at its
             # native 25 Hz rate; LstmAm follows the use_pallas_lstm gate
-            # (demoted round 3 — stock jitted scan everywhere)
-            _ctc_logits = make_ctc_logits_fn(nn_model, nn_params)
+            # (demoted round 3 — stock jitted scan everywhere). The greedy
+            # argmax is FUSED into the forward dispatch (round 5: a
+            # post-sync argmax dispatch + pull serialized two tunnel
+            # round-trips per batch — the bench `ctc` row's measured 4x)
+            _ctc_frames = make_ctc_frames_fn(nn_model, nn_params)
 
             def decode_units(feats, n_frames, fb):
-                logits, n_dec = _ctc_logits(feats, n_frames)
-                return ctc_greedy_decode(logits, n_dec)
+                frames, n_dec = _ctc_frames(feats, n_frames)
+                return ctc_collapse_frames(frames, n_dec, bpe.n_units)
         elif args.rnnt:
             from mogasr.am.rnnt import (
                 build_rnnt_model, init_rnnt_train_state,

@@ -272,6 +272,15 @@ def main() -> None:
                         "serving mode (mogasr.serving.engine)")
     p.add_argument("--engine-capacity", type=int, default=16,
                    help="engine slot count (= max concurrent sessions)")
+    p.add_argument("--feature-path", choices=["device", "host"],
+                   default="device",
+                   help="engine feature extraction: 'device' (production) "
+                        "fuses spectral+delta+CMVN+queue into one async "
+                        "dispatch per tick so features never visit the "
+                        "host; 'host' is the bit-exact per-slot "
+                        "StreamingFrontend path (sliding CMVN on device "
+                        "is an f32 tolerance contract, "
+                        "mogasr/frontend/device_tail.py)")
     p.add_argument("--engine-history", choices=["device", "host"],
                    default="device",
                    help="GMM engine backpointer history: device-resident "
@@ -406,6 +415,7 @@ def main() -> None:
                 aed_model, aed_params, fcfg,
                 capacity=args.engine_capacity,
                 beam=args.aed_beam, ctc_weight=args.aed_ctc_weight,
+                feature_path=args.feature_path,
             )
             _run_engine_loop(args, eng, fcfg, logger, to_text=to_text)
             return
@@ -532,6 +542,7 @@ def main() -> None:
                                  fcfg.feat_dim),
                 fcfg, capacity=args.engine_capacity,
                 tick_frames=args.tick_frames,
+                feature_path=args.feature_path,
             )
             _run_engine_loop(args, eng, fcfg, logger, to_text=bpe.decode)
             return
@@ -597,6 +608,7 @@ def main() -> None:
                 rnnt_model, rnnt_params, fcfg,
                 capacity=args.engine_capacity,
                 tick_frames=args.tick_frames,
+                feature_path=args.feature_path,
             )
             _run_engine_loop(args, eng, fcfg, logger, to_text=to_text)
             return
@@ -636,6 +648,7 @@ def main() -> None:
             capacity=args.engine_capacity, tick_frames=args.tick_frames,
             history=args.engine_history,
             max_frames=args.engine_max_frames,
+            feature_path=args.feature_path,
         )
         _run_engine_loop(args, eng, fcfg, logger)
         return

@@ -1278,6 +1278,300 @@ def rnnt_beam_decode_batch(
 
 
 # --------------------------------------------------------------------------
+# Fully on-device batched beam search (round 5)
+# --------------------------------------------------------------------------
+
+
+def rnnt_fusion_matrix(model: RnntModel, unit_lm, weight: float) -> jax.Array:
+    """On-device shallow-fusion table for the RNN-T beams: a
+    [V_lab + 1, V_lab] matrix whose (prev_label, label) entry is the
+    weighted unit-bigram log-prob; row V_lab is the sentence-initial
+    distribution (empty prefix). Blank is NOT a column: fusion applies
+    exactly once per label extension, matching the per-utterance
+    ``ext_score`` hook's telescoping semantics (the RNN-T twin of
+    mogasr.am.aed.aed_fusion_matrix)."""
+    V = model.n_labels
+    assert unit_lm.n_units == V, (
+        f"unit LM vocabulary ({unit_lm.n_units}) != RNN-T labels ({V})")
+    m = np.zeros((V + 1, V), np.float32)
+    m[:V, :] = weight * unit_lm.pair_logp
+    m[V, :] = weight * unit_lm.init_logp
+    return jnp.asarray(m)
+
+
+def make_rnnt_beam_device(
+    model: RnntModel,
+    params,
+    beam_size: int = 4,
+    max_symbols_per_frame: int = 4,
+    u_cap: int = 200,
+    fusion: Optional[jax.Array] = None,      # [V+1, V] rnnt_fusion_matrix
+    bias_next: Optional[np.ndarray] = None,  # [S, V] CompiledBiaser tables
+    bias_delta: Optional[np.ndarray] = None,
+):
+    """ONE-dispatch monotonic RNN-T beam search for a whole batch.
+
+    The quality-critical decode mode (N-best for MWER, fusion, biasing)
+    was the measured serving gap: the host-orchestrated beams pay one
+    synchronized device call per (frame, expansion round) against a ~30 ms
+    tunnel floor — 1 utt/s regardless of model size (docs/TPU_NOTES.md
+    round-4 `rnnt_beam` row). Here the ENTIRE search — encoder, per-frame
+    expansion rounds, blank/label splitting, prefix merging, threshold
+    pruning, top-K — is a single jitted `lax.scan` over frames:
+
+    - the in-frame hypothesis set A lives in fixed [B, K, ...] buffers
+      (history, length, score, per-hypothesis prediction-net carry/output,
+      bias-automaton node), with dead rows at -inf;
+    - each of the ``max_symbols_per_frame + 1`` rounds runs ONE batched
+      joint over all B*K hypotheses; label children take a global
+      top-K over the [K*V] candidates (exact: within-round children are
+      distinct, see rnnt_beam_decode_batch) and step the prediction net
+      once for the K winners (gather-by-parent, like the greedy scan);
+    - blank children are merged into a fixed [B, K*(R+1)] `done` buffer by
+      EXACT prefix comparison + logaddexp (the reference's dict merge,
+      vectorized: each insert compares against all slots at once), and the
+      reference's done-threshold prune (> max(done) - 10) uses the merged
+      running max, matching the per-utterance order of operations;
+    - frame end takes top-K of merged `done` as the next frame's A; rows
+      past ``n_frames`` are inert (masked carry-through).
+
+    Shallow fusion and contextual biasing are row-gathers against
+    precomputed tables (`rnnt_fusion_matrix`,
+    mogasr.decoder.biasing.CompiledBiaser), so the batched quality path no
+    longer falls back to per-utterance decoding.
+
+    Numerics: scores accumulate in device f32 (the per-utterance reference
+    accumulates the same f32 joint log-probs in host f64), so ranked lists
+    are exact-tested on short utterances and tolerance-contracted on long
+    ones (tests/test_rnnt_device_beam.py).
+
+    Returns a jitted ``(feats [B,T,D], n_frames [B]) ->
+    (hists [B,K,u_cap], lens [B,K], scores [B,K])`` best-first; rows with
+    score <= NEG_INF/2 are dead (fewer than K survivors).
+    """
+    K = int(beam_size)
+    R = int(max_symbols_per_frame)
+    V = model.n_labels
+    blank = V
+    sos = V
+    Kd = K * (R + 1)
+    NEG_HALF = NEG_INF / 2
+    step_cls = (RnntPredictionStep if model.pred_arch == "lstm"
+                else RnntPredictionStatelessStep)
+    pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
+    joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
+    pred_params = {"params": params["params"]["prediction"]}
+    joint_params = {"params": params["params"]["joint"]}
+    fusion_arr = None if fusion is None else jnp.asarray(fusion)
+    has_bias = bias_next is not None
+    bn_arr = jnp.asarray(bias_next, jnp.int32) if has_bias else None
+    bd_arr = jnp.asarray(bias_delta, jnp.float32) if has_bias else None
+    cols = jnp.arange(u_cap)
+
+    def _insert_done(done, ch, cl, cs, cp, cc, cb):
+        """Merge ONE blank-finished candidate per batch row into `done`
+        (exact prefix compare + logaddexp; insert at the next free slot
+        otherwise). All [B]-vectorized."""
+        dh, dl, ds, dcnt, dp, dc, db = done
+        B = ch.shape[0]
+        valid_slot = ds > NEG_HALF
+        same = (dh == ch[:, None, :]) | (cols[None, None, :] >= cl[:, None, None])
+        eq = (dl == cl[:, None]) & valid_slot & same.all(-1)
+        has = eq.any(1)
+        pos = jnp.where(has, jnp.argmax(eq, axis=1), dcnt)
+        cvalid = cs > NEG_HALF
+        onehot = (jnp.arange(Kd)[None, :] == pos[:, None]) & cvalid[:, None]
+        merged = jnp.where(
+            has, jnp.logaddexp(
+                jnp.take_along_axis(ds, pos[:, None], 1)[:, 0], cs), cs)
+        ds = jnp.where(onehot, merged[:, None], ds)
+        dh = jnp.where(onehot[..., None], ch[:, None, :], dh)
+        dl = jnp.where(onehot, cl[:, None], dl)
+        dp = jnp.where(onehot[..., None], cp[:, None, :], dp)
+        dc = jax.tree_util.tree_map(
+            lambda d, c: jnp.where(
+                onehot.reshape((B, Kd) + (1,) * (c.ndim - 1)),
+                c[:, None], d),
+            dc, cc)
+        if has_bias:
+            db = jnp.where(onehot, cb[:, None], db)
+        dcnt = dcnt + (cvalid & ~has).astype(jnp.int32)
+        return dh, dl, ds, dcnt, dp, dc, db
+
+    @jax.jit
+    def decode(feats: jax.Array, n_frames: jax.Array):
+        enc = rnnt_encode(model, params, feats, n_frames)   # [B, T, He]
+        B, T = enc.shape[0], enc.shape[1]
+
+        # initial beam: row 0 = empty prefix at 0.0; rows 1.. dead
+        hist0 = jnp.full((B, K, u_cap), -1, jnp.int32)
+        lens0 = jnp.zeros((B, K), jnp.int32)
+        score0 = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
+        if model.pred_arch == "lstm":
+            cell = nn.OptimizedLSTMCell(model.pred_hidden)
+            carry0 = cell.initialize_carry(jax.random.key(0), (B * K, 1))
+        else:
+            carry0 = jnp.zeros((B * K, 1))
+        carry0, pred0 = pred_step_def.apply(
+            pred_params, jnp.full((B * K,), sos, jnp.int32), carry0)
+        bn0 = jnp.zeros((B, K), jnp.int32)
+        Hp = pred0.shape[-1]
+
+        def frame_step(st, inputs):
+            hist, lens, score, carry, pred, bnode = st
+            # frame-entry snapshot: inactive rows (t >= n_frames) must
+            # carry THIS state through, not the round-mutated locals
+            hist_in, lens_in, score_in = hist, lens, score
+            carry_in, pred_in, bnode_in = carry, pred, bnode
+            enc_t, t = inputs                      # [B, He]
+            active = t < n_frames                  # [B]
+            done = (
+                jnp.full((B, Kd, u_cap), -1, jnp.int32),
+                jnp.zeros((B, Kd), jnp.int32),
+                jnp.full((B, Kd), NEG_INF),
+                jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B, Kd, Hp)),
+                jax.tree_util.tree_map(
+                    lambda x: jnp.zeros((B, Kd) + x.shape[1:], x.dtype),
+                    carry),
+                jnp.zeros((B, Kd), jnp.int32),
+            )
+            enc_rep = jnp.repeat(enc_t, K, axis=0)          # [B*K, He]
+            for r in range(R + 1):
+                logits = joint_def.apply(
+                    joint_params, enc_rep[:, None, :], pred[:, None, :]
+                )[:, 0, 0, :].reshape(B, K, V + 1)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                bl = score + logp[..., blank]               # [B, K]
+                for k in range(K):
+                    cand_carry = jax.tree_util.tree_map(
+                        lambda x: x.reshape((B, K) + x.shape[1:])[:, k],
+                        carry)
+                    done = _insert_done(
+                        done, hist[:, k], lens[:, k], bl[:, k],
+                        pred.reshape(B, K, Hp)[:, k], cand_carry,
+                        bnode[:, k])
+                if r == R:
+                    break
+                lab = score[..., None] + logp[..., :V]      # [B, K, V]
+                if fusion_arr is not None:
+                    last = jnp.where(
+                        lens > 0,
+                        jnp.take_along_axis(
+                            hist, jnp.maximum(lens - 1, 0)[..., None],
+                            axis=2)[..., 0],
+                        V)
+                    lab = lab + fusion_arr[last]
+                if has_bias:
+                    lab = lab + bd_arr[bnode]
+                lab = jnp.where(lens[..., None] >= u_cap, NEG_INF, lab)
+                lab = jnp.where(score[..., None] < NEG_HALF, NEG_INF, lab)
+                top_val, top_idx = jax.lax.top_k(lab.reshape(B, K * V), K)
+                dmax = done[2].max(axis=1)                  # merged running max
+                top_val = jnp.where(
+                    top_val > dmax[:, None] - 10.0, top_val, NEG_INF)
+                parent = top_idx // V
+                lab_id = (top_idx % V).astype(jnp.int32)
+                live = top_val > NEG_HALF
+                hist = jnp.take_along_axis(hist, parent[..., None], axis=1)
+                plen = jnp.take_along_axis(lens, parent, axis=1)
+                at = jnp.clip(plen, 0, u_cap - 1)
+                hist = jnp.where(
+                    (cols[None, None, :] == at[..., None]) & live[..., None],
+                    lab_id[..., None], hist)
+                lens = plen + live.astype(jnp.int32)
+                flat_parent = (
+                    jnp.arange(B)[:, None] * K + parent).reshape(-1)
+                carry = jax.tree_util.tree_map(
+                    lambda x: x[flat_parent], carry)
+                label_in = jnp.where(live, lab_id, sos).reshape(-1)
+                carry, pred = pred_step_def.apply(
+                    pred_params, label_in, carry)
+                score = top_val
+                if has_bias:
+                    bnode = bn_arr[
+                        jnp.take_along_axis(bnode, parent, axis=1), lab_id]
+
+            # frame end: next A = top-K of the merged done set
+            dh, dl, ds, _dcnt, dp, dc, db = done
+            nsc, nidx = jax.lax.top_k(ds, K)
+            nhist = jnp.take_along_axis(dh, nidx[..., None], axis=1)
+            nlen = jnp.take_along_axis(dl, nidx, axis=1)
+            npred = jnp.take_along_axis(dp, nidx[..., None], axis=1)
+            ncarry = jax.tree_util.tree_map(
+                lambda x: jnp.take_along_axis(
+                    x, nidx.reshape((B, K) + (1,) * (x.ndim - 2)), axis=1
+                ).reshape((B * K,) + x.shape[2:]),
+                dc)
+            nbn = (jnp.take_along_axis(db, nidx, axis=1) if has_bias
+                   else bnode)
+
+            def mix(new, old, bvec=active):
+                return jnp.where(
+                    bvec.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+
+            a_flat = jnp.repeat(active, K)
+            return (
+                mix(nhist, hist_in), mix(nlen, lens_in), mix(nsc, score_in),
+                jax.tree_util.tree_map(
+                    lambda n, o: mix(n, o, a_flat), ncarry, carry_in),
+                mix(npred.reshape(B * K, Hp), pred_in, a_flat),
+                mix(nbn, bnode_in),
+            ), None
+
+        st0 = (hist0, lens0, score0, carry0, pred0, bn0)
+        (hist, lens, score, _c, _p, _b), _ = jax.lax.scan(
+            frame_step, st0,
+            (jnp.transpose(enc, (1, 0, 2)), jnp.arange(T)))
+        return hist, lens, score
+
+    return decode
+
+
+def rnnt_beam_decode_device(
+    model: RnntModel,
+    params,
+    feats,
+    n_frames,
+    beam_size: int = 4,
+    max_symbols_per_frame: int = 4,
+    u_cap: int = 200,
+    fusion: Optional[jax.Array] = None,
+    bias_next: Optional[np.ndarray] = None,
+    bias_delta: Optional[np.ndarray] = None,
+    _decoder_cache: Dict = {},
+) -> List[List[Tuple[float, List[int]]]]:
+    """Host wrapper over make_rnnt_beam_device with the same return shape
+    as rnnt_beam_decode_batch: per utterance, [(logp, labels)] best-first.
+    The jitted decoder is cached per (model, sizes, hooks) so repeated
+    calls pay one dispatch each."""
+    key = (id(model), id(params), beam_size,
+           max_symbols_per_frame, u_cap, id(fusion),
+           id(bias_next))
+    dec = _decoder_cache.get(key)
+    if dec is None:
+        if len(_decoder_cache) > 16:
+            _decoder_cache.clear()
+        dec = make_rnnt_beam_device(
+            model, params, beam_size, max_symbols_per_frame, u_cap,
+            fusion=fusion, bias_next=bias_next, bias_delta=bias_delta)
+        _decoder_cache[key] = dec
+    hist, lens, score = dec(jnp.asarray(feats), jnp.asarray(n_frames))
+    hist, lens, score = (np.asarray(hist), np.asarray(lens),
+                         np.asarray(score))
+    out: List[List[Tuple[float, List[int]]]] = []
+    for b in range(hist.shape[0]):
+        row = []
+        for k in range(hist.shape[1]):
+            if score[b, k] <= NEG_INF / 2:
+                continue
+            row.append((float(score[b, k]),
+                        [int(x) for x in hist[b, k, : lens[b, k]]]))
+        out.append(row)
+    return out
+
+
+# --------------------------------------------------------------------------
 # MWER fine-tuning (expected edit-distance over the beam N-best) — the
 # transducer twin of mogasr.am.aed's MWER: the sequence log-probability is
 # the transducer forward marginal over ALL alignments (-rnnt_loss), so no

@@ -109,3 +109,40 @@ def load_phrases(path: str) -> List[List[str]]:
                 continue
             out.append(line.split())
     return out
+
+
+class CompiledBiaser:
+    """ContextBiaser compiled into dense automaton tables for DEVICE beams.
+
+    ``score(prefix, u)`` depends on the prefix only through its longest
+    suffix that is a proper prefix of some phrase (the Aho-Corasick state):
+    every matching suffix of the prefix has length <= that state's, hence
+    IS a suffix of the state string, and every phrase completion of
+    prefix+u likewise ends inside state+u. Enumerating the (root + proper
+    prefixes) states S therefore yields exact tables
+
+        delta[S, V] = ContextBiaser.score(state, u)   (retraction included)
+        next_state[S, V] = state id of (state + u)'s longest match
+
+    so a batched on-device beam carries ONE int per hypothesis and adds one
+    row-gather per expansion — same trick as the AED fusion matrix.
+    Equality with the callback is pinned by tests/test_unit_fusion.py.
+    """
+
+    def __init__(self, biaser: ContextBiaser, n_units: int):
+        states: List[Tuple[int, ...]] = [()]
+        states.extend(sorted(biaser.proper_prefixes, key=lambda s: (len(s), s)))
+        sid = {s: i for i, s in enumerate(states)}
+        S, V = len(states), int(n_units)
+        import numpy as np
+
+        self.delta = np.zeros((S, V), np.float32)
+        self.next_state = np.zeros((S, V), np.int32)
+        for s, i in sid.items():
+            for u in range(V):
+                self.delta[i, u] = biaser.score(s, u)
+                ext = s + (u,)
+                k = biaser.match_len(ext)
+                self.next_state[i, u] = sid[ext[len(ext) - k:]]
+        self.n_states = S
+        self.n_units = V
