@@ -75,11 +75,11 @@ def main() -> None:
     p.add_argument("--rnnt-plain", action="store_true",
                    help="the RNN-T ckpt was trained WITHOUT the aux CTC head")
     p.add_argument("--rnnt-beam", type=int, default=0, metavar="N",
-                   help="with --rnnt: sweep with the BATCHED monotonic beam "
-                        "(rnnt_beam_decode_batch, identical N-best to the "
-                        "per-utterance reference) instead of device-greedy "
-                        "— the quality-path decode through the same "
-                        "sharding/resume protocol")
+                   help="with --rnnt: sweep with the ON-DEVICE monotonic "
+                        "beam scan (rnnt_beam_decode_device, identical "
+                        "N-best to the per-utterance reference) instead of "
+                        "device-greedy — the quality-path decode through "
+                        "the same sharding/resume protocol")
     p.add_argument("--rnnt-pruned", action="store_true",
                    help="ckpt trained with the pruned transducer loss "
                         "(train_nn --rnnt-pruned-band): tree has the "
@@ -236,11 +236,14 @@ def main() -> None:
             )
 
             if args.rnnt_beam > 0:
-                from mogasr.am.rnnt import rnnt_beam_decode_batch
+                # the fully on-device beam scan (round 5) — one dispatch
+                # per sharded batch; ranked lists equal the per-utterance
+                # reference (tests/test_rnnt_device_beam.py)
+                from mogasr.am.rnnt import rnnt_beam_decode_device
 
                 def decode_units(feats, n_frames, fb,
                                  _m=nn_model, _p=nn_params):
-                    ranked = rnnt_beam_decode_batch(
+                    ranked = rnnt_beam_decode_device(
                         _m, _p, feats, n_frames, beam_size=args.rnnt_beam)
                     return [r[0][1] if r else [] for r in ranked]
             else:
