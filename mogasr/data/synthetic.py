@@ -396,6 +396,7 @@ def make_corpus_v2(
     seed: int = 0,
     speakers: Optional[Sequence[Speaker]] = None,
     language: str = "phrases",   # phrases (ground-truth LM structure) | uniform
+    mean_phone_ms: float = 90.0,
 ) -> List[Utterance]:
     """The discriminative corpus: multi-speaker, coarticulated, noisy.
 
@@ -426,6 +427,98 @@ def make_corpus_v2(
             synth_utterance_v2(
                 f"synth2-{i:05d}", words, lex, spks[i % len(spks)],
                 style=style, sr=sr, seed=seed * 100003 + 31 * i + 17,
+                mean_phone_ms=mean_phone_ms,
             )
         )
     return utts
+
+
+# ---------------------------------------------------------------------------
+# v3 corpus: the quality axes' WALL (round 5).
+#
+# The v2 regime stopped discriminating: the headline tied-triphone system
+# reached 0.69% held-out WER and the top accuracy-ladder systems sit within
+# fractions of a percent of each other (VERDICT r4 weak #4) — MWER, fusion,
+# biasing and the discriminative trainers were being validated where a
+# better system cannot show a better number, and BPE saturated at 99 units
+# because the ~300-word orthography has too little text diversity. v3 keeps
+# the same ground-truth contract (known phone boundaries, shared phrase LM)
+# and turns every hardness knob:
+#   * fast speech  — mean phone 55 ms (vs 90): ~2 frames of stable target
+#     per phone after coarticulation, so acoustic confusions are common;
+#   * more coarticulation (0.55) + stronger per-phone jitter;
+#   * low SNR      — 0..12 dB (vs 8..25);
+#   * wider speaker spread (scale 0.82..1.18, tilt ±0.5, level −10..0 dB);
+#   * a 1000-word vocabulary (longer templates) — dense minimal pairs, and
+#     enough orthography diversity that BPE inventories of 300+ units are
+#     reachable;
+#   * longer utterances (4..10 words).
+# Deterministic; v1/v2 draws are untouched.
+# ---------------------------------------------------------------------------
+
+
+def v3_style() -> CorpusStyle:
+    return CorpusStyle(
+        coarticulation=0.55,
+        snr_db=(0.0, 12.0),
+        freq_jitter=0.07,
+        amp_jitter=0.45,
+    )
+
+
+def extended_lexicon_v3(n_words: int = 1000, seed: int = 23) -> Dict[str, List[str]]:
+    """Larger vocabulary over longer templates (adds CVCVCV / CVCCV /
+    VCVC), built by the same deterministic generator."""
+    rng = np.random.default_rng(seed)
+    lex: Dict[str, List[str]] = {}
+    seen: set = set()
+    for w, v in LEXICON.items():
+        if tuple(v) not in seen:
+            lex[w] = list(v)
+            seen.add(tuple(v))
+    templates = ["CVC", "CVCV", "CVCVC", "VCV", "CV", "CVCVCV", "CVCCV",
+                 "VCVC"]
+    while len(lex) < n_words:
+        tpl = templates[int(rng.integers(0, len(templates)))]
+        phones = [
+            (_CONSONANTS if c == "C" else _VOWELS)[
+                int(rng.integers(
+                    0, len(_CONSONANTS if c == "C" else _VOWELS)))
+            ]
+            for c in tpl
+        ]
+        key = tuple(phones)
+        word = "".join(phones)
+        if key in seen or word in lex:
+            continue
+        seen.add(key)
+        lex[word] = phones
+    return lex
+
+
+def make_speakers_v3(n_speakers: int, seed: int = 11) -> List[Speaker]:
+    return make_speakers(
+        n_speakers, seed=seed,
+        scale_range=(0.82, 1.18), tilt_range=(-0.5, 0.5),
+        level_range_db=(-10.0, 0.0),
+    )
+
+
+def make_corpus_v3(
+    n_utts: int,
+    lexicon: Optional[Dict[str, List[str]]] = None,
+    n_speakers: int = 24,
+    words_per_utt: Tuple[int, int] = (4, 10),
+    sr: int = 16000,
+    seed: int = 0,
+    speakers: Optional[Sequence[Speaker]] = None,
+) -> List[Utterance]:
+    """The round-5 hard corpus; same determinism/LM-sharing contract as v2."""
+    lex = extended_lexicon_v3() if lexicon is None else lexicon
+    spks = (list(speakers) if speakers is not None
+            else make_speakers_v3(n_speakers, seed=seed + 11))
+    return make_corpus_v2(
+        n_utts, lexicon=lex, style=v3_style(),
+        words_per_utt=words_per_utt, sr=sr, seed=seed, speakers=spks,
+        mean_phone_ms=55.0,
+    )
