@@ -66,6 +66,12 @@ def main() -> None:
                    help="skip the chunked-AED engine row")
     p.add_argument("--aed-chunk", type=int, default=8,
                    help="AED chunk_frames (tick = 4*chunk feature frames)")
+    p.add_argument("--aed-train-steps", type=int, default=0,
+                   help="train the AED arm first (v3-corpus BPE, "
+                        "unsaturated vocab) so the serving table of record "
+                        "carries the production-path number (early-exit "
+                        "finals actually fire) next to the random-weight "
+                        "worst-case floor — VERDICT r4 item 6")
     p.add_argument("--rnnt-impl",
                    choices=["frame_scan", "label_loop", "both"],
                    default="frame_scan",
@@ -386,13 +392,36 @@ def main() -> None:
         from mogasr.serving.engine import BatchedAedEngine
 
         V_AED = 300
-        aed_tcfg = TrainConfig(nn_hidden=256, nn_layers=4)
-        aed_model = A.build_aed_model(
-            V_AED, aed_tcfg, chunk_frames=args.aed_chunk, left_chunks=1
-        )
-        aed_params = A.init_aed_train_state(
-            aed_model, aed_tcfg, fcfg.feat_dim, 4, jax.random.key(2)
-        ).params
+        aed_tcfg = TrainConfig(nn_hidden=256, nn_layers=4,
+                               num_nn_steps=max(args.aed_train_steps, 1))
+        if args.aed_train_steps > 0:
+            # trained arm at an UNSATURATED vocab: v3-corpus transcripts
+            # give BPE a full ~300-unit inventory (v2 saturated at 99)
+            from mogasr.config import BatchConfig
+            from mogasr.data.bpe import train_bpe
+
+            tr_utts = syn.make_corpus_v3(64, seed=5)
+            tr_batches = pipe.featurize(
+                [(u.utt_id, u.wave, u.words) for u in tr_utts],
+                fcfg, BatchConfig(batch_size=16,
+                                  bucket_boundaries=(250, 400, 600)),
+            )
+            transcripts = [fb.words[b] for fb in tr_batches
+                           for b in range(fb.size)]
+            aed_bpe = train_bpe(transcripts, n_merges=max(V_AED - 30, 1))
+            print(f"training AED (BPE V={aed_bpe.n_units}) for "
+                  f"{args.aed_train_steps} steps ...", flush=True)
+            aed_model, aed_params = pipe.train_aed_bpe(
+                tr_batches, aed_bpe, aed_tcfg,
+                chunk_frames=args.aed_chunk, left_chunks=1)
+            V_AED = aed_bpe.n_units
+        else:
+            aed_model = A.build_aed_model(
+                V_AED, aed_tcfg, chunk_frames=args.aed_chunk, left_chunks=1
+            )
+            aed_params = A.init_aed_train_state(
+                aed_model, aed_tcfg, fcfg.feat_dim, 4, jax.random.key(2)
+            ).params
 
         def make_aed_engine(fp):
             return BatchedAedEngine(
@@ -438,9 +467,12 @@ def main() -> None:
             },
             "model": (f"conformer d=256 L={aed_tcfg.nn_layers} V={V_AED} "
                       f"chunk={args.aed_chunk} (finals incl.)"),
-            "note": "random weights = WORST-CASE finals (early-exit "
-                    "never fires: no eos). Trained-model engine measured "
-                    "1.64x this (results_aed_earlyexit_ab.json).",
+            "train_steps": args.aed_train_steps,
+            "note": ("TRAINED arm (v3-corpus BPE; early-exit finals fire)"
+                     if args.aed_train_steps > 0 else
+                     "random weights = WORST-CASE finals (early-exit "
+                     "never fires: no eos). Run --aed-train-steps for the "
+                     "production-path arm."),
         }
 
     row = {
