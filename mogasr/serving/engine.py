@@ -9,16 +9,27 @@ streams REGARDLESS of available compute. TPU-native serving amortizes the
 dispatch: sessions live in slots of fixed ``[B, ...]`` device state and one
 ``tick()`` advances every live session together:
 
-    tick:  [B,F,L] spectral GEMMs  ->  [B,F,·] acoustic stage
-           ->  decode stage        (async dispatches, ~one host sync/tick)
+    tick:  [B,F,L] spectral GEMMs  ->  delta tail -> CMVN -> feature queue
+           ->  decode stage        (async dispatches)
 
-The decode dispatch consumes features finalized by the PREVIOUS tick's
-spectral dispatch, so the two device stages of a tick overlap and the host
-blocks roughly once per tick instead of once per stage (the host must see
-base features between the stages to run the exact delta/CMVN lag
-bookkeeping of StreamingFrontend).
+The decode dispatch consumes features finalized by EARLIER ticks, so the
+feature and decode stages of a tick overlap on device. Two feature paths
+(constructor `feature_path`):
 
-Two families share the slot scaffolding (`_BaseSlotEngine`):
+- "device" (the serving production arm, round 5): spectral + delta tail +
+  sliding/global CMVN + queue append run as ONE fused jit per tick
+  (mogasr/frontend/device_tail.py) and decode pops rows straight off a
+  device-resident feature queue; all counts are host integer mirrors of
+  the device emission rule, so a tick issues only ASYNC dispatches — with
+  deferred decode absorption the host blocks only at partial()/finalize()
+  boundaries. Sliding CMVN on device is an f32 tolerance contract (~1e-4)
+  vs the host f64 path.
+- "host" (library default — bit-exact): the r2-r4 path; the host pulls
+  the batched spectral output each tick and runs each slot's
+  StreamingFrontend.absorb (exact delta/CMVN lag bookkeeping) in numpy,
+  blocking roughly once per tick.
+
+Four families share the slot scaffolding (`_BaseSlotEngine`):
 
 - ``BatchedSessionEngine``  — GMM/hybrid + shared-graph Viterbi (exact,
   word-loop decoding; per-slot backpointer histories);
