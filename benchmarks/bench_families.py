@@ -391,11 +391,24 @@ def main() -> None:
 
     ctc_blank = lex.n_phones   # every CTC row here: V = n_phones + 1
 
+    def _host_async(outs):
+        """Overlap every batch's device->host copy before the first
+        np.asarray: serialized per-batch pulls cost a full tunnel
+        round-trip EACH (~2 x ~30 ms x n_batches — measured as the whole
+        ctc-vs-lstm family gap, round 5); async copies pipeline them."""
+        for parts in outs:
+            for a in (parts if isinstance(parts, tuple) else (parts,)):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+
     def make_run_all(fn, host_post):
         def run_all():
             outs = [fn(w, ns, fe) for (w, ns, fe) in prepared]
             jax.block_until_ready(outs)
             if host_post == "collapse_frames":  # fused-argmax rows
+                _host_async(outs)
                 for frames, nf in outs:
                     ctc_collapse_frames(
                         np.asarray(frames), np.asarray(nf), ctc_blank)
@@ -403,6 +416,7 @@ def main() -> None:
                 for logits, nf in outs:
                     ctc_greedy_decode(logits, nf)
             elif host_post == "beam":  # native prefix beam (quality path)
+                _host_async(outs)
                 for logp, nf in outs:
                     ctc_beam_decode_batch(
                         np.asarray(logp), np.asarray(nf), beam_size=8)
