@@ -1299,6 +1299,26 @@ def rnnt_fusion_matrix(model: RnntModel, unit_lm, weight: float) -> jax.Array:
     return jnp.asarray(m)
 
 
+@functools.lru_cache(maxsize=16)
+def _beam_device_fn(
+    model: RnntModel,
+    beam_size: int,
+    max_symbols_per_frame: int,
+    u_cap: int,
+    has_fusion: bool,
+    has_bias: bool,
+):
+    """Cached jitted (params, feats, n_frames, fusion, bias_next,
+    bias_delta) -> (hists, lens, scores) beam scan. Params and the
+    fusion/bias tables are ARGUMENTS so one compile serves parameter
+    updates (the MWER loop regenerates N-best against CURRENT params
+    every step) and any table contents; the static cache key is (model,
+    sizes, which hooks exist)."""
+    return _make_beam_device_core(
+        model, beam_size, max_symbols_per_frame, u_cap, has_fusion,
+        has_bias)
+
+
 def make_rnnt_beam_device(
     model: RnntModel,
     params,
@@ -1308,6 +1328,32 @@ def make_rnnt_beam_device(
     fusion: Optional[jax.Array] = None,      # [V+1, V] rnnt_fusion_matrix
     bias_next: Optional[np.ndarray] = None,  # [S, V] CompiledBiaser tables
     bias_delta: Optional[np.ndarray] = None,
+):
+    """Bind params/tables over the cached scan: -> decode(feats,
+    n_frames). See _beam_device_fn; full design notes below."""
+    fn = _beam_device_fn(
+        model, int(beam_size), int(max_symbols_per_frame), int(u_cap),
+        fusion is not None, bias_next is not None)
+    f_arr = (jnp.asarray(fusion) if fusion is not None
+             else jnp.zeros((1, 1), jnp.float32))
+    bn_arr = (jnp.asarray(bias_next, jnp.int32) if bias_next is not None
+              else jnp.zeros((1, 1), jnp.int32))
+    bd_arr = (jnp.asarray(bias_delta, jnp.float32)
+              if bias_delta is not None else jnp.zeros((1, 1), jnp.float32))
+
+    def decode(feats, n_frames):
+        return fn(params, feats, n_frames, f_arr, bn_arr, bd_arr)
+
+    return decode
+
+
+def _make_beam_device_core(
+    model: RnntModel,
+    beam_size: int,
+    max_symbols_per_frame: int,
+    u_cap: int,
+    has_fusion: bool,
+    has_bias: bool,
 ):
     """ONE-dispatch monotonic RNN-T beam search for a whole batch.
 
@@ -1360,12 +1406,6 @@ def make_rnnt_beam_device(
                 else RnntPredictionStatelessStep)
     pred_step_def = step_cls(model.n_labels, hidden=model.pred_hidden)
     joint_def = RnntJoint(model.n_labels, hidden=model.joint_hidden)
-    pred_params = {"params": params["params"]["prediction"]}
-    joint_params = {"params": params["params"]["joint"]}
-    fusion_arr = None if fusion is None else jnp.asarray(fusion)
-    has_bias = bias_next is not None
-    bn_arr = jnp.asarray(bias_next, jnp.int32) if has_bias else None
-    bd_arr = jnp.asarray(bias_delta, jnp.float32) if has_bias else None
     cols = jnp.arange(u_cap)
 
     def _insert_done(done, ch, cl, cs, cp, cc, cb):
@@ -1399,7 +1439,10 @@ def make_rnnt_beam_device(
         return dh, dl, ds, dcnt, dp, dc, db
 
     @jax.jit
-    def decode(feats: jax.Array, n_frames: jax.Array):
+    def decode(params, feats: jax.Array, n_frames: jax.Array,
+               fusion_arr=None, bn_arr=None, bd_arr=None):
+        pred_params = {"params": params["params"]["prediction"]}
+        joint_params = {"params": params["params"]["joint"]}
         enc = rnnt_encode(model, params, feats, n_frames)   # [B, T, He]
         B, T = enc.shape[0], enc.shape[1]
 
@@ -1454,7 +1497,7 @@ def make_rnnt_beam_device(
                 if r == R:
                     break
                 lab = score[..., None] + logp[..., :V]      # [B, K, V]
-                if fusion_arr is not None:
+                if has_fusion:
                     last = jnp.where(
                         lens > 0,
                         jnp.take_along_axis(
@@ -1539,23 +1582,15 @@ def rnnt_beam_decode_device(
     fusion: Optional[jax.Array] = None,
     bias_next: Optional[np.ndarray] = None,
     bias_delta: Optional[np.ndarray] = None,
-    _decoder_cache: Dict = {},
 ) -> List[List[Tuple[float, List[int]]]]:
     """Host wrapper over make_rnnt_beam_device with the same return shape
     as rnnt_beam_decode_batch: per utterance, [(logp, labels)] best-first.
-    The jitted decoder is cached per (model, sizes, hooks) so repeated
-    calls pay one dispatch each."""
-    key = (id(model), id(params), beam_size,
-           max_symbols_per_frame, u_cap, id(fusion),
-           id(bias_next))
-    dec = _decoder_cache.get(key)
-    if dec is None:
-        if len(_decoder_cache) > 16:
-            _decoder_cache.clear()
-        dec = make_rnnt_beam_device(
-            model, params, beam_size, max_symbols_per_frame, u_cap,
-            fusion=fusion, bias_next=bias_next, bias_delta=bias_delta)
-        _decoder_cache[key] = dec
+    The jitted scan is cached per (model, sizes, hooks) — params are a
+    jit ARGUMENT, so repeated calls (and parameter updates) reuse one
+    compile."""
+    dec = make_rnnt_beam_device(
+        model, params, beam_size, max_symbols_per_frame, u_cap,
+        fusion=fusion, bias_next=bias_next, bias_delta=bias_delta)
     hist, lens, score = dec(jnp.asarray(feats), jnp.asarray(n_frames))
     hist, lens, score = (np.asarray(hist), np.asarray(lens),
                          np.asarray(score))

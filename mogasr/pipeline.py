@@ -1136,11 +1136,12 @@ def finetune_rnnt_mwer(
             n_h = np.zeros((rows, n_hyps), np.int32)
             h_mask = np.zeros((rows, n_hyps), bool)
             risks = np.zeros((rows, n_hyps), np.float32)
-            # batched beam: one fused dispatch per expansion round for the
-            # whole batch (identical N-best to the per-utterance reference,
-            # tested); params change every step, so the cached round fn
-            # takes them as arguments
-            nbest_all = R.rnnt_beam_decode_batch(
+            # on-device beam scan (round 5): the WHOLE search is one jitted
+            # dispatch per batch; params are a jit ARGUMENT of the cached
+            # scan (_beam_device_fn), so the per-step parameter updates
+            # reuse one compile. Ranked lists equal the per-utterance
+            # reference (tests/test_rnnt_device_beam.py).
+            nbest_all = R.rnnt_beam_decode_device(
                 model, state.params, fb.feats, fb.n_frames,
                 beam_size=n_hyps, u_cap=u_max,
             )
