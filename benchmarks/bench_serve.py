@@ -66,6 +66,13 @@ def main() -> None:
                    help="skip the chunked-AED engine row")
     p.add_argument("--aed-chunk", type=int, default=8,
                    help="AED chunk_frames (tick = 4*chunk feature frames)")
+    p.add_argument("--aed-precision",
+                   choices=["float32", "bfloat16", "both"],
+                   default="float32",
+                   help="AED engine chunk-step precision (round 5): the "
+                        "engine is encoder-compute bound, so bf16 MXU is "
+                        "the lever; finals stay f32 exact. 'both' "
+                        "interleaves for the A/B")
     p.add_argument("--aed-train-steps", type=int, default=0,
                    help="train the AED arm first (v3-corpus BPE, "
                         "unsaturated vocab) so the serving table of record "
@@ -423,18 +430,23 @@ def main() -> None:
                 aed_model, aed_tcfg, fcfg.feat_dim, 4, jax.random.key(2)
             ).params
 
-        def make_aed_engine(fp):
+        def make_aed_engine(fp, prec):
             return BatchedAedEngine(
                 aed_model, aed_params, fcfg, capacity=args.capacity,
                 beam=4, ctc_weight=0.3, feature_path=fp,
+                stream_precision=prec,
             )
 
         finals = (["many", "loop"] if args.aed_final == "both"
                   else [args.aed_final])
-        aarm = [(fm, fp) for fm in finals for fp in fp_arms]
-        aengs = {(f"{fm},feat={fp}" if len(aarm) > len(finals) else fm):
-                 make_aed_engine(fp) for fm, fp in aarm}
-        _aed_final_of = {k: fm for k, (fm, _fp) in zip(aengs, aarm)}
+        precs = (["bfloat16", "float32"] if args.aed_precision == "both"
+                 else [args.aed_precision])
+        aarm = [(fm, fp, pr)
+                for fm in finals for fp in fp_arms for pr in precs]
+        aengs = {(f"{fm},feat={fp},prec={pr}" if len(aarm) > len(finals)
+                  else fm): make_aed_engine(fp, pr)
+                 for fm, fp, pr in aarm}
+        _aed_final_of = {k: fm for k, (fm, _fp, _pr) in zip(aengs, aarm)}
         print("warmup aed engine ...", flush=True)
         for k, aeng in aengs.items():
             run_epoch(aeng, batched_final=(_aed_final_of[k] == "many"))

@@ -177,11 +177,14 @@ def main() -> None:
                 [[w.lower() for w in out[b]] for b in range(fb.size)])
         report("heldout_wer_gmm_mmi", refs, hyps_mmi)
 
-        # sMBR from the ML model (the v2 protocol) — chaining it after MMI
-        # measured 37% WER on the first v3 run (criterion up, WER down:
-        # EBW over-sharpening in the high-WER regime)
+        # sMBR from the ML model with STRONG I-smoothing: the v2-tuned
+        # default (tau=20) measured a criterion-up/WER-down collapse on v3
+        # (41% vs ML 29.2%; chained after MMI: 37%) — the ~30%-WER regime
+        # needs ~20x the smoothing (probed tau=100/400: 27.6%/25.5%,
+        # /tmp-probe session 2026-08-21, recorded in TPU_NOTES round 5)
         gmm_smbr, smbr_hist = train_smbr(tb, lex, topo_t, gmm, n_iters=4,
-                                         acoustic_scale=0.1)
+                                         acoustic_scale=0.1,
+                                         i_smooth_tau=400.0)
         results["smbr_expected_acc_first"] = round(smbr_hist[0], 5)
         results["smbr_expected_acc_last"] = round(smbr_hist[-1], 5)
         hyps_smbr = []

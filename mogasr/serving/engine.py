@@ -1171,13 +1171,25 @@ class BatchedAedEngine(_BaseSlotEngine):
         final_early_exit: bool = True,
         defer_absorb: bool = True,
         feature_path: str = "host",
+        stream_precision: str = "float32",
     ):
+        """stream_precision="bfloat16" runs the per-tick chunk step
+        (encoder caches + CTC head) with bf16 params/activations on the
+        MXU — the engine's measured ceiling is encoder compute (TPU_NOTES
+        round 5). The master cache state stays f32 (cast in/out per step,
+        so rounding does not accumulate across a session) and the
+        attention FINALS stay f32 exact; only CTC-greedy PARTIALS can
+        flip on near-ties (decision-equivalence-tested like the offline
+        bf16 scorers, tests/test_engine_device_feats.py)."""
         from mogasr.am import aed as A
 
         raw_per = 4 * model.chunk_frames
         assert raw_per > 0, "streaming AED needs chunk_frames > 0"
         super().__init__(fcfg, capacity, raw_per, cmvn_mean, cmvn_istd,
                          feature_path=feature_path)
+        if stream_precision not in ("float32", "bfloat16"):
+            raise ValueError(f"stream_precision: {stream_precision}")
+        self.stream_precision = stream_precision
         self.model = model
         self.params = params
         self.beam = int(beam)
@@ -1203,18 +1215,40 @@ class BatchedAedEngine(_BaseSlotEngine):
         self._feats_hist: List[List[np.ndarray]] = [[] for _ in range(B)]
         self._final_decoders: Dict[int, object] = {}
 
-        @jax.jit
-        def _step(state, feats, live):
-            _enc, ctc_logits, new_state = model.apply(
-                params, feats, state, method=A.AedModel.encode_stream_step
-            )
-            merged = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(
-                    live.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
-                ),
-                new_state, state,
-            )
-            return jax.nn.log_softmax(ctc_logits, axis=-1), merged
+        if stream_precision == "bfloat16":
+            from mogasr.am.quantize import cast_float_leaves
+
+            params16 = cast_float_leaves(params, jnp.bfloat16)
+
+            @jax.jit
+            def _step(state, feats, live):
+                s16 = cast_float_leaves(state, jnp.bfloat16)
+                _enc, ctc_logits, new_state = model.apply(
+                    params16, feats.astype(jnp.bfloat16), s16,
+                    method=A.AedModel.encode_stream_step
+                )
+                new_state = cast_float_leaves(new_state, jnp.float32)
+                merged = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        live.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                    ),
+                    new_state, state,
+                )
+                return (jax.nn.log_softmax(
+                    ctc_logits.astype(jnp.float32), axis=-1), merged)
+        else:
+            @jax.jit
+            def _step(state, feats, live):
+                _enc, ctc_logits, new_state = model.apply(
+                    params, feats, state, method=A.AedModel.encode_stream_step
+                )
+                merged = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        live.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                    ),
+                    new_state, state,
+                )
+                return jax.nn.log_softmax(ctc_logits, axis=-1), merged
 
         self._step = _step
 

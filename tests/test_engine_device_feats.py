@@ -266,3 +266,45 @@ def test_device_feature_rows_match_host_rows(gmm_setup):
     for a, b in zip(rows_h, rows_d):
         assert a.shape == b.shape
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+
+def test_aed_engine_bf16_stream_finals_exact():
+    """stream_precision="bfloat16" changes only the per-tick chunk step:
+    attention FINALS come from the f32 path over the (identical) feature
+    history, so they equal the f32 engine exactly; CTC-greedy partials
+    may flip on near-ties (decision-equivalence contract)."""
+    import jax
+
+    from mogasr.am import aed as A
+    from mogasr.config import TrainConfig
+    from mogasr.serving.engine import BatchedAedEngine
+
+    fcfg = FrontendConfig(cmvn="sliding", cmvn_window=300)
+    tcfg = TrainConfig(nn_hidden=16, nn_layers=1)
+    model = A.build_aed_model(5, tcfg, chunk_frames=2, left_chunks=1)
+    params = A.init_aed_train_state(
+        model, tcfg, fcfg.feat_dim, 4, jax.random.key(0)).params
+    utts = make_corpus(2, words_per_utt=(2, 2), seed=5)
+
+    def run(prec):
+        eng = BatchedAedEngine(
+            model, params, fcfg, capacity=2, beam=3, ctc_weight=0.3,
+            final_bucket=64, stream_precision=prec)
+        finals, parts = {}, {}
+        for u in utts:
+            assert eng.start(u.utt_id)
+            eng.feed(u.utt_id, u.wave)
+            eng.end(u.utt_id)
+        while not all(eng.drained(u.utt_id) for u in utts):
+            eng.tick()
+        for u in utts:
+            parts[u.utt_id] = eng.partial(u.utt_id)
+            finals[u.utt_id] = eng.finalize(u.utt_id)[0]
+        return finals, parts
+
+    f32, p32 = run("float32")
+    f16, p16 = run("bfloat16")
+    assert f16 == f32                       # finals: exact (f32 path)
+    # partials: decision-equivalence — identical here on the fixture; if
+    # this ever flakes on a near-tie, loosen to a >=90% prefix match
+    assert p16 == p32
