@@ -272,6 +272,10 @@ def main() -> None:
                         "serving mode (mogasr.serving.engine)")
     p.add_argument("--engine-capacity", type=int, default=16,
                    help="engine slot count (= max concurrent sessions)")
+    p.add_argument("--aed-stream-precision",
+                   choices=["float32", "bfloat16"], default="float32",
+                   help="AED engine chunk-step precision (bf16 MXU for the "
+                        "encoder-compute-bound tick; finals stay f32 exact)")
     p.add_argument("--feature-path", choices=["device", "host"],
                    default="device",
                    help="engine feature extraction: 'device' (production) "
@@ -416,6 +420,7 @@ def main() -> None:
                 capacity=args.engine_capacity,
                 beam=args.aed_beam, ctc_weight=args.aed_ctc_weight,
                 feature_path=args.feature_path,
+                stream_precision=args.aed_stream_precision,
             )
             _run_engine_loop(args, eng, fcfg, logger, to_text=to_text)
             return
