@@ -275,6 +275,27 @@ def main() -> None:
         feats, nf = fe(w, ns)
         return _conf_logp(feats, nf)
 
+    # ctc_beam_device: the round-5 ON-DEVICE prefix beam (fusion/bias-
+    # capable) fused with the conformer logp closure — one dispatch per
+    # batch; ranked host lists are the decode output (harvested with
+    # async copies like the greedy rows)
+    from mogasr.am.ctc import _prefix_beam_device_fn
+
+    _pb_fn = _prefix_beam_device_fn(8, lex.n_phones, 200, -12.0,
+                                    False, False)
+    _pb_zf = jnp.zeros((1, 1), jnp.float32)
+    _pb_zi = jnp.zeros((1, 1), jnp.int32)
+
+    @jax.jit
+    def _conf_beam_dev(feats, nf):
+        logp, nd = _conf_logp(feats, nf)
+        hist, lens, pb, pnb = _pb_fn(logp, nd, _pb_zf, _pb_zi, _pb_zf)
+        return hist, lens, pb, pnb
+
+    def run_ctc_beam_dev(w, ns, fe):
+        feats, nf = fe(w, ns)
+        return _conf_beam_dev(feats, nf)
+
     _conf_up = jax.jit(
         lambda feats, nf: conf_model.apply(conf_params, feats, nf))
     _conf_up_frames = jax.jit(
@@ -381,6 +402,7 @@ def main() -> None:
         # (beam 8, mogasr/native/ctc_beam_native.cpp) on host — the
         # LM-fusion-capable CTC path.
         ("ctc_beam", run_ctc_beam_logp, "beam"),
+        ("ctc_beam_device", run_ctc_beam_dev, "beam_rank"),
     ]
 
     fam_filter = (set(args.families.split(",")) if args.families else None)
@@ -420,6 +442,15 @@ def main() -> None:
                 for logp, nf in outs:
                     ctc_beam_decode_batch(
                         np.asarray(logp), np.asarray(nf), beam_size=8)
+            elif host_post == "beam_rank":  # device beam: rank on host
+                _host_async(outs)
+                for hist, lens, pb, pnb in outs:
+                    tot = np.logaddexp(np.asarray(pb), np.asarray(pnb))
+                    hist, lens = np.asarray(hist), np.asarray(lens)
+                    for b in range(hist.shape[0]):
+                        order = np.argsort(-tot[b])
+                        [hist[b, k, : lens[b, k]].tolist()
+                         for k in order if tot[b, k] > -1e15]
             return outs
         return run_all
 

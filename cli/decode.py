@@ -574,42 +574,42 @@ def main() -> None:
                 from mogasr.am.ctc import ctc_greedy_decode
 
                 if args.bias or args.fusion_lm or nnlm is not None:
-                    import numpy as _np
+                    # the ON-DEVICE batched prefix beam (round 5): one
+                    # jitted lax.scan per batch, fusion/biasing as
+                    # precomputed-table gathers — ranked lists equal the
+                    # per-utterance dict reference
+                    # (tests/test_ctc_device_beam.py, f32 contract there)
+                    from mogasr.am.ctc import (
+                        ctc_fusion_matrix, ctc_prefix_beam_decode_device,
+                    )
 
-                    from mogasr.am.ctc import ctc_prefix_beam_decode
-                    from mogasr.lm.unit_ngram import compose_ext_scores
-
-                    exts = []
+                    bias_next = bias_delta = fusion_m = None
                     if args.bias:
                         from mogasr.decoder.biasing import (
-                            biaser_from_bpe, load_phrases,
+                            CompiledBiaser, biaser_from_bpe, load_phrases,
                         )
 
-                        exts.append(biaser_from_bpe(
+                        comp = CompiledBiaser(biaser_from_bpe(
                             bpe, load_phrases(args.bias),
                             weight=args.bias_weight,
-                        ).score)
+                        ), bpe.n_units)
+                        bias_next, bias_delta = comp.next_state, comp.delta
                     if args.fusion_lm:
-                        from mogasr.lm.unit_ngram import (
-                            fusion_score, load_unit_lm,
-                        )
+                        from mogasr.lm.unit_ngram import load_unit_lm
 
-                        exts.append(fusion_score(
-                            load_unit_lm(args.fusion_lm), args.fusion_weight
-                        ))
-                    ext = compose_ext_scores(exts)
+                        fusion_m = ctc_fusion_matrix(
+                            bpe.n_units, load_unit_lm(args.fusion_lm),
+                            args.fusion_weight)
                     beam_sz = max(
                         args.bias_beam,
                         args.nnlm_nbest if nnlm is not None else 0,
                     )
-                    lp = _np.asarray(scorer(fb))
-                    ranked = [
-                        ctc_prefix_beam_decode(
-                            lp[b, : int(fb.n_frames[b])],
-                            beam_size=beam_sz, ext_score=ext,
-                        )
-                        for b in range(fb.size)
-                    ]
+                    lp_dev = scorer(fb)
+                    ranked = ctc_prefix_beam_decode_device(
+                        lp_dev, fb.n_frames, beam_size=beam_sz,
+                        u_cap=int(lp_dev.shape[1]), fusion=fusion_m,
+                        bias_next=bias_next, bias_delta=bias_delta,
+                    )[: fb.size]
                     if nnlm is not None:
                         # second pass: neural word LM over the prefix-beam
                         # N-best (first-pass score = fused beam logp)

@@ -452,6 +452,234 @@ def ctc_prefix_beam_decode_native(
     ]
 
 
+def ctc_fusion_matrix(n_units: int, unit_lm, weight: float):
+    """[n_units + 1, n_units] shallow-fusion table for the DEVICE prefix
+    beam: row u = weighted bigram log-probs after unit u, row n_units =
+    the sentence-initial distribution (empty prefix) — the CTC twin of
+    am.rnnt.rnnt_fusion_matrix, matching lm.unit_ngram.fusion_score."""
+    assert unit_lm.n_units == n_units, (unit_lm.n_units, n_units)
+    m = np.zeros((n_units + 1, n_units), np.float32)
+    m[:n_units, :] = weight * unit_lm.pair_logp
+    m[n_units, :] = weight * unit_lm.init_logp
+    return m
+
+
+@functools.lru_cache(maxsize=16)
+def _prefix_beam_device_fn(
+    beam_size: int,
+    blank_id: int,
+    u_cap: int,
+    prune_logp: float,
+    has_fusion: bool,
+    has_bias: bool,
+):
+    """Cached jitted (logp [B,T,V], n_frames, fusion, bias_next,
+    bias_delta) -> (hists [B,K,u_cap], lens, p_b, p_nb) — the WHOLE CTC
+    prefix beam search (Hannun 2014) as one lax.scan over frames.
+
+    Why (round 5): the quality-path CTC decode (fusion/biasing ride it)
+    was host-bound — the native C++ beam needs the full [B,T,V] logp
+    pulled to host and walks dicts frame-by-frame (the `ctc_beam` family
+    row). On device, a frame step is dense algebra over fixed [B, K, ...]
+    buffers:
+
+    - SELF candidates: (p_b' = lse(p_b,p_nb) + lp[blank],
+      p_nb' = p_nb + lp[last]) — the same-prefix blank/repeat paths;
+    - CHILD candidates [B, K, V]: extend with u != blank at
+      (u==last ? p_b : lse(p_b,p_nb)) + lp[u] (+ fusion/bias table
+      gathers) — children of DISTINCT beam prefixes are themselves
+      distinct (equal child length forces equal parent length, and
+      same-length beam prefixes are distinct), so the ONLY merges are
+      child-into-self where beam prefix p_j == p_i + c: a per-frame
+      [K, K] prefix-relation matrix routes those children into p_j's
+      p_nb via logaddexp and masks them out of the standalone pool —
+      exactly the reference dict's add();
+    - the reference's per-frame unit prune (lp <= max + prune_logp)
+      masks contributions to -inf; top-K over the K + K*V merged totals
+      selects the next beam (gather parents, append units).
+
+    Scores accumulate in device f32 (the host dict promotes to f64):
+    ranked lists are exact-tested on short utterances and
+    tolerance-contracted on long ones (tests/test_ctc_device_beam.py).
+    The reference prefix length is unbounded; here children are masked
+    once a row hits ``u_cap`` (choose u_cap >= the longest plausible
+    transcript).
+    """
+    K = int(beam_size)
+    NEG_HALF = NEG_INF / 2
+    cols = jnp.arange(u_cap)
+
+    @jax.jit
+    def decode(logp, n_frames, fusion_arr, bn_arr, bd_arr):
+        B, T, V = logp.shape
+
+        hist0 = jnp.full((B, K, u_cap), -1, jnp.int32)
+        lens0 = jnp.zeros((B, K), jnp.int32)
+        pb0 = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
+        pnb0 = jnp.full((B, K), NEG_INF)
+        bn0 = jnp.zeros((B, K), jnp.int32)
+
+        unit_ids = jnp.arange(V)
+
+        def frame_step(st, inputs):
+            hist, lens, pb, pnb, bnode = st
+            lp, t = inputs                      # [B, V]
+            active = t < n_frames
+
+            keep = lp > (jnp.max(lp, axis=1, keepdims=True) + prune_logp)
+            lp_m = jnp.where(keep, lp, NEG_INF)  # pruned units contribute -inf
+            ptot = jnp.logaddexp(pb, pnb)        # [B, K]
+            alive = ptot > NEG_HALF
+            last = jnp.where(
+                lens > 0,
+                jnp.take_along_axis(
+                    hist, jnp.maximum(lens - 1, 0)[..., None], 2)[..., 0],
+                -1)                              # [B, K]
+
+            # --- SELF candidates (same prefix) ---
+            self_pb = ptot + lp_m[:, None, blank_id]
+            lp_last = jnp.take_along_axis(
+                lp_m, jnp.maximum(last, 0).reshape(B, K), axis=1
+            ).reshape(B, K)
+            self_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+            self_pb = jnp.where(alive, self_pb, NEG_INF)
+            self_pnb = jnp.where(alive, self_pnb, NEG_INF)
+
+            # --- CHILD candidates [B, K, V] (pnb only) ---
+            base = jnp.where(
+                unit_ids[None, None, :] == last[..., None],
+                pb[..., None], ptot[..., None])
+            child = base + lp_m[:, None, :]
+            def _pad_blank(tab):
+                # fusion/bias tables carry n_units columns; the child grid
+                # spans V incl. blank (blank children are masked anyway)
+                return jnp.concatenate(
+                    [tab[..., :blank_id],
+                     jnp.zeros(tab.shape[:-1] + (1,), tab.dtype),
+                     tab[..., blank_id:]], axis=-1)
+
+            if has_fusion:
+                # empty-prefix row is the table's LAST row (ctc_fusion_matrix)
+                frow = jnp.where(last >= 0, last, fusion_arr.shape[0] - 1)
+                child = child + _pad_blank(fusion_arr[frow])
+            if has_bias:
+                child = child + _pad_blank(bd_arr[bnode])
+            child = jnp.where(unit_ids[None, None, :] == blank_id,
+                              NEG_INF, child)
+            child = jnp.where(alive[..., None], child, NEG_INF)
+            child = jnp.where(lens[..., None] >= u_cap, NEG_INF, child)
+
+            # --- merge child(i, c) into self(j) where p_j == p_i + c ---
+            # rel[b, i, j]: len_j == len_i + 1 and hist_j[:len_i] == hist_i
+            pre_eq = (hist[:, :, None, :] == hist[:, None, :, :]) | (
+                cols[None, None, None, :] >= lens[:, :, None, None])
+            rel = (lens[:, None, :] == lens[:, :, None] + 1) & \
+                pre_eq.all(-1) & alive[:, :, None] & alive[:, None, :]
+            c_ij = jnp.take_along_axis(
+                jnp.broadcast_to(hist[:, None, :, :], (B, K, K, u_cap)),
+                jnp.broadcast_to(
+                    jnp.clip(lens, 0, u_cap - 1)[:, :, None, None],
+                    (B, K, K, 1)), axis=3
+            )[..., 0]                            # [B, i, j] unit p_j[len_i]
+            # contribution of child(i, c_ij) to self(j)
+            contrib = jnp.take_along_axis(
+                child, jnp.maximum(c_ij, 0), axis=2)     # [B, i, j]
+            contrib = jnp.where(rel, contrib, NEG_INF)
+            merged_in = jax.nn.logsumexp(contrib, axis=1)  # [B, j]
+            self_pnb = jnp.logaddexp(self_pnb, merged_in)
+            # remove merged children from the standalone pool
+            child_used = jnp.any(
+                rel[..., None] & (unit_ids[None, None, None, :] ==
+                                  jnp.maximum(c_ij, 0)[..., None]),
+                axis=2)                           # [B, i, V]
+            child = jnp.where(child_used, NEG_INF, child)
+
+            # --- top-K over K selfs + K*V children ---
+            self_tot = jnp.logaddexp(self_pb, self_pnb)
+            child_flat = child.reshape(B, K * V)
+            tot = jnp.concatenate([self_tot, child_flat], axis=1)
+            top_val, top_idx = jax.lax.top_k(tot, K)
+            is_self = top_idx < K
+            sidx = jnp.where(is_self, top_idx, 0)
+            cidx = jnp.maximum(top_idx - K, 0)
+            ci, cu = cidx // V, (cidx % V).astype(jnp.int32)
+            parent = jnp.where(is_self, sidx, ci)
+            nhist = jnp.take_along_axis(hist, parent[..., None], 1)
+            plen = jnp.take_along_axis(lens, parent, 1)
+            grow = (~is_self) & (top_val > NEG_HALF)
+            at = jnp.clip(plen, 0, u_cap - 1)
+            nhist = jnp.where(
+                (cols[None, None, :] == at[..., None]) & grow[..., None],
+                cu[..., None], nhist)
+            nlen = plen + grow.astype(jnp.int32)
+            npb = jnp.where(
+                is_self, jnp.take_along_axis(self_pb, sidx, 1), NEG_INF)
+            npnb = jnp.where(
+                is_self, jnp.take_along_axis(self_pnb, sidx, 1),
+                jnp.take_along_axis(child_flat, cidx, 1))
+            npb = jnp.where(top_val > NEG_HALF, npb, NEG_INF)
+            npnb = jnp.where(top_val > NEG_HALF, npnb, NEG_INF)
+            nbn = bnode
+            if has_bias:
+                pnode = jnp.take_along_axis(bnode, parent, 1)
+                nbn = jnp.where(grow, bn_arr[pnode, cu], pnode)
+
+            def mix(new, old):
+                return jnp.where(
+                    active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+
+            return (mix(nhist, hist), mix(nlen, lens), mix(npb, pb),
+                    mix(npnb, pnb), mix(nbn, bnode)), None
+
+        st0 = (hist0, lens0, pb0, pnb0, bn0)
+        (hist, lens, pb, pnb, _bn), _ = jax.lax.scan(
+            frame_step, st0,
+            (jnp.transpose(logp, (1, 0, 2)), jnp.arange(T)))
+        return hist, lens, pb, pnb
+
+    return decode
+
+
+def ctc_prefix_beam_decode_device(
+    logp,                 # [B, T, V] log posteriors (device or host)
+    n_frames,             # [B]
+    beam_size: int = 8,
+    blank_id: Optional[int] = None,
+    u_cap: int = 200,
+    prune_logp: float = -12.0,
+    fusion: Optional[np.ndarray] = None,      # ctc_fusion_matrix
+    bias_next: Optional[np.ndarray] = None,   # CompiledBiaser tables
+    bias_delta: Optional[np.ndarray] = None,
+) -> List[List[Tuple[float, List[int]]]]:
+    """Batched ONE-dispatch prefix beam over a whole [B, T, V] posterior
+    block; same return shape as per-row ctc_prefix_beam_decode (ranked
+    [(total_logp, units)]). See _prefix_beam_device_fn for the design and
+    the f32/u_cap contracts."""
+    logp = jnp.asarray(logp)
+    V = logp.shape[-1]
+    bid = V - 1 if blank_id is None else blank_id
+    fn = _prefix_beam_device_fn(
+        int(beam_size), int(bid), int(u_cap), float(prune_logp),
+        fusion is not None, bias_next is not None)
+    f_arr = (jnp.asarray(fusion, jnp.float32) if fusion is not None
+             else jnp.zeros((1, 1), jnp.float32))
+    bn_arr = (jnp.asarray(bias_next, jnp.int32) if bias_next is not None
+              else jnp.zeros((1, 1), jnp.int32))
+    bd_arr = (jnp.asarray(bias_delta, jnp.float32)
+              if bias_delta is not None else jnp.zeros((1, 1), jnp.float32))
+    hist, lens, pb, pnb = fn(logp, jnp.asarray(n_frames), f_arr, bn_arr,
+                             bd_arr)
+    hist, lens = np.asarray(hist), np.asarray(lens)
+    tot = np.logaddexp(np.asarray(pb), np.asarray(pnb))
+    out: List[List[Tuple[float, List[int]]]] = []
+    for b in range(hist.shape[0]):
+        row = [(float(tot[b, k]), hist[b, k, : lens[b, k]].tolist())
+               for k in range(hist.shape[1]) if tot[b, k] > NEG_INF / 2]
+        row.sort(key=lambda x: -x[0])
+        out.append(row)
+    return out
+
+
 def ctc_beam_decode_batch(
     logp: np.ndarray,     # [B, T, V]
     n_frames: np.ndarray,  # [B]
